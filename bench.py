@@ -1,0 +1,80 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Execution is measured with a `noop`-format write: the full plan runs on
+executors, nothing is collected to the driver — the same discipline
+you'd use benchmarking on a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+import hephaestus_spark.queries  # noqa: F401 — registration
+from hephaestus_spark.registry import QUERIES
+from hephaestus_spark.session import get_session
+
+# Headline set: one representative per operator family, weighted toward
+# the shuffle/window/text-heavy queries that dominate at scale.
+HEADLINE = [
+    "q02_filter_pushdown",      # scan + pushdown
+    "q03_join_inner",           # large-large shuffle join
+    "q04_join_broadcast",       # star-schema broadcast chain
+    "q05_join_left_count",      # outer join + agg
+    "q08_join_range",           # equi+range residual join
+    "q09_agg_tpch_q1",          # hash agg (TPC-H Q1)
+    "q10_count_distinct",       # distinct agg
+    "q11_cube",                 # grouping sets
+    "q12_window_rank",          # ranking window
+    "q14_window_range_frame",   # range-frame window
+    "q15_topk",                 # top-k
+    "q20_array_agg",            # array agg
+    "q21_map_explode",          # json/map
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_session("hephaestus-bench")
+
+    # Warm the JVM/codegen once with a trivial action so per-query times
+    # measure the queries, not session bring-up.
+    spark.range(1).count()
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    extra = [a for a in sys.argv[1:] if a in QUERIES]
+    if extra:
+        names = extra
+    timings: dict[str, float] = {}
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,249 @@
+"""Scalar-function surface: SURVEY.md §2.B Q17–Q21.
+
+All built-in `pyspark.sql.functions` — JVM-side, whole-stage-codegen'd.
+Outputs are scalar columns (arrays are canonicalized with array_sort +
+array_join) so the cross-engine value hash is well-defined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hephaestus_spark.registry import query
+from hephaestus_spark.sources import load_table
+
+
+# --------------------------------------------------------------------------
+# Q17 — string functions over part
+# --------------------------------------------------------------------------
+@query(
+    "q17_string_fns",
+    oracle="""
+    SELECT p_partkey,
+           concat_ws('|', p_brand, p_type)                    AS brand_type,
+           substring(p_name, 1, 8)                            AS name_prefix,
+           upper(p_brand)                                     AS brand_upper,
+           lower(p_type)                                      AS type_lower,
+           trim(p_name)                                       AS name_trim,
+           regexp_replace(p_name, '[aeiou]', '', 'g')         AS name_novowel,
+           regexp_extract(p_type, '([A-Z]+)$', 1)             AS type_last_word,
+           (p_type LIKE '%BRASS%')                            AS is_brass,
+           split_part(p_type, ' ', 1)                         AS type_first_token,
+           CAST(length(p_name) AS BIGINT)                     AS name_len
+    FROM part
+    """,
+)
+def q17_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.trim("p_name").alias("name_trim"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowel"),
+        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("type_last_word"),
+        F.col("p_type").like("%BRASS%").alias("is_brass"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_first_token"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 — date functions over orders and events
+# --------------------------------------------------------------------------
+@query(
+    "q18_date_fns_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)                       AS order_year,
+           CAST(month(o_orderdate) AS BIGINT)                      AS order_month,
+           CAST(day(o_orderdate) AS BIGINT)                        AS order_day,
+           date_trunc('month', o_orderdate)                        AS month_start,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')     AS plus_30d,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+                                                                   AS days_since_95,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate, '%Y-%m-%d')                       AS order_date_str
+    FROM orders
+    """,
+)
+def q18_date_fns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("order_year"),
+        F.month(d).cast("bigint").alias("order_month"),
+        F.dayofmonth(d).cast("bigint").alias("order_day"),
+        F.date_trunc("month", d).cast("timestamp_ntz").alias("month_start"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("plus_30d"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_95"),
+        F.date_format(F.last_day(d.cast("date")), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(d, "yyyy-MM-dd").alias("order_date_str"),
+    )
+
+
+@query(
+    "q18_date_fns_events",
+    oracle="""
+    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS event_day,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q18_date_fns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("event_day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — math / conditional functions
+# --------------------------------------------------------------------------
+@query(
+    "q19_math_conditional",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2)))          AS net_price,
+           CAST(round(l_discount * 100) AS BIGINT)             AS disc_pct,
+           CAST(floor(l_extendedprice) AS BIGINT)              AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT)               AS price_ceil,
+           abs(l_discount - 0.03)                              AS disc_dist,
+           CAST(((CAST(l_quantity AS BIGINT) % 5) + 5) % 5 AS BIGINT) AS qty_mod5,
+           CASE WHEN l_quantity >= 25 THEN 'bulk'
+                WHEN l_quantity >= 10 THEN 'mid'
+                ELSE 'small' END                               AS qty_band,
+           coalesce(nullif(l_returnflag, 'N'), 'none')         AS flag_or_none,
+           greatest(l_tax, l_discount)                         AS max_rate,
+           least(l_tax, l_discount)                            AS min_rate,
+           (nullif(l_returnflag,'N') IS NOT DISTINCT FROM nullif(l_linestatus,'O'))
+                                                               AS flags_same_nullsafe
+    FROM lineitem
+    """,
+)
+def q19_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Includes the null-safe equality (`eqNullSafe` ⇔ IS NOT DISTINCT
+    FROM) that reference operator A14 relies on for its geocode-reset
+    rule (internal/repository/task.go:97-112)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        ).alias("net_price"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("disc_pct"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.03).alias("disc_dist"),
+        F.pmod(q.cast("bigint"), F.lit(5)).cast("bigint").alias("qty_mod5"),
+        F.when(q >= 25, "bulk").when(q >= 10, "mid").otherwise("small").alias("qty_band"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias("flag_or_none"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.nullif("l_returnflag", F.lit("N"))
+        .eqNullSafe(F.nullif("l_linestatus", F.lit("O")))
+        .alias("flags_same_nullsafe"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — array functions + explode
+# --------------------------------------------------------------------------
+@query(
+    "q20_array_agg",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',')  AS linenumbers,
+           CAST(len(list(l_linenumber)) AS BIGINT)              AS n_lines,
+           list_contains(list(l_linenumber), 3)                 AS has_line3,
+           array_to_string(list_sort(flatten(list([l_returnflag, l_linestatus]))), ',')
+                                                                AS flags_flat
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def q20_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list is order-nondeterministic — every array is wrapped in
+    array_sort before use/serialization (SURVEY.md §7 risk 1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.collect_list("l_linenumber")).alias("_lns"),
+            F.array_sort(
+                F.flatten(F.collect_list(F.array("l_returnflag", "l_linestatus")))
+            ).alias("_flags"),
+        )
+        .select(
+            "l_orderkey",
+            F.array_join("_lns", ",").alias("linenumbers"),
+            F.size("_lns").cast("bigint").alias("n_lines"),
+            F.array_contains("_lns", 3).alias("has_line3"),
+            F.array_join("_flags", ",").alias("flags_flat"),
+        )
+    )
+
+
+@query(
+    "q20_array_explode",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, UNNEST([l_returnflag, l_linestatus]) AS flag
+    FROM lineitem
+    """,
+)
+def q20_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.explode(F.array("l_returnflag", "l_linestatus")).alias("flag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — map + JSON functions over events.props
+# --------------------------------------------------------------------------
+@query(
+    "q21_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def q21_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+@query(
+    "q21_map_explode",
+    oracle="""
+    SELECT event_id,
+           UNNEST(json_keys(props))                                  AS map_key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)         AS map_value
+    FROM events
+    """,
+)
+def q21_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into MapType then explode to (key, value) rows.
+    (props is single-key JSON, so the duckdb oracle's $.k lookup is the
+    general map value.)"""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select("event_id", F.explode(m).alias("map_key", "map_value"))
