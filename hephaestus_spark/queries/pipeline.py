@@ -1,1 +1,255 @@
-"""Placeholder — filled in as operators are implemented."""
+"""Pipeline-semantics queries: SURVEY.md §2.B Q22–Q25.
+
+These exercise the reference's ETL operators (A5–A16) re-expressed as
+set-wise DataFrame plans, on deterministic derivations of the driver's
+test tables so a DuckDB oracle can replay them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hephaestus_spark.operators import bridge, cleaning, dimension, merge
+from hephaestus_spark.registry import query
+from hephaestus_spark.sources import load_table
+
+
+# --------------------------------------------------------------------------
+# Q22 — get-or-create dimension (A13, deterministic variant)
+# --------------------------------------------------------------------------
+@query(
+    "q22_dim_get_or_create",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(dense_rank() OVER (ORDER BY event_type) AS BIGINT) AS type_id
+    FROM events
+    """,
+)
+def q22_dim_get_or_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key resolution as the reference's GetOrCreateTaskTypeID
+    (task.go:13-45) would leave it, set-wise: distinct names -> dense ids
+    -> broadcast join back to the fact rows."""
+    e = load_table(spark, sf_dir, "events")
+    resolved = dimension.attach_surrogate_ids(e, "event_type", "type_id")
+    return resolved.select("event_id", "event_type", "type_id")
+
+
+# --------------------------------------------------------------------------
+# Q23 — SCD-1 merge (A10–A14)
+# --------------------------------------------------------------------------
+# Deterministic fixture derivation (both engines):
+#   snapshot = customers with c_custkey % 4 <> 0
+#   staged   = customers with c_custkey % 2 =  0
+#     -> ids ≡ 0 (mod 4): in staged only  => insert
+#        ids ≡ 2 (mod 4): in both; fullname uppercased when ≡ 2 (mod 8)
+#                         => update, else identical => skip
+#        ids ≡ 1,3 (mod 4): snapshot only => keep
+#   email is NULL when c_custkey % 10 = 3 on BOTH sides — identical rows
+#   must compare equal through NULLs (IS DISTINCT FROM / eqNullSafe).
+_SNAPSHOT_SQL = """
+    SELECT c_custkey AS id, c_name AS fullname, c_mktsegment AS position,
+           CASE WHEN c_custkey % 10 = 3 THEN NULL
+                ELSE 'u' || c_custkey || '@example.com' END AS email
+    FROM customer WHERE c_custkey % 4 <> 0
+"""
+_STAGED_SQL = """
+    SELECT c_custkey AS id,
+           CASE WHEN c_custkey % 8 = 2 THEN upper(c_name) ELSE c_name END AS fullname,
+           c_mktsegment AS position,
+           CASE WHEN c_custkey % 10 = 3 THEN NULL
+                ELSE 'u' || c_custkey || '@example.com' END AS email
+    FROM customer WHERE c_custkey % 2 = 0
+"""
+
+
+def _q23_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    c = load_table(spark, sf_dir, "customer")
+    email = F.when(F.col("c_custkey") % 10 == 3, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("u"), F.col("c_custkey").cast("string"), F.lit("@example.com"))
+    )
+    snapshot = c.filter(F.col("c_custkey") % 4 != 0).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("fullname"),
+        F.col("c_mktsegment").alias("position"),
+        email.alias("email"),
+    )
+    staged = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") % 8 == 2, F.upper("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("fullname"),
+        F.col("c_mktsegment").alias("position"),
+        email.alias("email"),
+    )
+    return snapshot, staged
+
+
+@query(
+    "q23_scd1_merge",
+    oracle=f"""
+    WITH old AS ({_SNAPSHOT_SQL}), new AS ({_STAGED_SQL}),
+    merged AS (
+      SELECT coalesce(old.id, new.id) AS id,
+             old.fullname AS o_fullname, old.position AS o_position, old.email AS o_email,
+             new.fullname AS n_fullname, new.position AS n_position, new.email AS n_email,
+             (old.id IS NOT NULL) AS in_old, (new.id IS NOT NULL) AS in_new,
+             (old.fullname IS DISTINCT FROM new.fullname
+              OR old.position IS DISTINCT FROM new.position
+              OR old.email    IS DISTINCT FROM new.email) AS differ
+      FROM old FULL OUTER JOIN new ON old.id = new.id
+    )
+    SELECT id,
+           CASE WHEN NOT in_new THEN o_fullname
+                WHEN NOT in_old OR differ THEN n_fullname ELSE o_fullname END AS fullname,
+           CASE WHEN NOT in_new THEN o_position
+                WHEN NOT in_old OR differ THEN n_position ELSE o_position END AS position,
+           CASE WHEN NOT in_new THEN o_email
+                WHEN NOT in_old OR differ THEN n_email    ELSE o_email    END AS email,
+           CASE WHEN NOT in_old AND in_new THEN 'insert'
+                WHEN in_old AND in_new AND differ THEN 'update'
+                WHEN in_old AND in_new THEN 'skip'
+                ELSE 'keep' END AS action
+    FROM merged
+    """,
+)
+def q23_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch SCD-1 merge: insert-if-absent (A11), update-if-changed with
+    null-safe comparison (A12/A14), skip-if-identical (A10) — one
+    full-outer join instead of the reference's N+1 probe loop."""
+    snapshot, staged = _q23_inputs(spark, sf_dir)
+    return merge.scd1_merge(snapshot, staged, "id", ["fullname", "position", "email"])
+
+
+@query(
+    "q23_scd1_action_counts",
+    oracle=f"""
+    WITH old AS ({_SNAPSHOT_SQL}), new AS ({_STAGED_SQL}),
+    merged AS (
+      SELECT (old.id IS NOT NULL) AS in_old, (new.id IS NOT NULL) AS in_new,
+             (old.fullname IS DISTINCT FROM new.fullname
+              OR old.position IS DISTINCT FROM new.position
+              OR old.email    IS DISTINCT FROM new.email) AS differ
+      FROM old FULL OUTER JOIN new ON old.id = new.id
+    )
+    SELECT CASE WHEN NOT in_old AND in_new THEN 'insert'
+                WHEN in_old AND in_new AND differ THEN 'update'
+                WHEN in_old AND in_new THEN 'skip'
+                ELSE 'keep' END AS action,
+           CAST(count(*) AS BIGINT) AS n
+    FROM merged GROUP BY 1
+    """,
+)
+def q23_scd1_action_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-action counts — the reference's repair/save metrics (A23) as
+    an aggregate over the merge plan (df.observe-able in streaming)."""
+    snapshot, staged = _q23_inputs(spark, sf_dir)
+    merged = merge.scd1_merge(snapshot, staged, "id", ["fullname", "position", "email"])
+    return merged.groupBy("action").agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Q24 — bridge rewrite (A15/A16)
+# --------------------------------------------------------------------------
+@query(
+    "q24_bridge_rewrite",
+    oracle="SELECT DISTINCT user_id, event_type AS member FROM events",
+)
+def q24_bridge_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebuild a (user_id, event_type) bridge as the reference's
+    delete+insert (task.go:125-151) would leave it: the distinct current
+    set. Exercises the array path: collect_set per user (the incoming
+    'executors' array shape) then explode back — A15's exact dataflow."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.collect_set("event_type").alias("members"))
+    return bridge.rebuild_bridge(per_user, "user_id", "members").select(
+        "user_id", "member"
+    )
+
+
+@query(
+    "q24_bridge_resolved",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type,
+             CAST(dense_rank() OVER (ORDER BY event_type) AS BIGINT) AS type_id
+      FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT DISTINCT e.user_id, e.event_type AS member, d.type_id AS member_id
+    FROM events e LEFT JOIN dim d ON e.event_type = d.event_type
+    """,
+)
+def q24_bridge_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge rewrite + A16's scalar-subquery lookup as a broadcast left
+    join (unmatched members keep NULL ids, FIXTURES.md B6)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.collect_set("event_type").alias("members"))
+    dim = dimension.dense_surrogate_ids(e, "event_type", "type_id")
+    return bridge.rebuild_bridge(
+        per_user, "user_id", "members", dim, "event_type", "type_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q25 — validation / cleaning (A5–A8)
+# --------------------------------------------------------------------------
+@query(
+    "q25_validation_cleaning",
+    oracle="""
+    WITH contacts AS (
+      SELECT c_custkey AS id,
+             CASE c_custkey % 5
+               WHEN 0 THEN ''
+               WHEN 1 THEN '12345'
+               WHEN 2 THEN 'user' || c_custkey || '@example.com'
+               WHEN 3 THEN 'bad@no-tld'
+               ELSE 'USER.' || c_custkey || '@Example.COM' END AS email,
+             CASE c_custkey % 4
+               WHEN 0 THEN '096 123-4567'
+               WHEN 1 THEN '+380501234567'
+               WHEN 2 THEN 'not-a-phone'
+               ELSE '' END AS phone
+      FROM customer
+    )
+    SELECT id, email, phone,
+           regexp_matches(email, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$')
+             AS email_valid,
+           regexp_matches(regexp_replace(phone, '[ -]', '', 'g'), '^\\+?[0-9]\\d{1,14}$')
+             AS phone_valid,
+           CASE WHEN regexp_matches(email, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$')
+                THEN email
+                ELSE 'invalid+' || id || '@example.invalid' END AS repaired_email,
+           CASE WHEN regexp_matches(regexp_replace(phone, '[ -]', '', 'g'), '^\\+?[0-9]\\d{1,14}$')
+                THEN regexp_replace(phone, '[ -]', '', 'g') END AS cleaned_phone
+    FROM contacts
+    """,
+)
+def q25_validation_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5–A8 over a synthesized dirty contact table (FIXTURES.md B2):
+    flag + deterministically repair invalid emails, normalize phones to
+    E.164. Pure column expressions — runs in codegen, no UDF."""
+    c = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    email = (
+        F.when(key % 5 == 0, F.lit(""))
+        .when(key % 5 == 1, F.lit("12345"))
+        .when(key % 5 == 2, F.concat(F.lit("user"), key.cast("string"), F.lit("@example.com")))
+        .when(key % 5 == 3, F.lit("bad@no-tld"))
+        .otherwise(F.concat(F.lit("USER."), key.cast("string"), F.lit("@Example.COM")))
+    )
+    phone = (
+        F.when(key % 4 == 0, F.lit("096 123-4567"))
+        .when(key % 4 == 1, F.lit("+380501234567"))
+        .when(key % 4 == 2, F.lit("not-a-phone"))
+        .otherwise(F.lit(""))
+    )
+    contacts = c.select(key.alias("id"), email.alias("email"), phone.alias("phone"))
+    return contacts.select(
+        "id",
+        "email",
+        "phone",
+        cleaning.email_valid(F.col("email")).alias("email_valid"),
+        cleaning.phone_valid(F.col("phone")).alias("phone_valid"),
+        cleaning.repaired_email(F.col("id"), F.col("email")).alias("repaired_email"),
+        cleaning.cleaned_phone(F.col("phone")).alias("cleaned_phone"),
+    )
