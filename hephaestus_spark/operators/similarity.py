@@ -1,0 +1,102 @@
+"""Vector similarity operators over embedding columns.
+
+Embeddings are plain ``array<float>`` columns; all math happens in
+built-in higher-order functions (zip_with/aggregate — JVM-side), so no
+Python crosses the hot path. Cast to double FIRST: the accumulator must
+match the oracle's double arithmetic, and float32 accumulation loses
+enough precision to flip 4dp rounding.
+
+Scale paths:
+- brute-force top-k: fine when the query set is small (broadcast the
+  queries, stream the corpus — one pass, no shuffle).
+- IVF-style: assign vectors to coarse centroids, search only the
+  closest buckets — turns ANN into a bucket equi-join.
+- random-hyperplane LSH: sign-bit signatures bucket candidates for
+  near-dup joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm(a: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate({a}, CAST(0 AS DOUBLE),"
+            f" (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+        )
+    )
+
+
+def cosine(a: str, b: str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Cosine top-k of each query vector over the corpus.
+
+    Broadcast the (small) query side; the corpus streams through one
+    projection + per-query ranking window. Shuffle is only on query_id
+    (tiny cardinality) for the window."""
+    from pyspark.sql.window import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias(query_id), F.col(vec_col).alias("_qvec")
+    )
+    joined = corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id))
+    scored = joined.select(
+        query_id,
+        id_col,
+        cosine("_qvec", vec_col).alias("cos_sim"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id, id_col, "cos_sim", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    Centroids broadcast (they're few); argmin via ranking window on the
+    centroid candidates per vector."""
+    from pyspark.sql.window import Window as W
+
+    joined = corpus.crossJoin(F.broadcast(centroids))
+    scored = joined.select(
+        id_col,
+        vec_col,
+        centroid_id,
+        cosine(vec_col, centroid_vec).alias("_sim"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col(centroid_id).asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_sim")
+    )

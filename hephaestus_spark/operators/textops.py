@@ -1,0 +1,66 @@
+"""Text-analysis building blocks for documents-scale pipelines.
+
+All pure column expressions (codegen'd, no Python in the hot path):
+tokenization, n-gram shingling, token statistics, stopword scoring,
+rolling-hash fingerprinting. Used by Q31/Q32/Q33 and the x_* training-
+data queries. Designed partition-parallel: everything is per-row or a
+single groupBy on (doc) or (lang, token) — no driver materialization,
+so the same plan holds on a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Normalization used across Q31/Q33: lowercase, non [a-z space] -> space.
+_NORM_SQL = "regexp_replace(lower({col}), '[^a-z ]', ' ')"
+# Identical DuckDB spelling (global flag needed there).
+NORM_DUCK = "regexp_replace(lower({col}), '[^a-z ]', ' ', 'g')"
+
+
+def tokens(col: str = "text") -> Column:
+    """Non-empty lowercase tokens."""
+    return F.expr(f"filter(split({_NORM_SQL.format(col=col)}, ' '), t -> t <> '')")
+
+
+def word_shingles(tokens_col: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of a token array."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size({_c(tokens_col)}) - {n - 1}, 0)),"
+            f" i -> concat_ws(' ', slice({_c(tokens_col)}, i, {n})))"
+        )
+    )
+
+
+def _c(col: Column) -> str:
+    # Column -> SQL snippet; only used with simple named columns.
+    return col._jc.toString() if hasattr(col, "_jc") else str(col)
+
+
+def shingle_table(docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) rows — the inverted-index layout for set-similarity.
+
+    At scale this is the layout that lets near-dup detection run as a
+    shuffle on `shingle` (co-locating candidate pairs) instead of an
+    O(n^2) cross join."""
+    t = docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    sh = t.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)),"
+                    f" i -> concat_ws(' ', slice(_toks, i, {n})))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    return sh
+
+
+def stopword_hits(tokens_expr: str, words: list[str]) -> str:
+    """SQL snippet: number of tokens that are in `words`."""
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter({tokens_expr}, t -> t IN ({lst})))"

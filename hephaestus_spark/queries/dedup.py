@@ -1,1 +1,176 @@
-"""Placeholder — filled in as operators are implemented."""
+"""Near-duplicate detection: SURVEY.md §2.B Q33 + SimHash extension.
+
+Strategy (the scale story):
+- The *oracle-checked* output is the exact-Jaccard verification stage
+  (SURVEY.md: "exact-verification step is what's oracle-checked"),
+  computed via a shingle inverted index — one shuffle keyed on the
+  shingle string co-locates every candidate pair, never an O(n^2)
+  cross join.
+- MinHashLSH (fixed seed) is the candidate-generation scale path: at
+  100 TB you can't afford the full inverted index on rare shingles, so
+  band-bucketed signatures bound the join fan-out. Its output is
+  rows-only-checked (LSH recall is probabilistic by design).
+
+The test corpus has no near-duplicates, so both engines synthesize the
+same ones: every doc_id % 7 == 0 document re-ingested with a 4-token
+suffix (id + 2000000) — Jaccard (w-4)/w >= 0.8 whenever the doc has
+>= 20 tokens, giving a varied positive set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hephaestus_spark.operators.textops import shingle_table
+from hephaestus_spark.registry import query
+from hephaestus_spark.sources import load_table
+
+_SUFFIX = " near duplicate suffix tail"
+
+_NEAR_CORPUS_DUCK = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text || '{_SUFFIX}' AS text
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+_TOKENS_DUCK = (
+    "list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' '),"
+    " t -> t <> '')"
+)
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_SUFFIX)).alias("text"),
+    )
+    return d.union(dup)
+
+
+@query(
+    "q33_near_dedup_jaccard",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_CORPUS_DUCK}),
+    shingled AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_transform(range(1, greatest(len({_TOKENS_DUCK}) - 3, 1)),
+                       i -> array_to_string(list_slice({_TOKENS_DUCK}, CAST(i AS INTEGER), CAST(i + 4 AS INTEGER)), ' '))
+      )) AS shingle
+      FROM corpus
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    """,
+)
+def q33_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.8 over word 5-gram shingle sets, via the
+    inverted-index join. The jaccard ratio is bigint/bigint division —
+    bit-identical across engines (single IEEE divide, no accumulation)."""
+    corpus = _near_corpus(spark, sf_dir)
+    sh = shingle_table(corpus, n=5)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") * 1.0 / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@query("q33_minhash_lsh")  # rows-only: LSH recall is probabilistic by design
+def q33_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH candidate pairs (fixed seed), exact-distance filtered.
+
+    Pipeline: shingles -> HashingTF (2^18 sparse vectors) -> MinHashLSH
+    (16 tables, seed=42) -> approxSimilarityJoin at Jaccard distance
+    <= 0.2. At scale the band join bounds candidate fan-out regardless
+    of corpus size; the exact verify then runs only on candidates."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    corpus = _near_corpus(spark, sf_dir)
+    sh = (
+        shingle_table(corpus, n=5)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shingles"))
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(sh).filter(F.expr("size(shingles) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=16, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.2, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            (1 - F.col("jaccard_dist")).alias("jaccard_est"),
+        )
+    )
+
+
+@query("x_simhash")  # rows-only: engine-specific 64-bit hash in signatures
+def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + band keys for near-dup blocking.
+
+    Per doc: xxhash64 each token, sum +1/-1 votes per bit position,
+    reassemble a 64-bit signature, emit 4 16-bit bands. Docs sharing a
+    band key are Hamming-distance candidates — the banding turns
+    pairwise comparison into an equi-join, which is what survives at
+    corpus scale. Pure built-ins: explode + conditional agg + bit ops."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(split(regexp_replace(lower(text), '[^a-z ]', ' '), ' '),"
+                " t -> t <> '')"
+            )
+        ).alias("token"),
+    ).withColumn("h", F.xxhash64("token"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
+    for i in range(64):
+        # OR the bit in (shiftleft handles the sign bit; OR can't overflow)
+        bit = F.when(
+            F.col(f"b{i}") > 0, F.expr(f"shiftleft(CAST(1 AS BIGINT), {i})")
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig = sig.bitwiseOR(bit)
+    out = votes.select("doc_id", sig.alias("simhash"))
+    return out.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.expr(f"(simhash >> {16 * band}) & 65535").cast("int").alias(f"band{band}")
+            for band in range(4)
+        ],
+    )

@@ -1,1 +1,124 @@
-"""Placeholder — filled in as operators are implemented."""
+"""Similarity search: SURVEY.md §2.B Q34 + ANN scale paths.
+
+q34 (oracle-checked): brute-force cosine top-10 for query vectors
+0..4 — the correctness baseline every ANN variant is judged against.
+x_ann_ivf / x_embed_near_dup: the bucketed scale paths (rows-only
+where LSH/IVF candidate sets are probabilistic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hephaestus_spark.operators import similarity as sim
+from hephaestus_spark.registry import query
+from hephaestus_spark.sources import load_table
+
+
+@query(
+    "q34_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id BETWEEN 0 AND 4)
+    SELECT query_id, vec_id, cos_sim, rn FROM (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.qvec, e.embedding) AS cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(q.qvec, e.embedding) DESC,
+                        e.vec_id ASC) AS BIGINT) AS rn
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.query_id
+    ) WHERE rn <= 10
+    """,
+)
+def q34_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 of query vectors 0..4, deterministic
+    tiebreak by vec_id. Queries broadcast; corpus streams once."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id").between(0, 4))
+    return sim.brute_force_topk(e, queries, k=10)
+
+
+@query(
+    "x_embed_near_dup",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 10 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.embedding, b.embedding) AS cos_sim
+    FROM corpus a, corpus b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+    """,
+)
+def x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>= 0.99). The corpus re-ingests
+    every vec_id % 10 == 0 vector under a new id (duplicate content,
+    new key — the dedup target). Brute force here is the correctness
+    oracle; the banded LSH variant below is what runs at scale."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = e.union(dup)
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.cosine("a.embedding", "b.embedding").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.99)
+    )
+
+
+@query("x_ann_ivf")  # rows-only: IVF recall depends on nprobe, by design
+def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse centroids = per-label mean vectors (stand-in
+    for a k-means pass), vectors assigned to nearest centroid, then
+    top-5 search runs only inside the query's bucket. At 100 TB the
+    bucket assignment is a write-time partitioning (partitionBy
+    centroid_id), making each query a partition-pruned scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = e.select(F.size("embedding").alias("d")).first()["d"]
+    # centroid per label: element-wise mean via posexplode + re-assemble
+    pos = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("label").alias("centroid_id"),
+            F.expr("transform(pm, x -> CAST(x.m AS FLOAT))").alias("centroid"),
+        )
+    )
+    assigned = sim.ivf_assign(e, cent)
+    queries = assigned.filter(F.col("vec_id").between(0, 4)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qvec"),
+        F.col("centroid_id").alias("_qc"),
+    )
+    bucket_hits = assigned.join(
+        F.broadcast(queries),
+        (F.col("centroid_id") == F.col("_qc")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = bucket_hits.select(
+        "query_id", "vec_id", sim.cosine("_qvec", "embedding").alias("cos_sim")
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id", "cos_sim", F.col("rn").cast("bigint").alias("rn"))
+    )

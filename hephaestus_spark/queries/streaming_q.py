@@ -1,1 +1,266 @@
-"""Placeholder — filled in as operators are implemented."""
+"""Streaming-semantics queries: SURVEY.md §2.B Q27–Q30.
+
+Q27 windows run in batch mode (same window operators Structured
+Streaming uses — the spec requires batch-runnable oracle comparison).
+Q28/Q29 run REAL streaming queries: the events table is replayed as
+arrival-day micro-batches (streaming/replay.py), with watermark-driven
+late-data drop and stateful dedup; the memory-sink result is compared
+to a closed-form oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from hephaestus_spark.registry import query
+from hephaestus_spark.sources import load_table
+from hephaestus_spark.streaming.replay import replay_streaming
+
+
+# --------------------------------------------------------------------------
+# Q27 — tumbling / sliding / session windows
+# --------------------------------------------------------------------------
+@query(
+    "q27_window_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(value) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q27_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q27_window_sliding",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+             - CAST(k AS INTEGER) * INTERVAL '15 minutes'       AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(value) AS sum_value
+    FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+    GROUP BY 1, 2
+    """,
+)
+def q27_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding every 15min: each event lands in 4 windows.
+    The oracle enumerates the same 4 via UNNEST — both align window
+    starts to 15-minute grid points."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q27_window_session",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, session_no
+    """,
+)
+def q27_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(ts, 30min) per user. Spark sessions are half-open
+    [start, last+gap): an event exactly gap after the previous one
+    starts a NEW session — the oracle's gaps-and-islands break is
+    therefore `>=`, not `>` (SURVEY.md §7 risk 3)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q28 — watermark / late data (REAL streaming, replayed by arrival day)
+# --------------------------------------------------------------------------
+# Late-arrival fixture (FIXTURES.md B8): rows with event_id % 50 == 0 and
+# ts-day in [Jan 4, Jan 27] arrive 3 days late. With a 1-day watermark
+# their day-window state is long closed when they arrive -> dropped.
+# Append mode emits a day's aggregate only once the watermark passes its
+# window end; the final watermark is max(ts) - 1 day, so trailing days
+# never emit. The oracle encodes exactly that.
+_LATE_COND_DUCK = (
+    "event_id % 50 = 0 AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-04'"
+    " AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-28'"
+)
+
+
+@query(
+    "q28_watermark_late",
+    oracle=f"""
+    WITH wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '1 day' AS final_wm
+                FROM events)
+    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events, wm
+    WHERE NOT ({_LATE_COND_DUCK})
+      AND date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL '1 day' <= wm.final_wm
+    GROUP BY 1
+    """,
+)
+def q28_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """withWatermark('ts','1 day') + tumbling day window in append mode,
+    fed by arrival-day micro-batches. Late rows (3-day delay) hit closed
+    state and are dropped; emitted day counts equal batch counts over
+    on-time rows — the streaming/batch consistency contract (A20)."""
+    e = load_table(spark, sf_dir, "events")
+    late = (
+        (F.col("event_id") % 50 == 0)
+        & (F.col("ts") >= F.lit("2024-01-04").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-28").cast("timestamp_ntz"))
+    )
+    feed = e.select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(late, F.date_add(F.to_date("ts"), 3))
+        .otherwise(F.to_date("ts"))
+        .alias("arrival_day"),
+    )
+
+    def agg(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("day"), "n")
+        )
+
+    out = replay_streaming(spark, feed, "arrival_day", agg, output_mode="append")
+    return out.select(F.col("day").cast("timestamp_ntz").alias("day"), "n")
+
+
+# --------------------------------------------------------------------------
+# Q29 — streaming dedup (REAL streaming)
+# --------------------------------------------------------------------------
+@query(
+    "q29_stream_dedup",
+    oracle="SELECT event_id, event_type, value FROM events",
+)
+def q29_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates(['event_id']) with a watermark, over a feed where
+    every event_id % 10 == 0 row is re-delivered one day later (at-least-
+    once upstream, A1's hash-skip motivation). The 2-day watermark keeps
+    dedup state alive across the redelivery gap, so the streamed output
+    equals the exactly-once set."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+        F.to_date("ts").alias("arrival_day"),
+    )
+    dupes = base.filter(F.col("event_id") % 10 == 0).withColumn(
+        "arrival_day", F.date_add(F.col("arrival_day"), 1)
+    )
+    feed = base.union(dupes)
+
+    def dedup(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "2 days")
+            .dropDuplicates(["event_id"])
+            .select("event_id", "event_type", "value")
+        )
+
+    return replay_streaming(spark, feed, "arrival_day", dedup, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# Q30 — top-/last-per-group (A19 generalization)
+# --------------------------------------------------------------------------
+@query(
+    "q30_max_by",
+    oracle="""
+    SELECT user_id,
+           max_by(event_type,
+                  CAST(round(value * 100) AS BIGINT) * 100000000 + event_id)
+             AS top_event_type,
+           max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q30_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by with an exact integer composite key (value cents, then
+    event_id): values are 2-decimal doubles, so per-user maxima can tie —
+    the composite makes the winner deterministic on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    key = (F.round(F.col("value") * 100).cast("bigint") * 100000000 + F.col("event_id"))
+    return e.groupBy("user_id").agg(
+        F.expr(
+            "max_by(event_type, CAST(round(value * 100) AS BIGINT) * 100000000 + event_id)"
+        ).alias("top_event_type"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@query(
+    "q30_last_event",
+    oracle="""
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q30_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last event per user by event time (A19's ORDER BY updated_at DESC
+    LIMIT 1, generalized per group)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )

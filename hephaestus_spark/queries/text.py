@@ -1,1 +1,357 @@
-"""Placeholder — filled in as operators are implemented."""
+"""Text-analysis queries: SURVEY.md §2.B Q31–Q32 plus the training-data
+extensions (token counting, quality scoring, language-ID heuristic,
+document fingerprinting) over the `documents` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from hephaestus_spark.registry import query
+from hephaestus_spark.sources import load_table
+
+# Shared normalization (must match operators/textops.py and the DuckDB
+# spelling below — DuckDB needs the 'g' flag, Spark replaces all by default).
+_TOKENS = "filter(split(regexp_replace(lower(text), '[^a-z ]', ' '), ' '), t -> t <> '')"
+_TOKENS_DUCK = (
+    "list_filter(string_split(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' '),"
+    " t -> t <> '')"
+)
+
+
+# --------------------------------------------------------------------------
+# Q31 — text statistics + top tokens per language
+# --------------------------------------------------------------------------
+@query(
+    "q31_lang_stats",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, avg(n_chars) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q31_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.avg("n_chars").alias("avg_chars")
+    )
+
+
+@query(
+    "q31_top_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, UNNEST({_TOKENS_DUCK}) AS token FROM documents
+    ),
+    counted AS (
+      SELECT lang, token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY lang, token
+    )
+    SELECT lang, token, n FROM (
+      SELECT lang, token, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rn
+      FROM counted
+    ) WHERE rn <= 20
+    """,
+)
+def q31_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens per language, deterministic tiebreak (count desc,
+    token asc). explode -> two-level agg; the ranking window partitions
+    by lang so no global sort. At corpus scale the token count is the
+    classic map-side-combine win: the shuffle carries (lang, token)
+    partials only."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.expr(_TOKENS)).alias("token"))
+    counted = tok.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "token", "n")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q32 — exact dedup by content hash
+# --------------------------------------------------------------------------
+# The driver corpus has no exact duplicates, so both engines synthesize
+# the same enlarged corpus: a copy of every doc_id % 10 == 0 document
+# re-ingested under a new id (the "same text crawled twice" case).
+_DUP_CORPUS_DUCK = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.union(dup)
+
+
+@query(
+    "q32_exact_dedup",
+    oracle=f"""
+    WITH corpus AS ({_DUP_CORPUS_DUCK})
+    SELECT sha256(text) AS text_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(doc_id) AS canonical_id
+    FROM corpus
+    GROUP BY sha256(text)
+    HAVING count(*) > 1
+    """,
+)
+def q32_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on sha2(text). One shuffle keyed on the
+    content hash; at 100 TB you'd bucket the corpus by this hash so
+    re-dedup after every ingest is shuffle-free."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return (
+        corpus.groupBy(F.sha2("text", 256).alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "q32_dedup_keep_canonical",
+    oracle=f"""
+    WITH corpus AS ({_DUP_CORPUS_DUCK})
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM corpus
+    ) WHERE rn = 1
+    """,
+)
+def q32_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *apply* step: keep min(doc_id) per content hash."""
+    corpus = _dup_corpus(spark, sf_dir)
+    w = W.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    return (
+        corpus.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x — token counting (whitespace + BPE-ish regex)
+# --------------------------------------------------------------------------
+@query(
+    "x_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def x_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split, and a BPE-ish regex
+    (letter runs / digit runs / single punctuation) — the cheap proxies a
+    training pipeline uses for budget estimates before real tokenization."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("size(filter(split(text, '\\\\s+'), t -> t <> ''))")
+        .cast("bigint")
+        .alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)))
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x — quality scoring
+# --------------------------------------------------------------------------
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@query(
+    "x_quality_score",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_raw,
+             CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_words,
+             CAST(len(list_filter({_TOKENS_DUCK}, t -> t IN ({_STOP_LIST_SQL})))
+                  AS BIGINT) AS stop_hits,
+             CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS BIGINT) AS punct_chars
+      FROM documents
+    )
+    SELECT doc_id, n_chars_raw, n_words,
+           stop_hits  * 1.0 / greatest(n_words, 1)     AS stopword_ratio,
+           punct_chars * 1.0 / greatest(n_chars_raw, 1) AS punct_ratio,
+           (n_words >= 10 AND stop_hits * 1.0 / greatest(n_words,1) BETWEEN 0.01 AND 0.6
+            AND punct_chars * 1.0 / greatest(n_chars_raw,1) < 0.2) AS passes_quality
+    FROM feat
+    """,
+)
+def x_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality gate (length / stopword ratio / punct
+    ratio) — the C4/Gopher-style filters, as one codegen projection."""
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_raw"),
+        F.expr(f"size({_TOKENS})").cast("bigint").alias("n_words"),
+        F.expr(f"size(filter({_TOKENS}, t -> t IN ({_STOP_LIST_SQL})))")
+        .cast("bigint")
+        .alias("stop_hits"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[^a-z0-9\s]"), F.lit(0)))
+        .cast("bigint")
+        .alias("punct_chars"),
+    )
+    nw = F.greatest(F.col("n_words"), F.lit(1))
+    nc = F.greatest(F.col("n_chars_raw"), F.lit(1))
+    stop_ratio = F.col("stop_hits") * 1.0 / nw
+    punct_ratio = F.col("punct_chars") * 1.0 / nc
+    return feat.select(
+        "doc_id",
+        "n_chars_raw",
+        "n_words",
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (
+            (F.col("n_words") >= 10)
+            & stop_ratio.between(0.01, 0.6)
+            & (punct_ratio < 0.2)
+        ).alias("passes_quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x — language-ID heuristic (stopword n-gram voting)
+# --------------------------------------------------------------------------
+_LANG_STOPS = {
+    "en": ("the", "and", "of", "to", "a", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+}
+
+
+def _hits_sql(tokens_expr: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"size(list_filter({tokens_expr}, t -> t IN ({lst})))" if "list_filter" in tokens_expr else ""
+
+
+@query(
+    "x_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+             CAST(len(list_filter({_TOKENS_DUCK}, t -> t IN ('the','and','of','to','a','is'))) AS BIGINT) AS hits_en,
+             CAST(len(list_filter({_TOKENS_DUCK}, t -> t IN ('der','die','das','und','ist','nicht'))) AS BIGINT) AS hits_de,
+             CAST(len(list_filter({_TOKENS_DUCK}, t -> t IN ('le','la','les','et','est','une'))) AS BIGINT) AS hits_fr
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang, hits_en, hits_de, hits_fr,
+           CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+                WHEN hits_de >= hits_fr THEN 'de'
+                ELSE 'fr' END AS predicted_lang
+    FROM scored
+    """,
+)
+def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID (n-gram heuristic family). Ties break
+    en > de > fr deterministically. A real deployment swaps the word
+    lists for char-trigram tables; the plan shape is identical."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def hits(words: tuple[str, ...]):
+        lst = ", ".join(f"'{w}'" for w in words)
+        return F.expr(f"size(filter({_TOKENS}, t -> t IN ({lst})))").cast("bigint")
+
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits(_LANG_STOPS["en"]).alias("hits_en"),
+        hits(_LANG_STOPS["de"]).alias("hits_de"),
+        hits(_LANG_STOPS["fr"]).alias("hits_fr"),
+    )
+    return scored.select(
+        "*",
+        F.when(
+            (F.col("hits_en") >= F.col("hits_de")) & (F.col("hits_en") >= F.col("hits_fr")),
+            F.lit("en"),
+        )
+        .when(F.col("hits_de") >= F.col("hits_fr"), F.lit("de"))
+        .otherwise(F.lit("fr"))
+        .alias("predicted_lang"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x — document fingerprint (rolling min-hash over char 8-grams)
+# --------------------------------------------------------------------------
+@query(
+    "x_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           min(sha256(substr(text, CAST(i AS INTEGER), 8))) AS fingerprint
+    FROM documents, UNNEST(range(1, greatest(length(text) - 6, 2))) AS t(i)
+    GROUP BY doc_id
+    """,
+)
+def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: min content hash over all 8-char
+    windows. Per-row explode + min re-agg — embarrassingly parallel, and
+    the fingerprint column then drives exact-ish dedup joins at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("sequence(1, greatest(length(text) - 7, 1))")
+        ).alias("i"),
+        "text",
+    ).select("doc_id", F.sha2(F.expr("substring(text, i, 8)"), 256).alias("h"))
+    return grams.groupBy("doc_id").agg(F.min("h").alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# x — multimodal plumbing (binary columns + mapInPandas feature stub)
+# --------------------------------------------------------------------------
+@query(
+    "x_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE (doc_id % 3) + 1 WHEN 1 THEN 'image/png'
+                                 WHEN 2 THEN 'audio/wav'
+                                 ELSE 'video/mp4' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS sha
+    FROM documents
+    """,
+)
+def x_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata surface (size/hash/type) — the part of the
+    multimodal path that is pure Spark and oracle-checkable. The decode
+    stage itself is a mapInPandas stub (operators/multimodal.py)."""
+    from hephaestus_spark.operators.multimodal import synthesize_media
+
+    d = load_table(spark, sf_dir, "documents")
+    return synthesize_media(d).select("doc_id", "media_type", "byte_len", "sha")
+
+
+@query("x_multimodal_features")  # rows-only: decode stub, no SQL equivalent
+def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract plumbing over binary payloads
+    (deterministic fake codec; real codecs not in this container)."""
+    from hephaestus_spark.operators.multimodal import (
+        decode_and_featurize,
+        synthesize_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = decode_and_featurize(synthesize_media(d), deterministic_fake=True)
+    return feats.select(
+        "doc_id", "media_type", "byte_len", "width", "height",
+        F.element_at("feature", 1).alias("f0"),
+    )

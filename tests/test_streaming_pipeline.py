@@ -1,0 +1,104 @@
+"""End-to-end employee-sync pipeline test (A1→A12, A18, P1, A20/A21):
+new / changed / identical / duplicate-feed branches, mirroring the
+reference's service tests (employees_internal_test.go:20-160).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+
+import pytest
+
+from hephaestus_spark.streaming.pipeline import EmployeeSyncPipeline
+from hephaestus_spark.streaming.sinks import WatermarkTable
+
+ROWS_DAY1 = [
+    # id, fullname, shortname, position, email, phone
+    (1, "New Employee", "ne", "eng", "new@example.com", "0961234567"),
+    (2, "Old Name", "on", "ops", "old@example.com", "096 123-4567"),
+    (3, "Same Name", "sn", "mgr", "same@example.com", ""),
+    (4, "Bad Email", "be", "eng", "12345", "+380501234567"),
+]
+ROWS_DAY2 = [
+    (2, "Updated Name", "on", "ops", "updated@example.com", "096 123-4567"),
+    (3, "Same Name", "sn", "mgr", "same@example.com", ""),
+    (5, "Fifth", "ff", "eng", "", "5555"),
+]
+
+
+def _write_feed(spark, feed_dir, rows, day, idx):
+    d = datetime.date(2024, 1, day)
+    df = spark.createDataFrame(
+        [r + (d,) for r in rows],
+        "id long, fullname string, shortname string, position string,"
+        " email string, phone string, feed_date date",
+    )
+    tmp = os.path.join(feed_dir, f"_stage{idx}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    dst = os.path.join(feed_dir, f"{idx:05d}.parquet")
+    shutil.move(os.path.join(tmp, part), dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.utime(dst, (1_700_000_000 + idx, 1_700_000_000 + idx))
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path)
+
+
+def test_employee_sync_end_to_end(spark, workdir):
+    feed = os.path.join(workdir, "feed")
+    os.makedirs(feed)
+    snap = os.path.join(workdir, "snapshot")
+    wm = os.path.join(workdir, "wm")
+    pipe = EmployeeSyncPipeline(feed, snap, wm)
+
+    # ---- poll 1: initial snapshot ----
+    _write_feed(spark, feed, ROWS_DAY1, day=1, idx=0)
+    sink = pipe.run_available_now(spark)
+    out = {r["id"]: r for r in spark.read.parquet(snap).collect()}
+    assert len(out) == 4
+    # A5: invalid email deterministically repaired
+    assert out[4]["email"] == "invalid+4@example.invalid"
+    # A7: phone normalized (strip space/hyphen)
+    assert out[2]["phone"] == "0961234567"
+    assert sink.history[-1]["skipped"] is False
+    # A18: watermark persisted
+    assert WatermarkTable(wm).read(spark) == datetime.date(2024, 1, 1)
+
+    # ---- poll 2: identical feed content -> P1 fingerprint skip ----
+    _write_feed(spark, feed, ROWS_DAY1, day=1, idx=1)
+    sink2 = pipe.run_available_now(spark)
+    assert sink2.history and sink2.history[-1]["skipped"] is False  # fresh job, no memory
+    # same content produced identical snapshot (merge was a no-op set-wise)
+    out2 = {r["id"]: r for r in spark.read.parquet(snap).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {k: tuple(v) for k, v in out2.items()}
+
+    # ---- poll 3: day-2 delta: update / identical / insert ----
+    _write_feed(spark, feed, ROWS_DAY2, day=2, idx=2)
+    sink3 = pipe.run_available_now(spark)
+    out3 = {r["id"]: r for r in spark.read.parquet(snap).collect()}
+    assert len(out3) == 5
+    assert out3[2]["fullname"] == "Updated Name"       # A12 update
+    assert out3[1]["fullname"] == "New Employee"       # untouched keep
+    assert out3[5]["email"] == "invalid+5@example.invalid"  # A5 on insert
+    h = sink3.history[-1]
+    assert h["insert"] == 1 and h["update"] == 1 and h["skip"] == 1 and h["keep"] == 2
+    assert WatermarkTable(wm).read(spark) == datetime.date(2024, 1, 2)
+
+
+def test_fingerprint_skip_within_run(spark, workdir):
+    """Two identical files in ONE run: second batch short-circuits (P1)."""
+    feed = os.path.join(workdir, "feed")
+    os.makedirs(feed)
+    pipe = EmployeeSyncPipeline(
+        feed, os.path.join(workdir, "snap"), os.path.join(workdir, "wm")
+    )
+    _write_feed(spark, feed, ROWS_DAY1, day=1, idx=0)
+    _write_feed(spark, feed, ROWS_DAY1, day=1, idx=1)
+    sink = pipe.run_available_now(spark)
+    skipped = [h["skipped"] for h in sink.history]
+    assert skipped == [False, True]
