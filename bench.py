@@ -38,6 +38,15 @@ HEADLINE = [
     "q15_topk",                 # top-k
     "q20_array_agg",            # array agg
     "q21_map_explode",          # json/map
+    "q23_scd1_merge",           # SCD-1 merge (full-outer + null-safe diff)
+    "q27_window_tumbling",      # time-window agg
+    "q30_last_event",           # last-per-group
+    "q31_top_tokens",           # tokenize + count + top-k per group
+    "q32_exact_dedup",          # content-hash dedup
+    "q33_near_dedup_jaccard",   # shingle inverted-index near-dedup
+    "q34_cosine_topk",          # brute-force vector top-k
+    "x_quality_score",          # text quality features
+    "x_simhash",                # simhash signatures (64-bit votes)
 ]
 
 
