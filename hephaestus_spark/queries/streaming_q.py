@@ -120,6 +120,78 @@ def q27_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q27_session_stateful",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    islands AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS sum_value
+    FROM islands GROUP BY user_id, session_no
+    """,
+)
+def q27_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q27_window_session re-implemented as a CUSTOM stateful operator
+    (applyInPandasWithState, streaming/stateful.py): per-user session
+    state with event-time-timeout emission, replayed as day-ordered
+    micro-batches. A far-future sentinel row advances the final
+    watermark so every open session times out and emits — proving the
+    timeout path produces exactly the session_window/gaps-and-islands
+    result. State is per-key in the executor state store: O(users)
+    distributed, nothing on the driver."""
+    from hephaestus_spark.streaming.stateful import session_stats_stream
+
+    e = load_table(spark, sf_dir, "events")
+    feed = e.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+        F.to_date("ts").alias("arrival_day"),
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, "2033-01-01 00:00:00", 0.0, "2033-01-01")],
+        "user_id long, ts string, value double, arrival_day string",
+    ).select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+        F.col("arrival_day").cast("date").alias("arrival_day"),
+    )
+    feed = feed.unionByName(sentinel)
+
+    def sessions(stream: DataFrame) -> DataFrame:
+        return session_stats_stream(
+            stream.withWatermark("ts", "1 day"), gap_ms=30 * 60 * 1000
+        )
+
+    out = replay_streaming(spark, feed, "arrival_day", sessions, output_mode="append")
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
 # --------------------------------------------------------------------------
 # Q28 — watermark / late data (REAL streaming, replayed by arrival day)
 # --------------------------------------------------------------------------
