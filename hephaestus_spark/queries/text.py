@@ -56,19 +56,20 @@ def q31_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q31_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 tokens per language, deterministic tiebreak (count desc,
-    token asc). explode -> two-level agg; the ranking window partitions
-    by lang so no global sort. At corpus scale the token count is the
-    classic map-side-combine win: the shuffle carries (lang, token)
-    partials only."""
+    token asc). explode -> two-level agg (map-side combine carries only
+    (lang, token) partials). The ranking runs as a two-phase salted
+    top-k (operators/topk.py): `lang` has a handful of values, so a
+    plain per-lang window would sort each language's whole vocabulary
+    in ONE task at corpus scale — the salted phase bounds every sort at
+    vocab/salt_n and stays exact."""
+    from hephaestus_spark.operators.topk import topk_per_group
+
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("lang", F.explode(F.expr(_TOKENS)).alias("token"))
     counted = tok.groupBy("lang", "token").agg(F.count("*").alias("n"))
-    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
-    return (
-        counted.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select("lang", "token", "n")
-    )
+    return topk_per_group(
+        counted, ["lang"], [F.col("n").desc(), F.col("token").asc()], k=20
+    ).select("lang", "token", "n")
 
 
 # --------------------------------------------------------------------------

@@ -97,14 +97,29 @@ class ParquetSnapshotTarget:
         return counts
 
 
-def upsert_sql(table: str, key: str, cols: list[str], reset_rule: str | None = None) -> str:
+def upsert_sql(
+    table: str,
+    key: str,
+    cols: list[str],
+    reset_rule: str | None = None,
+    placeholder: str = "%s",
+    insert_only_cols: list[str] | None = None,
+) -> str:
     """The reference's A11/A12/A14 statement, batch-shaped.
 
     ``reset_rule`` reproduces A14's conditional geocode reset
     (task.go:97-112): extra SET clauses guarded by
-    ``target.address IS DISTINCT FROM EXCLUDED.address``."""
-    collist = ", ".join([key] + cols)
-    placeholders = ", ".join(["%s"] * (len(cols) + 1))
+    ``target.address IS DISTINCT FROM EXCLUDED.address``.
+    ``placeholder`` follows the DBAPI paramstyle of the target driver
+    ('%s' for psycopg/pyformat, '?' for qmark drivers like duckdb).
+    ``insert_only_cols`` are written on first insert (their initial
+    state, e.g. NULL geocode columns) but never plain-updated — on
+    conflict only the ``reset_rule`` may touch them. Needed for engines
+    whose ON CONFLICT binder requires every referenced target column in
+    the INSERT list (DuckDB); harmless elsewhere."""
+    ins = [key] + cols + list(insert_only_cols or [])
+    collist = ", ".join(ins)
+    placeholders = ", ".join([placeholder] * len(ins))
     sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in cols)
     sql = (
         f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
@@ -142,9 +157,15 @@ class JdbcMergeTarget:
     cols: list[str]
     connection_factory: Callable = None
     reset_rule: str | None = None
+    placeholder: str = "%s"
+    insert_only_cols: list[str] | None = None
 
     def merge_batch(self, spark: SparkSession, staged: DataFrame) -> dict[str, int]:
-        sql = upsert_sql(self.table, self.key, self.cols, self.reset_rule)
+        extra = list(self.insert_only_cols or [])
+        sql = upsert_sql(
+            self.table, self.key, self.cols, self.reset_rule,
+            self.placeholder, extra,
+        )
         factory = self.connection_factory
         key, cols = self.key, self.cols
 
@@ -153,12 +174,17 @@ class JdbcMergeTarget:
             try:
                 cur = conn.cursor()
                 for r in rows:
-                    cur.execute(sql, [r[key]] + [r[c] for c in cols])
+                    cur.execute(
+                        sql, [r[key]] + [r[c] for c in cols] + [r[c] for c in extra]
+                    )
                 conn.commit()
             finally:
                 conn.close()
 
-        staged.select(key, *cols).foreachPartition(write_partition)
+        missing = [c for c in extra if c not in staged.columns]
+        for c in missing:
+            staged = staged.withColumn(c, F.lit(None))
+        staged.select(key, *cols, *extra).foreachPartition(write_partition)
         return {}
 
 

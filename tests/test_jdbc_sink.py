@@ -1,0 +1,127 @@
+"""JDBC merge-sink integration test against a real SQL engine.
+
+SURVEY.md §5 carry-over (iv) calls for a real-database merge test
+(Testcontainers-Postgres analogue). Postgres isn't in this image, but
+DuckDB is a DBAPI engine with `INSERT … ON CONFLICT DO UPDATE` and
+`IS DISTINCT FROM` — enough to execute the reference's A11/A12/A14
+statement text verbatim-semantically and prove the executor-side
+foreachPartition write path end-to-end.
+
+DuckDB is single-writer across processes, so the staged frame is
+coalesced to one partition; with Postgres the same code runs one
+connection per partition (sinks.py P3/P4 notes).
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from hephaestus_spark.streaming.sinks import (
+    GEOCODE_RESET_RULE,
+    JdbcMergeTarget,
+    upsert_sql,
+)
+
+
+def test_upsert_sql_text_matches_reference_shape():
+    sql = upsert_sql("employees", "id", ["fullname", "email"])
+    assert sql == (
+        "INSERT INTO employees (id, fullname, email) VALUES (%s, %s, %s) "
+        "ON CONFLICT (id) DO UPDATE SET fullname = EXCLUDED.fullname, "
+        "email = EXCLUDED.email, updated_at = now()"
+    )
+    with_reset = upsert_sql(
+        "tasks", "task_id", ["address"],
+        reset_rule=GEOCODE_RESET_RULE.format(t="tasks"), placeholder="?",
+    )
+    assert "VALUES (?, ?)" in with_reset
+    assert "tasks.address IS DISTINCT FROM EXCLUDED.address" in with_reset
+
+
+def test_merge_batch_against_duckdb(spark, tmp_path):
+    db = str(tmp_path / "sink.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        """CREATE TABLE tasks (
+             task_id BIGINT PRIMARY KEY, address VARCHAR, description VARCHAR,
+             latitude DOUBLE, longitude DOUBLE,
+             geocoding_attempts INTEGER DEFAULT 0, geocoding_error VARCHAR,
+             updated_at TIMESTAMP)"""
+    )
+    # pre-existing row with geocoder-owned values filled in
+    con.execute(
+        "INSERT INTO tasks VALUES (101, 'a st', 'old', 50.45, 30.52, 2, NULL, now())"
+    )
+    con.close()
+
+    target = JdbcMergeTarget(
+        table="tasks",
+        key="task_id",
+        cols=["address", "description"],
+        connection_factory=lambda: duckdb.connect(db),
+        reset_rule=GEOCODE_RESET_RULE.format(t="tasks"),
+        placeholder="?",
+        # geocoder-owned columns: written as initial state on insert,
+        # only the reset_rule touches them on conflict (DuckDB's binder
+        # also requires them in the INSERT list — sinks.py note)
+        insert_only_cols=["latitude", "longitude", "geocoding_attempts", "geocoding_error"],
+    )
+
+    # batch: 101 address UNCHANGED (geocode must survive),
+    #        102 brand new (insert path)
+    staged = spark.createDataFrame(
+        [(101, "a st", "new desc", 0), (102, "b st", "fresh", 0)],
+        "task_id long, address string, description string, geocoding_attempts int",
+    ).coalesce(1)
+    target.merge_batch(spark, staged)
+
+    con = duckdb.connect(db)
+    rows = {
+        r[0]: r
+        for r in con.execute(
+            "SELECT task_id, address, description, latitude, geocoding_attempts"
+            " FROM tasks ORDER BY task_id"
+        ).fetchall()
+    }
+    assert rows[101][2] == "new desc"  # updated
+    assert rows[101][3] == 50.45 and rows[101][4] == 2  # geocode preserved (A14)
+    assert rows[102][1] == "b st"  # inserted
+    con.close()
+
+    # batch 2: 101 address CHANGES -> conditional reset fires
+    staged2 = spark.createDataFrame(
+        [(101, "moved st", "new desc", 0)],
+        "task_id long, address string, description string, geocoding_attempts int",
+    ).coalesce(1)
+    target.merge_batch(spark, staged2)
+    con = duckdb.connect(db)
+    lat, lon, attempts = con.execute(
+        "SELECT latitude, longitude, geocoding_attempts FROM tasks WHERE task_id=101"
+    ).fetchone()
+    assert lat is None and lon is None and attempts == 0  # A14 reset
+    con.close()
+
+
+def test_merge_batch_is_idempotent_per_batch(spark, tmp_path):
+    """Replaying the same batch (streaming retry) must not duplicate or
+    corrupt rows — the upsert makes retries safe."""
+    db = str(tmp_path / "sink2.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE emp (id BIGINT PRIMARY KEY, fullname VARCHAR, updated_at TIMESTAMP)"
+    )
+    con.close()
+    target = JdbcMergeTarget(
+        table="emp", key="id", cols=["fullname"],
+        connection_factory=lambda: duckdb.connect(db), placeholder="?",
+    )
+    batch = spark.createDataFrame(
+        [(1, "Ann"), (2, "Bob")], "id long, fullname string"
+    ).coalesce(1)
+    target.merge_batch(spark, batch)
+    target.merge_batch(spark, batch)  # retry
+    con = duckdb.connect(db)
+    assert con.execute("SELECT count(*), count(DISTINCT id) FROM emp").fetchone() == (2, 2)
+    con.close()
