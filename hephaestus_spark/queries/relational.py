@@ -319,14 +319,22 @@ def q11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q12_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group via ranking window; deterministic tiebreak on
-    o_orderkey. At scale this is one shuffle on the partition key and a
-    per-partition sort — no global sort."""
-    o = _t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_orderstatus").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    o_orderkey. o_orderstatus has THREE values, so a naive per-status
+    window sorts a third of the table in one task at scale — phase 1
+    salts the rows and keeps top-3 per (status, bucket). Every row
+    ranked above a survivor survives its own bucket too, so the final
+    window's row_number/rank/dense_rank over survivors are the exact
+    global values (operators/topk.py argument)."""
+    from hephaestus_spark.operators.topk import topk_per_group
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", "o_totalprice"
     )
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    survivors = topk_per_group(o, ["o_orderstatus"], order, k=3).drop("rn")
+    w = W.partitionBy("o_orderstatus").orderBy(*order)
     return (
-        o.select(
+        survivors.select(
             "o_orderstatus",
             "o_orderkey",
             "o_totalprice",
