@@ -73,6 +73,65 @@ def brute_force_topk(
     )
 
 
+def hyperplanes(n_bits: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side constants).
+
+    Seed-fixed so signatures are reproducible run-to-run; the planes are
+    tiny (n_bits x dim doubles) and are inlined into the plan as literal
+    arrays — nothing to broadcast, nothing to ship."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def lsh_signature(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "sig",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) signature: bit i is set iff
+    v . plane_i > 0. Pure JVM projection (zip_with/aggregate over literal
+    arrays) — no UDF, no shuffle; at 100 TB this runs scan-side and the
+    signature is what you persist/partition by."""
+    sig = F.lit(0)
+    for i, hp in enumerate(planes):
+        arr = "array(" + ",".join(f"CAST({x} AS DOUBLE)" for x in hp) + ")"
+        d = F.expr(
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y),"
+            f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        sig = sig + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn(out_col, sig.cast("int"))
+
+
+def lsh_bands(
+    df: DataFrame,
+    sig_col: str = "sig",
+    n_bands: int = 4,
+    bits_per_band: int = 4,
+) -> DataFrame:
+    """Explode a signature into (band, band_key) rows. Vectors sharing a
+    band key are join candidates — the banding turns pairwise search
+    into an equi-join whose fan-out is bounded by bucket size, which is
+    what survives at corpus scale."""
+    mask = (1 << bits_per_band) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (
+                    F.shiftright(F.col(sig_col), b * bits_per_band).bitwiseAND(mask)
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = df.withColumn("_b", F.explode(bands))
+    return exploded.select(*df.columns, "_b.band", "_b.band_key")
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

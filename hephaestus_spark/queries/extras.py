@@ -1,0 +1,191 @@
+"""Relational-surface extensions beyond the declared §2.B inventory.
+
+As-of join, pivot/unpivot, and subquery forms (EXISTS, correlated
+scalar) — the remaining standard-SQL shapes a user migrating a Postgres
+workload (the reference delegates everything to Postgres,
+internal/repository/*.go) would expect. Each is oracle-checked against
+DuckDB like the declared queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hephaestus_spark.operators.asof import asof_join_backward
+from hephaestus_spark.registry import query
+from hephaestus_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "x_asof_join",
+    oracle="""
+    WITH u AS (
+      SELECT o_custkey AS user_id, o_orderdate AS ts, 0 AS tag,
+             o_orderkey, o_totalprice, CAST(NULL AS BIGINT) AS event_id
+      FROM orders
+      UNION ALL
+      SELECT user_id, ts, 1 AS tag,
+             CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), event_id
+      FROM events
+    ), w AS (
+      SELECT user_id, ts, tag, event_id,
+             last_value(o_orderkey IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, tag, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey,
+             last_value(o_totalprice IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, tag, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_totalprice
+      FROM u
+    )
+    SELECT event_id, user_id, ts, asof_orderkey, asof_totalprice
+    FROM w WHERE tag = 1
+    """,
+)
+def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event joined to the user's most recent order at event time
+    (backward as-of). Union-merge plan: ONE shuffle on user_id, linear
+    in |events|+|orders| — no pairwise candidate blow-up, so the same
+    plan holds when both sides are 100 TB. Ties on o_orderdate broken
+    by max o_orderkey (both engines order identically)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    return asof_join_backward(
+        e,
+        o,
+        on=[("user_id", "o_custkey")],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload={"asof_orderkey": "o_orderkey", "asof_totalprice": "o_totalprice"},
+        tiebreak=["o_orderkey"],
+    ).select("event_id", "user_id", "ts", "asof_orderkey", "asof_totalprice")
+
+
+@query(
+    "x_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt,
+           sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS f_total,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
+           sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS o_total,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt,
+           sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS p_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def x_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with EXPLICIT pivot values — skipping the
+    extra distinct-values collect job Spark otherwise runs, and pinning
+    output columns so the plan is static. Single hash-agg shuffle;
+    pivot cells are conditional aggregates, no extra pass."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_totalprice").alias("total"),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        *[
+            c
+            for s in ("F", "O", "P")
+            for c in (
+                F.coalesce(F.col(f"{s}_cnt"), F.lit(0))
+                .cast("bigint")
+                .alias(f"{s.lower()}_cnt"),
+                F.col(f"{s}_total").alias(f"{s.lower()}_total"),
+            )
+        ],
+    )
+
+
+@query(
+    "x_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def x_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long with DataFrame.unpivot (Expand node): ONE scan emits
+    all four measure rows — the UNION-ALL oracle formulation would scan
+    the table four times."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+@query(
+    "x_exists_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+    """,
+)
+def x_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through spark.sql — Catalyst decorrelates it
+    into a left-semi hash join (same physical plan as Q6), so the SQL
+    surface a Postgres user writes gets the distributed plan for free."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("x_sub_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("x_sub_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM x_sub_orders o
+        WHERE EXISTS (SELECT 1 FROM x_sub_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+        """
+    )
+
+
+@query(
+    "x_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def x_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (customers above their nation's mean
+    balance). Catalyst rewrites to aggregate-then-join — one agg + one
+    join instead of a per-row subquery; the per-nation aggregate is tiny
+    and broadcasts."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("x_sub_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM x_sub_customer c
+        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM x_sub_customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )

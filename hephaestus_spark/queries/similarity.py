@@ -80,6 +80,47 @@ def x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x_ann_lsh")  # rows-only: LSH recall is probabilistic by design
+def x_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN: 16 sign bits per vector (seed-fixed random
+    hyperplanes), banded 4x4; candidates = corpus vectors sharing any
+    band key with the query, exact-cosine reranked to top-5. The band
+    equi-join bounds candidate fan-out regardless of corpus size — at
+    100 TB the band tables are written bucketed on (band, band_key) so
+    the candidate join is shuffle-free."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = e.select(F.size("embedding").alias("d")).first()["d"]
+    planes = sim.hyperplanes(n_bits=16, dim=dim, seed=42)
+    bands = sim.lsh_bands(sim.lsh_signature(e, planes))
+    queries = bands.filter(F.col("vec_id").between(0, 4)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qvec"),
+        F.col("band").alias("_qband"),
+        F.col("band_key").alias("_qkey"),
+    )
+    cands = (
+        bands.join(
+            F.broadcast(queries),
+            (F.col("band") == F.col("_qband"))
+            & (F.col("band_key") == F.col("_qkey"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", "embedding", "_qvec")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cands.select(
+        "query_id", "vec_id", sim.cosine("_qvec", "embedding").alias("cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id", "cos_sim", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
 @query("x_ann_ivf")  # rows-only: IVF recall depends on nprobe, by design
 def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse centroids = per-label mean vectors (stand-in

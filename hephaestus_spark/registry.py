@@ -46,4 +46,5 @@ def load_all() -> None:
         text,
         dedup,
         similarity,
+        extras,
     )

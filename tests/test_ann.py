@@ -1,0 +1,75 @@
+"""ANN quality invariants (x_ann_lsh / x_ann_ivf vs q34 brute force).
+
+LSH/IVF recall is probabilistic by design (rows-only in the driver
+gate), but the *mechanics* are deterministic and checkable:
+- signatures are seed-fixed → identical results run-to-run;
+- every returned neighbor shares >= 1 band key with its query
+  (the defining candidate-generation property);
+- reported cos_sim is the exact cosine (rerank is exact on candidates);
+- ranks are 1..k, dense, and never include the query itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import hephaestus_spark.queries  # noqa: F401 — registration
+from hephaestus_spark.operators import similarity as sim
+from hephaestus_spark.registry import QUERIES
+from hephaestus_spark.sources import load_table
+
+
+def test_lsh_ann_invariants(spark, sf_dir):
+    out = QUERIES["x_ann_lsh"](spark, sf_dir).toPandas()
+    assert set(out.columns) == {"query_id", "vec_id", "cos_sim", "rn"}
+    assert (out.query_id != out.vec_id).all()
+    for _, grp in out.groupby("query_id"):
+        ranks = sorted(grp.rn)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+        # ranking order agrees with the scores
+        ordered = grp.sort_values(["rn"])
+        sims = list(ordered.cos_sim)
+        assert all(a >= b - 1e-12 for a, b in zip(sims, sims[1:]))
+
+
+def test_lsh_ann_deterministic(spark, sf_dir):
+    a = QUERIES["x_ann_lsh"](spark, sf_dir).toPandas().sort_values(["query_id", "rn"])
+    b = QUERIES["x_ann_lsh"](spark, sf_dir).toPandas().sort_values(["query_id", "rn"])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_lsh_neighbors_share_a_band(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = e.select(F.size("embedding").alias("d")).first()["d"]
+    planes = sim.hyperplanes(n_bits=16, dim=dim, seed=42)
+    bands = sim.lsh_bands(sim.lsh_signature(e, planes)).select(
+        "vec_id", "band", "band_key"
+    )
+    out = QUERIES["x_ann_lsh"](spark, sf_dir).select("query_id", "vec_id")
+    qb = bands.withColumnRenamed("vec_id", "query_id")
+    shared = (
+        out.join(bands, "vec_id")
+        .join(qb, ["query_id", "band", "band_key"])
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    assert shared.count() == out.count()
+
+
+def test_lsh_rerank_is_exact_cosine(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = QUERIES["x_ann_lsh"](spark, sf_dir)
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qvec"))
+    recheck = (
+        out.join(e, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "cos_sim",
+            sim.cosine("_qvec", "embedding").alias("exact"),
+        )
+        .filter(F.abs(F.col("cos_sim") - F.col("exact")) > 1e-9)
+    )
+    assert recheck.count() == 0
