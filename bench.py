@@ -46,6 +46,7 @@ HEADLINE = [
     "q33_near_dedup_jaccard",   # shingle inverted-index near-dedup
     "q34_cosine_topk",          # brute-force vector top-k
     "x_asof_join",              # as-of join (union-merge window)
+    "x_chunk_docs",             # token-window document chunking
     "x_quality_score",          # text quality features
     "x_simhash",                # simhash signatures (64-bit votes)
 ]

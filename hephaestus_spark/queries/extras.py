@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hephaestus_spark.operators.asof import asof_join_backward
+from hephaestus_spark.operators.curation import chunk_by_tokens, hash_sample
 from hephaestus_spark.registry import query
 from hephaestus_spark.sources import load_table
 
@@ -189,3 +190,52 @@ def x_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                            WHERE c2.c_nationkey = c.c_nationkey)
         """
     )
+
+
+@query(
+    "x_chunk_docs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ), n AS (
+      SELECT doc_id, lang, toks, len(toks) AS n FROM t
+    )
+    SELECT doc_id, lang,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(len(toks[i*40+1 : i*40+50]) AS BIGINT) AS chunk_tokens,
+           array_to_string(toks[i*40+1 : i*40+50], ' ') AS chunk_text
+    FROM n, LATERAL (
+      SELECT unnest(generate_series(
+        0, GREATEST(CAST(CEIL((n - 10) / 40.0) AS INT) - 1, 0))) AS i
+    )
+    """,
+)
+def x_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → 50-token chunks with 10-token overlap (stride 40).
+    Narrow map-side transform (split + sequence + explode + slice), no
+    shuffle — chunking 100 TB is a single scan-and-write pass."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return chunk_by_tokens(docs, "text", chunk_size=50, overlap=10)
+
+
+@query(
+    "x_hash_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CASE
+        WHEN lang = 'en' THEN (doc_id * 2654435761) % 4294967296 < 214748364
+        ELSE (doc_id * 2654435761) % 4294967296 < 429496729
+      END
+    """,
+)
+def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (Knuth multiplicative hash on
+    doc_id): ~5% of English docs, ~10% of everything else. Unlike
+    df.sample this selects the SAME rows on any engine/partitioning —
+    reproducible ablation subsets. Pure filter: no shuffle, pushes to
+    the scan."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_sample(docs, "doc_id", 0.1, by={"en": 0.05}, strata_col="lang")
