@@ -193,6 +193,45 @@ def x_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_range_join_binned",
+    oracle="""
+    SELECT e.event_id,
+           count(o.o_orderkey) AS n_orders,
+           CAST(min(o.o_orderkey) AS BIGINT) AS min_orderkey
+    FROM events e
+    JOIN orders o
+      ON o.o_totalprice / 1000 - 0.5 <= e.value
+     AND e.value < o.o_totalprice / 1000 + 0.5
+    GROUP BY e.event_id
+    """,
+)
+def x_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi band join (no equality key): events.value against
+    a unit-wide band around orders' scaled totalprice. Spark would plan
+    the naive predicate as BroadcastNestedLoopJoin (O(|P|x|I|)); the
+    binned plan quantizes the axis and equi-joins on bin id with the
+    exact predicate as residual — a plain shuffle join that scales
+    linearly. The oracle states the same join declaratively."""
+    e = _t(spark, sf_dir, "events").select("event_id", "value")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", (F.col("o_totalprice") / 1000).alias("_mid"))
+        .select(
+            "o_orderkey",
+            (F.col("_mid") - 0.5).alias("lo"),
+            (F.col("_mid") + 0.5).alias("hi"),
+        )
+    )
+    from hephaestus_spark.operators.rangejoin import bin_range_join
+
+    pairs = bin_range_join(e, o, "value", "lo", "hi", bin_width=1.0)
+    return pairs.groupBy("event_id").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.min("o_orderkey").alias("min_orderkey"),
+    )
+
+
+@query(
     "x_chunk_docs",
     oracle="""
     WITH t AS (

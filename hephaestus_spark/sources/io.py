@@ -89,6 +89,7 @@ def write_bucketed(
     sort_by: list[str] | None = None,
     fmt: str = "parquet",
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Write a bucketed (+ optionally sorted) managed table.
 
@@ -100,6 +101,10 @@ def write_bucketed(
     w = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_by)
     if sort_by:
         w = w.sortBy(*sort_by)
+    if path is not None:
+        # external table: data at an explicit location (catalog metadata
+        # only records the layout); avoids stale managed-warehouse dirs
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 

@@ -70,8 +70,22 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
-    write_bucketed(orders, "t_orders_b", ["o_orderkey"], 8, sort_by=["o_orderkey"])
-    write_bucketed(li, "t_lineitem_b", ["l_orderkey"], 8, sort_by=["l_orderkey"])
+    write_bucketed(
+        orders,
+        "t_orders_b",
+        ["o_orderkey"],
+        8,
+        sort_by=["o_orderkey"],
+        path=str(tmp_path / "t_orders_b"),
+    )
+    write_bucketed(
+        li,
+        "t_lineitem_b",
+        ["l_orderkey"],
+        8,
+        sort_by=["l_orderkey"],
+        path=str(tmp_path / "t_lineitem_b"),
+    )
     # force the sort-merge path (broadcast would trivially skip the
     # shuffle for the wrong reason at this tiny SF)
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
