@@ -336,3 +336,63 @@ def q30_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", "value")
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream join (REAL streaming, beyond the declared inventory)
+# --------------------------------------------------------------------------
+@query(
+    "x_stream_join",
+    oracle="""
+    SELECT l.event_id AS l_event_id, r.event_id AS r_event_id,
+           l.user_id, l.ts AS l_ts, r.ts AS r_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+     AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts + INTERVAL 1 HOUR
+    """,
+)
+def x_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner self-join: even-id events joined
+    to odd-id events of the same user within ±1 hour, replayed as
+    day-by-day micro-batches. Both sides carry a 2-day watermark so the
+    join state for past hours is evicted as the watermark advances —
+    bounded state regardless of stream length, which is what makes the
+    operator viable on an unbounded 100 TB/day feed. With full delivery
+    (AvailableNow) the emitted pairs equal the batch join, which is
+    exactly what the oracle states."""
+    e = load_table(spark, sf_dir, "events")
+    feed = e.select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        F.to_date("ts").alias("arrival_day"),
+    )
+
+    def join(stream: DataFrame) -> DataFrame:
+        left = (
+            stream.filter(F.col("event_id") % 2 == 0)
+            .select(
+                F.col("event_id").alias("l_event_id"),
+                "user_id",
+                F.col("ts").alias("l_ts"),
+            )
+            .withWatermark("l_ts", "2 days")
+        )
+        right = (
+            stream.filter(F.col("event_id") % 2 == 1)
+            .select(
+                F.col("event_id").alias("r_event_id"),
+                F.col("user_id").alias("r_user_id"),
+                F.col("ts").alias("r_ts"),
+            )
+            .withWatermark("r_ts", "2 days")
+        )
+        return left.join(
+            right,
+            (F.col("user_id") == F.col("r_user_id"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).select("l_event_id", "r_event_id", "user_id", "l_ts", "r_ts")
+
+    return replay_streaming(spark, feed, "arrival_day", join, output_mode="append")
