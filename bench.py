@@ -47,6 +47,7 @@ HEADLINE = [
     "q34_cosine_topk",          # brute-force vector top-k
     "x_asof_join",              # as-of join (union-merge window)
     "x_chunk_docs",             # token-window document chunking
+    "x_tpch_q5",                # 6-table composite join pipeline
     "x_quality_score",          # text quality features
     "x_simhash",                # simhash signatures (64-bit votes)
 ]
