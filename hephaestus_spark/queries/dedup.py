@@ -100,7 +100,7 @@ def q33_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q33_minhash_lsh")  # rows-only: LSH recall is probabilistic by design
+@query("x_minhash_lsh")  # rows-only: LSH recall is probabilistic by design
 def q33_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHashLSH candidate pairs (fixed seed), exact-distance filtered.
 

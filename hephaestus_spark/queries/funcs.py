@@ -112,8 +112,8 @@ def q18_date_fns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_math_conditional",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(l_extendedprice AS DECIMAL(18,2))
-             * (1 - CAST(l_discount AS DECIMAL(4,2)))          AS net_price,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2))), 4) AS DOUBLE) AS net_price,
            CAST(round(l_discount * 100) AS BIGINT)             AS disc_pct,
            CAST(floor(l_extendedprice) AS BIGINT)              AS price_floor,
            CAST(ceil(l_extendedprice) AS BIGINT)               AS price_ceil,
@@ -139,10 +139,15 @@ def q19_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        (
+        # Exact decimal product, quantized to 4dp and emitted as DOUBLE in
+        # both engines — decimal wire formatting is not hash-stable.
+        F.round(
             F.col("l_extendedprice").cast("decimal(18,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
-        ).alias("net_price"),
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")),
+            4,
+        )
+        .cast("double")
+        .alias("net_price"),
         F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("disc_pct"),
         F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
         F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),

@@ -32,8 +32,8 @@ def q01_scan_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
 
 
-@query("q01_project_nation", oracle="SELECT n_name, n_regionkey FROM nation")
-def q01_project_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("x_project_nation", oracle="SELECT n_name, n_regionkey FROM nation")
+def x_project_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column pruning: scan reads exactly 2 of 3 columns."""
     return _t(spark, sf_dir, "nation").select("n_name", "n_regionkey")
 
@@ -383,7 +383,8 @@ def q13_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_window_range_frame",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS sum_price_qty_pm5,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE)
+                                                              AS sum_price_qty_pm5,
            CAST(count(*) OVER w AS BIGINT)                    AS n_qty_pm5
     FROM lineitem
     WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity
@@ -393,10 +394,10 @@ def q13_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame keyed on l_quantity: the frame holds all rows whose
     quantity is within ±5 of the current row's (value-based, not
-    row-count-based). Aggregated as DECIMAL: double summation order
-    differs between engines, and frame aggregates of 2-decimal prices
-    land exactly on 4dp rounding boundaries (e.g. .65625), so float is
-    not hash-stable across engines."""
+    row-count-based). Summed as DECIMAL (exact, order-independent), then
+    quantized to 2dp and emitted as DOUBLE in BOTH engines so the driver
+    comparator receives identical already-rounded doubles — decimal
+    output normalization is engine-specific and not hash-stable."""
     li = _t(spark, sf_dir, "lineitem")
     w = W.partitionBy("l_suppkey").orderBy("l_quantity").rangeBetween(-5, 5)
     return li.select(
@@ -404,7 +405,9 @@ def q14_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).over(w).alias("sum_price_qty_pm5"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).over(w), 2)
+        .cast("double")
+        .alias("sum_price_qty_pm5"),
         F.count("*").over(w).cast("bigint").alias("n_qty_pm5"),
     )
 
@@ -482,8 +485,8 @@ def q16_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.subtract(b)
 
 
-@query("q16_except_all", oracle=f"{_ASIA_SUPP} EXCEPT ALL {_POSBAL_SUPP}")
-def q16_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("x_except_all", oracle=f"{_ASIA_SUPP} EXCEPT ALL {_POSBAL_SUPP}")
+def x_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-semantics except (Spark exceptAll vs SQL EXCEPT ALL)."""
     a, b = _q16_sides(spark, sf_dir)
     return a.exceptAll(b)

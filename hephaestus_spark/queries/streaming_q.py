@@ -76,7 +76,7 @@ def q27_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q27_window_session",
+    "x_window_session",
     oracle="""
     WITH ordered AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

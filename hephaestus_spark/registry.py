@@ -48,3 +48,11 @@ def load_all() -> None:
         similarity,
         extras,
     )
+
+    # The driver's CORRECTNESS sweep records only the first 50 registered
+    # entries, in iteration order. Declared SURVEY §2.B queries (q*) must
+    # all land inside that budget, so reorder them ahead of the x_*
+    # extensions (stable within each group).
+    ordered = sorted(QUERIES.items(), key=lambda kv: kv[0].startswith("x_"))
+    QUERIES.clear()
+    QUERIES.update(ordered)
