@@ -67,13 +67,19 @@ def hash_sample_pred(
     reproducible across engines or repartitionings) this is a pure
     arithmetic function of the key: the SAME rows are selected on any
     engine, any partitioning, any day — which is what makes ablation
-    subsets and holdouts auditable. Key x multiplier must stay within
-    int64 (key < ~3.4e9 with the default multiplier); pre-hash wider
-    keys down first."""
+    subsets and holdouts auditable.
+
+    Correct over the FULL int64 key domain: the key is split into two
+    31-bit halves via mask/shift (bitwise ops agree across engines even
+    for negative two's-complement values), each half's product stays
+    far below int64 overflow, and pmod keeps the residue non-negative —
+    a plain ``%`` would go negative for negative keys and silently
+    select 100% of them."""
     k = F.col(key) if isinstance(key, str) else key
-    return (k * F.lit(multiplier)) % F.lit(modulus) < F.lit(
-        int(fraction * modulus)
-    )
+    low = k.bitwiseAND(F.lit(2147483647))
+    high = F.shiftright(k, 31).bitwiseAND(F.lit(2147483647))
+    mixed = F.pmod(low * F.lit(multiplier) + high * F.lit(40503), F.lit(modulus))
+    return mixed < F.lit(int(fraction * modulus))
 
 
 def hash_sample(

@@ -132,6 +132,45 @@ def lsh_bands(
     return exploded.select(*df.columns, "_b.band", "_b.band_key")
 
 
+def hyperplane_band_keys(
+    df: DataFrame,
+    planes: list[list[float]],
+    bits_per_band: int = 16,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-band hyperplane-LSH keys in ONE JVM projection.
+
+    All len(planes) dot products are computed by a single `transform`
+    over a literal plane matrix, sliced into ``len(planes) //
+    bits_per_band`` bands of sign bits, and exploded to (band, band_key)
+    rows. Vectors whose cosine is near 1 agree on almost every sign bit,
+    so they collide in some band w.h.p. (identical vectors collide in
+    EVERY band — exact duplicates are never missed). bits_per_band sets
+    bucket granularity (16 bits -> 65k buckets per band, the knob that
+    bounds self-join fan-out at corpus scale); the band count sets
+    recall. No UDF, no shuffle — runs scan-side."""
+    n_bands = len(planes) // bits_per_band
+    mat = "array(" + ",".join(
+        "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in p) + ")" for p in planes
+    ) + ")"
+    dots = (
+        f"transform({mat}, p -> aggregate(zip_with({vec_col}, p,"
+        f" (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    bands = (
+        f"transform(sequence(0, {n_bands - 1}), b -> struct(b AS band,"
+        f" aggregate(sequence(0, {bits_per_band - 1}), 0,"
+        f" (acc, i) -> acc + IF(_dots[b * {bits_per_band} + i] > 0,"
+        f" shiftleft(1, i), 0)) AS band_key))"
+    )
+    cols = list(df.columns)
+    return (
+        df.withColumn("_dots", F.expr(dots))
+        .withColumn("_b", F.explode(F.expr(bands)))
+        .select(*cols, F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key"))
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

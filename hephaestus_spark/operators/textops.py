@@ -60,6 +60,57 @@ def shingle_table(docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str
     return sh
 
 
+def minhash_signature_table(
+    sh: DataFrame, n_tables: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc shingle set + ``n_tables`` min-hashes in ONE aggregation.
+
+    minhash_i = min(xxhash64(shingle, i)): each table's hash family is
+    xxhash64 salted with the table index — JVM built-ins only, no UDF,
+    no ML pipeline. A single shuffle on ``id_col`` produces both the
+    exact shingle set (for the verify stage) and the LSH signature (for
+    candidate generation), so the corpus is scanned once."""
+    aggs = [F.collect_set("shingle").alias("shingles")] + [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+        for i in range(n_tables)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    sig: DataFrame, n_tables: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct pairs sharing at least one min-hash table value.
+
+    The (table, value) equi-join IS the LSH banding: fan-out is bounded
+    by bucket size (docs agreeing on a whole-set min-hash), never
+    quadratic in a hot shingle's document frequency — the skew-safety
+    that a raw shingle inverted-index self-join lacks. A pair with true
+    Jaccard J escapes all tables with prob (1-J)^n_tables."""
+    buckets = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("t"), F.col(f"mh{i}").alias("v"))
+                    for i in range(n_tables)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, F.col("_b.t").alias("t"), F.col("_b.v").alias("v"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def stopword_hits(tokens_expr: str, words: list[str]) -> str:
     """SQL snippet: number of tokens that are in `words`."""
     lst = ", ".join(f"'{w}'" for w in words)

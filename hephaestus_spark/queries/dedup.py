@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hephaestus_spark.operators.textops import shingle_table
+from hephaestus_spark.operators.textops import (
+    minhash_candidate_pairs,
+    minhash_signature_table,
+    shingle_table,
+)
 from hephaestus_spark.registry import query
 from hephaestus_spark.sources import load_table
 
@@ -76,25 +80,39 @@ def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q33_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard >= 0.8 over word 5-gram shingle sets, via the
-    inverted-index join. The jaccard ratio is bigint/bigint division —
-    bit-identical across engines (single IEEE divide, no accumulation)."""
+    """Near-dedup composed the way it must run at corpus scale:
+    MinHashLSH candidate generation -> exact-Jaccard verify on the
+    candidates ONLY.
+
+    The candidate join is the banded minhash-bucket equi-join
+    (approxSimilarityJoin), whose fan-out is bounded by band-bucket
+    size — never the raw shingle inverted-index self-join, whose
+    fan-out is quadratic in the count of docs sharing one hot
+    boilerplate shingle. The verify stage computes exact Jaccard per
+    candidate pair via array_intersect on the true shingle sets (a
+    per-row op, no further shuffle), so the emitted (id_a, id_b,
+    jaccard) rows are exact.
+
+    Recall: a true pair at Jaccard >= 0.8 escapes all 16 min-hash
+    tables with prob 0.2^16 ~ 7e-12, and the hash family is fixed
+    (xxhash64 salted by table index), so the result is deterministic
+    run-to-run. The jaccard ratio is int/int division — bit-identical
+    across engines (single IEEE divide, no accumulation)."""
     corpus = _near_corpus(spark, sf_dir)
-    sh = shingle_table(corpus, n=5)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
+    # One scan -> one shuffle: exact shingle sets AND the 16-table
+    # min-hash signature come out of the same aggregation. Persisted:
+    # consumed by candidate generation and twice by the verify joins.
+    sig = minhash_signature_table(shingle_table(corpus, n=5), n_tables=16).persist()
+    cand = minhash_candidate_pairs(sig, n_tables=16)
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    jac = n_common * 1.0 / (
+        F.size("sh_a").cast("bigint") + F.size("sh_b").cast("bigint") - n_common
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common") * 1.0 / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
     return (
-        inter.join(sa, F.col("id_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )

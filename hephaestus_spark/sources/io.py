@@ -119,18 +119,46 @@ def compact(
 
     Returns the output file (partition) count. Streaming sinks produce
     one-file-per-batch; compaction restores scan efficiency. Row count
-    comes from metadata (cheap for parquet/orc), not a data scan."""
+    comes from metadata (cheap for parquet/orc), not a data scan.
+
+    Targets FLAT single-directory datasets only: a Hive-partitioned
+    layout (key=value subdirs) is refused — rewriting it flat would
+    silently turn partition columns into data columns and destroy
+    partition pruning for every downstream reader."""
+    tmp_s = path.rstrip("/") + "._compact_tmp"
+    old_s = path.rstrip("/") + "._compact_old"
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp, old, live = jvm_path(tmp_s), jvm_path(old_s), jvm_path(path)
+    # Stale markers from a crashed run would make the renames below
+    # silently no-op (Hadoop rename reports failure by returning false,
+    # not by throwing) — fail fast so the operator resolves which copy
+    # is live instead of compact() destroying one.
+    for p, label in ((tmp, tmp_s), (old, old_s)):
+        if fs.exists(p):
+            raise RuntimeError(
+                f"compact: leftover {label} from a previous run — resolve it first"
+            )
+    for st in fs.listStatus(live):
+        if st.isDirectory() and "=" in st.getPath().getName():
+            raise RuntimeError(
+                f"compact: {path} is Hive-partitioned ({st.getPath().getName()}) — "
+                "compact each partition directory, or rewrite with partitionBy"
+            )
     df = read_any(spark, path, fmt, schema=schema)
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))  # ceil
-    tmp = path.rstrip("/") + "._compact_tmp"
-    df.repartition(n_files).write.format(fmt).mode("overwrite").save(tmp)
+    df.repartition(n_files).write.format(fmt).mode("overwrite").save(tmp_s)
     # atomic-ish swap via filesystem rename (single-FS assumption, same
-    # discipline a lakehouse table format does transactionally)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    old = jvm_path(path.rstrip("/") + "._compact_old")
-    fs.rename(jvm_path(path), old)
-    fs.rename(jvm_path(tmp), jvm_path(path))
-    fs.delete(old, True)
+    # discipline a lakehouse table format does transactionally). Every
+    # rename/delete return value is checked: false means it didn't
+    # happen, and an unchecked false here loses the dataset.
+    if not fs.rename(live, old):
+        raise RuntimeError(f"compact: rename {path} -> {old_s} failed")
+    if not fs.rename(tmp, live):
+        # roll the original back so the dataset path never vanishes
+        fs.rename(old, live)
+        raise RuntimeError(f"compact: rename {tmp_s} -> {path} failed (rolled back)")
+    if not fs.delete(old, True):
+        raise RuntimeError(f"compact: could not delete {old_s} (data is live at {path})")
     return n_files

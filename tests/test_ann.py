@@ -57,6 +57,37 @@ def test_lsh_neighbors_share_a_band(spark, sf_dir):
     assert shared.count() == out.count()
 
 
+def test_embed_near_dup_matches_brute_force(spark, sf_dir):
+    """The registered banded-LSH near-dup query must reproduce the
+    all-pairs brute-force result — brute force lives HERE (test oracle
+    only), never as the registered plan (it's O(n^2) at corpus scale)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = e.union(dup)
+    a, b = corpus.alias("a"), corpus.alias("b")
+    brute = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.cosine("a.embedding", "b.embedding").alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.99)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    banded = (
+        QUERIES["x_embed_near_dup"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert banded.equals(brute)
+
+
 def test_lsh_rerank_is_exact_cosine(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     out = QUERIES["x_ann_lsh"](spark, sf_dir)

@@ -60,3 +60,19 @@ def test_hash_sample_stratified(spark):
     assert counts["en"] < counts["de"]
     assert 40 <= counts["en"] <= 180      # ~2% of 5000
     assert 800 <= counts["de"] <= 1200    # ~20% of 5000
+
+
+def test_hash_sample_handles_negative_and_huge_keys(spark):
+    from pyspark.sql import functions as F
+
+    # Negative keys and keys past 2^31 must sample ~fraction, not 100%
+    # (a plain % goes negative for negative keys; a naive product
+    # overflows int64 above ~3.4e9).
+    df = spark.range(10_000).select(
+        (F.col("id") - 5_000).alias("neg"),
+        (F.col("id") + F.lit(5_000_000_000)).alias("big"),
+        (F.col("id") * F.lit(922_337_200_000_000)).alias("huge"),
+    )
+    for col in ["neg", "big", "huge"]:
+        n = hash_sample(df.select(F.col(col).alias("k")), "k", 0.1).count()
+        assert 700 <= n <= 1300, (col, n)

@@ -115,3 +115,26 @@ def test_compact_reduces_file_count(spark, tmp_path):
     after = [f for f in os.listdir(p) if f.endswith(".parquet")]
     assert len(after) == 1
     assert spark.read.parquet(p).count() == 5000
+
+
+def test_compact_refuses_partitioned_layout(spark, tmp_path):
+    p = str(tmp_path / "parts")
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("day", (F.col("id") % 3).cast("string"))
+    df.write.partitionBy("day").parquet(p)
+    with pytest.raises(RuntimeError, match="Hive-partitioned"):
+        compact(spark, p)
+    # layout untouched
+    assert spark.read.parquet(p).count() == 100
+
+
+def test_compact_refuses_stale_marker(spark, tmp_path):
+    p = str(tmp_path / "flat")
+    spark.range(100).coalesce(1).write.parquet(p)
+    stale = p + "._compact_old"
+    os.makedirs(stale)
+    with pytest.raises(RuntimeError, match="_compact_old"):
+        compact(spark, p)
+    os.rmdir(stale)
+    assert compact(spark, p, target_rows_per_file=1000) == 1

@@ -81,6 +81,16 @@ def test_relational_hot_paths_are_jvm_only(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan, f"{name} fell off codegen into Python"
 
 
+@pytest.mark.parametrize("name", ["q33_near_dedup_jaccard", "x_embed_near_dup"])
+def test_near_dedup_candidates_are_banded_equi_joins(spark, sf_dir, name):
+    # Candidate generation must be the LSH band-bucket EQUI-join — an
+    # all-pairs nested loop (or cartesian) here is O(n^2) in the corpus
+    # and unbounded on hot keys, a 100 TB scale-killer.
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name} planned a nested loop"
+    assert "CartesianProduct" not in plan, f"{name} planned a cartesian product"
+
+
 def test_q15_topk_avoids_global_sort(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q15_topk")
     # orderBy().limit() must plan as TakeOrderedAndProject, not a full
