@@ -98,14 +98,46 @@ class MetricsListener(StreamingQueryListener):
         }
 
 
+def prometheus_text(snapshot: dict) -> str:
+    """Render a MetricsListener snapshot in Prometheus text exposition
+    format (the reference serves promhttp at /metrics,
+    internal/server/server.go:37). Counters and gauges carry a
+    query="<name>" label; durations render as a summary's _count/_sum
+    pair — enough for rate() and avg-duration dashboards to port."""
+    lines: list[str] = []
+
+    def esc(v: str) -> str:
+        return str(v).replace("\\", r"\\").replace('"', r"\"")
+
+    for metric, mtype in (
+        ("hephaestus_runs_total", "counter"),
+        ("hephaestus_processed_items_total", "counter"),
+    ):
+        lines.append(f"# TYPE {metric} {mtype}")
+        for q, v in sorted(snapshot.get(metric, {}).items()):
+            lines.append(f'{metric}{{query="{esc(q)}"}} {v}')
+    lines.append("# TYPE hephaestus_run_duration_ms summary")
+    for q, s in sorted(snapshot.get("hephaestus_run_duration_ms", {}).items()):
+        lines.append(f'hephaestus_run_duration_ms_count{{query="{esc(q)}"}} {s["count"]}')
+        lines.append(f'hephaestus_run_duration_ms_sum{{query="{esc(q)}"}} {s["sum"]}')
+    lines.append("# TYPE hephaestus_last_success_timestamp gauge")
+    for q, v in sorted(snapshot.get("hephaestus_last_success_timestamp", {}).items()):
+        lines.append(f'hephaestus_last_success_timestamp{{query="{esc(q)}"}} {v}')
+    return "\n".join(lines) + "\n"
+
+
 @dataclass
 class HealthChecker:
     """A24: /healthz semantics — each dependency pinged, JSON verdict.
 
-    checks: name -> zero-arg callable returning True/raising."""
+    checks: name -> zero-arg callable returning True/raising.
+    With ``metrics`` set, /metrics serves the listener's counters in
+    Prometheus text format beside /healthz — the reference's promhttp
+    route (server.go:37)."""
 
     spark: SparkSession
     checks: dict = field(default_factory=dict)
+    metrics: MetricsListener | None = None
 
     def status(self) -> tuple[dict, int]:
         out = {}
@@ -132,6 +164,15 @@ class HealthChecker:
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802
+                if self.path == "/metrics" and checker.metrics is not None:
+                    payload = prometheus_text(checker.metrics.snapshot()).encode()
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                    )
+                    self.end_headers()
+                    self.wfile.write(payload)
+                    return
                 if self.path != "/healthz":
                     self.send_response(404)
                     self.end_headers()

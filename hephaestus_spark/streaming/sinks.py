@@ -159,13 +159,35 @@ class JdbcMergeTarget:
     reset_rule: str | None = None
     placeholder: str = "%s"
     insert_only_cols: list[str] | None = None
+    # "upsert" = INSERT … ON CONFLICT DO UPDATE (A11/A12/A14);
+    # "delete_insert" = the reference's A15 bridge rewrite
+    # (internal/repository/task.go:125-151) — also the portable path for
+    # engines whose ON CONFLICT binder can't update composite columns
+    # (DuckDB refuses list-column updates; Postgres text[] is fine).
+    mode: str = "upsert"
 
     def merge_batch(self, spark: SparkSession, staged: DataFrame) -> dict[str, int]:
         extra = list(self.insert_only_cols or [])
-        sql = upsert_sql(
-            self.table, self.key, self.cols, self.reset_rule,
-            self.placeholder, extra,
-        )
+        ph = self.placeholder
+        if self.mode == "delete_insert":
+            ins = [self.key] + self.cols + extra
+            stmts = [
+                (f"DELETE FROM {self.table} WHERE {self.key} = {ph}", [self.key]),
+                (
+                    f"INSERT INTO {self.table} ({', '.join(ins)}) "
+                    f"VALUES ({', '.join([ph] * len(ins))})",
+                    ins,
+                ),
+            ]
+        else:
+            stmts = [
+                (
+                    upsert_sql(
+                        self.table, self.key, self.cols, self.reset_rule, ph, extra
+                    ),
+                    [self.key] + self.cols + extra,
+                )
+            ]
         factory = self.connection_factory
         key, cols = self.key, self.cols
 
@@ -174,9 +196,8 @@ class JdbcMergeTarget:
             try:
                 cur = conn.cursor()
                 for r in rows:
-                    cur.execute(
-                        sql, [r[key]] + [r[c] for c in cols] + [r[c] for c in extra]
-                    )
+                    for sql, params in stmts:
+                        cur.execute(sql, [r[c] for c in params])
                 conn.commit()
             finally:
                 conn.close()

@@ -125,3 +125,51 @@ def test_merge_batch_is_idempotent_per_batch(spark, tmp_path):
     con = duckdb.connect(db)
     assert con.execute("SELECT count(*), count(DISTINCT id) FROM emp").fetchone() == (2, 2)
     con.close()
+
+
+def test_merge_batch_maps_string_array_column(spark, tmp_path):
+    """SURVEY §7 risk 6: the reference's tasks.comments is Postgres
+    text[] (internal/repository/task.go:114-117). A Spark array<string>
+    column must survive the DBAPI round-trip — inserted as a SQL array,
+    replaced (not appended) on re-merge, NULL-safe.
+
+    Runs in delete_insert mode (reference A15, task.go:125-151): DuckDB's
+    ON CONFLICT binder refuses list-column updates ("List Update is not
+    supported"), while Postgres handles text[] in the upsert SET — whose
+    statement text is covered by the SQL-shape unit test above."""
+    db = str(tmp_path / "sink3.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        """CREATE TABLE tasks (
+             task_id BIGINT PRIMARY KEY, description VARCHAR,
+             comments VARCHAR[], updated_at TIMESTAMP)"""
+    )
+    con.close()
+    target = JdbcMergeTarget(
+        table="tasks", key="task_id", cols=["description", "comments"],
+        connection_factory=lambda: duckdb.connect(db), placeholder="?",
+        mode="delete_insert",
+    )
+    staged = spark.createDataFrame(
+        [(1, "t1", ["first", "second"]), (2, "t2", []), (3, "t3", None)],
+        "task_id long, description string, comments array<string>",
+    ).coalesce(1)
+    target.merge_batch(spark, staged)
+    con = duckdb.connect(db)
+    rows = dict(con.execute("SELECT task_id, comments FROM tasks").fetchall())
+    assert rows[1] == ["first", "second"]
+    assert rows[2] == []
+    assert rows[3] is None
+    con.close()
+
+    # conflict path: the array is REPLACED wholesale (SCD-1), not merged
+    staged2 = spark.createDataFrame(
+        [(1, "t1", ["rewritten"])],
+        "task_id long, description string, comments array<string>",
+    ).coalesce(1)
+    target.merge_batch(spark, staged2)
+    con = duckdb.connect(db)
+    assert con.execute(
+        "SELECT comments FROM tasks WHERE task_id = 1"
+    ).fetchone()[0] == ["rewritten"]
+    con.close()

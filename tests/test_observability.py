@@ -78,3 +78,57 @@ def test_upsert_sql_reference_parity():
     # empty update set -> covered by scd1 merge path; statement check:
     simple = upsert_sql("employees", "id", ["fullname", "email"])
     assert "ON CONFLICT (id) DO UPDATE SET fullname = EXCLUDED.fullname" in simple
+
+
+def test_metrics_endpoint_prometheus_format(spark):
+    from hephaestus_spark.observability import MetricsListener, prometheus_text
+
+    ml = MetricsListener()
+    # simulate two progress events' worth of state
+    ml.runs_total["emp_feed"] = 3
+    ml.items_total["emp_feed"] = 1500
+    ml.durations_ms["emp_feed"] = [12.0, 30.5]
+    ml.last_success_ts["emp_feed"] = 1700000000.0
+
+    hc = HealthChecker(spark, metrics=ml)
+    srv = hc.serve(port=0)
+    try:
+        port = srv.server_address[1]
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/plain")
+            body = resp.read().decode()
+    finally:
+        srv.shutdown()
+
+    # parse the exposition text: every sample line is name{labels} value
+    samples = {}
+    for line in body.splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        name_labels, value = line.rsplit(" ", 1)
+        samples[name_labels] = float(value)
+    assert samples['hephaestus_runs_total{query="emp_feed"}'] == 3
+    assert samples['hephaestus_processed_items_total{query="emp_feed"}'] == 1500
+    assert samples['hephaestus_run_duration_ms_count{query="emp_feed"}'] == 2
+    assert samples['hephaestus_run_duration_ms_sum{query="emp_feed"}'] == 42.5
+    assert samples['hephaestus_last_success_timestamp{query="emp_feed"}'] == 1700000000.0
+    # TYPE headers present for scrapers that validate metadata
+    assert "# TYPE hephaestus_runs_total counter" in body
+    assert prometheus_text(ml.snapshot()) == body
+
+
+def test_metrics_endpoint_absent_without_listener(spark):
+    hc = HealthChecker(spark)
+    srv = hc.serve(port=0)
+    try:
+        port = srv.server_address[1]
+        import urllib.error
+
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()
