@@ -1,15 +1,16 @@
 """Near-duplicate detection: SURVEY.md §2.B Q33 + SimHash extension.
 
 Strategy (the scale story):
-- The *oracle-checked* output is the exact-Jaccard verification stage
-  (SURVEY.md: "exact-verification step is what's oracle-checked"),
-  computed via a shingle inverted index — one shuffle keyed on the
-  shingle string co-locates every candidate pair, never an O(n^2)
-  cross join.
-- MinHashLSH (fixed seed) is the candidate-generation scale path: at
-  100 TB you can't afford the full inverted index on rare shingles, so
-  band-bucketed signatures bound the join fan-out. Its output is
-  rows-only-checked (LSH recall is probabilistic by design).
+- The registered q33 pipeline IS the scale composition: min-hash
+  signatures (xxhash64, fixed salts) -> banded (table, value)
+  equi-join for candidates -> exact-Jaccard verify on candidates only.
+  Bucket size bounds the join fan-out; a raw shingle inverted-index
+  self-join would instead fan out quadratically on hot boilerplate
+  shingles (the classic skew bomb). The oracle checks the exact
+  verified output: recall loss is bounded at 0.2^8 per true pair, and
+  the fixed hash family makes the result deterministic.
+- x_minhash_lsh keeps the pyspark.ml MinHashLSH variant of the
+  candidate stage (rows-only: its recall is probabilistic by design).
 
 The test corpus has no near-duplicates, so both engines synthesize the
 same ones: every doc_id % 7 == 0 document re-ingested with a 4-token
@@ -93,17 +94,17 @@ def q33_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row op, no further shuffle), so the emitted (id_a, id_b,
     jaccard) rows are exact.
 
-    Recall: a true pair at Jaccard >= 0.8 escapes all 16 min-hash
-    tables with prob 0.2^16 ~ 7e-12, and the hash family is fixed
+    Recall: a true pair at Jaccard >= 0.8 escapes all 8 min-hash
+    tables with prob 0.2^8 ~ 2.6e-6, and the hash family is fixed
     (xxhash64 salted by table index), so the result is deterministic
     run-to-run. The jaccard ratio is int/int division — bit-identical
     across engines (single IEEE divide, no accumulation)."""
     corpus = _near_corpus(spark, sf_dir)
-    # One scan -> one shuffle: exact shingle sets AND the 16-table
+    # One scan -> one shuffle: exact shingle sets AND the 8-table
     # min-hash signature come out of the same aggregation. Persisted:
     # consumed by candidate generation and twice by the verify joins.
-    sig = minhash_signature_table(shingle_table(corpus, n=5), n_tables=16).persist()
-    cand = minhash_candidate_pairs(sig, n_tables=16)
+    sig = minhash_signature_table(shingle_table(corpus, n=5), n_tables=8).persist()
+    cand = minhash_candidate_pairs(sig, n_tables=8)
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")

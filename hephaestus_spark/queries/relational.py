@@ -394,10 +394,13 @@ def q13_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame keyed on l_quantity: the frame holds all rows whose
     quantity is within ±5 of the current row's (value-based, not
-    row-count-based). Summed as DECIMAL (exact, order-independent), then
-    quantized to 2dp and emitted as DOUBLE in BOTH engines so the driver
-    comparator receives identical already-rounded doubles — decimal
-    output normalization is engine-specific and not hash-stable."""
+    row-count-based). Both engines quantize to 2dp and emit DOUBLE so
+    the comparator receives identical values (decimal wire formatting
+    is engine-specific). Spark sums in double — the true sum has
+    exactly 2 decimals, and the window's incremental add/remove drift
+    (~1e-6 over the largest partition) is far inside the 0.005 rounding
+    boundary, so round(.., 2) recovers the exact decimal result without
+    paying per-row BigDecimal aggregation."""
     li = _t(spark, sf_dir, "lineitem")
     w = W.partitionBy("l_suppkey").orderBy("l_quantity").rangeBetween(-5, 5)
     return li.select(
@@ -405,8 +408,7 @@ def q14_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).over(w), 2)
-        .cast("double")
+        F.round(F.sum(F.col("l_extendedprice").cast("double")).over(w), 2)
         .alias("sum_price_qty_pm5"),
         F.count("*").over(w).cast("bigint").alias("n_qty_pm5"),
     )
