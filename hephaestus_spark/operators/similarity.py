@@ -178,11 +178,20 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+    """Assign each vector to its ``n_probe`` nearest centroids (IVF
+    coarse quantizer).
 
-    Centroids broadcast (they're few); argmin via ranking window on the
-    centroid candidates per vector."""
+    Corpus vectors use n_probe=1 (each lives in exactly one inverted
+    list); query vectors use n_probe>1 for multi-probe search — probing
+    the runner-up centroids recovers neighbors that fell just across a
+    Voronoi boundary, the standard IVF recall knob. Output has one row
+    per (vector, probed centroid).
+
+    Centroids broadcast (they're few); arg-top-n via ranking window on
+    the centroid candidates per vector — the window shuffle is keyed on
+    the vector id, so it scales with the corpus, never the centroids."""
     from pyspark.sql.window import Window as W
 
     joined = corpus.crossJoin(F.broadcast(centroids))
@@ -195,6 +204,6 @@ def ivf_assign(
     w = W.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col(centroid_id).asc())
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= n_probe)
         .drop("_rn", "_sim")
     )

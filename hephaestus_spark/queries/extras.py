@@ -389,3 +389,100 @@ def x_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "x_bloom_prune_join",
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+           sum(l_extendedprice) AS sum_price
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#11'
+    GROUP BY l_returnflag
+    """,
+)
+def x_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: prune the lineitem scan with a
+    ~10-bits/key Bloom bitmap of the selective part keyset BEFORE the
+    join shuffle, then run the exact join on the survivors.
+
+    The scale story: when the filtered dimension exceeds the broadcast
+    threshold, a plain join shuffles EVERY fact row; the Bloom bitmap
+    (KBs regardless of key width) always fits in a broadcast and cuts
+    shuffle volume to ~selectivity + fpp of the fact. False positives
+    are removed by the exact join, so the result is exact for any fpp —
+    the filter only changes how much data reaches the shuffle
+    (operators/bloomjoin.py; Spark's InjectRuntimeFilter applies the
+    same pattern internally when thresholds allow)."""
+    from hephaestus_spark.operators.bloomjoin import bloom_prune
+
+    keys = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#11")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_extendedprice"
+    )
+    # expected_keys is a plan-time estimate (|part|/|brands| upper
+    # bound); oversizing only grows the bitmap, never hurts exactness.
+    pruned = bloom_prune(
+        li, keys, "l_partkey", "p_partkey", expected_keys=1000, fpp=0.01
+    )
+    return (
+        pruned.join(keys, pruned.l_partkey == keys.p_partkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "x_tpch_q18",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    ) big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def x_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): aggregate lineitem per
+    orderkey, keep orders whose total quantity clears the threshold,
+    join back to orders + customer, top-100 by totalprice.
+
+    The HAVING subquery is expressed as the aggregate itself joined
+    forward (not IN + re-join), so lineitem is scanned ONCE and the
+    agg output — already tiny after the threshold filter — drives the
+    joins; the orders join shuffles only the surviving keys. The final
+    top-k is a TakeOrderedAndProject (per-partition heap + driver merge
+    of k rows), never a global sort; the (totalprice, date, orderkey)
+    tiebreak makes the selected set deterministic."""
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )

@@ -148,17 +148,13 @@ def x_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_ann_ivf")  # rows-only: IVF recall depends on nprobe, by design
-def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse centroids = per-label mean vectors (stand-in
-    for a k-means pass), vectors assigned to nearest centroid, then
-    top-5 search runs only inside the query's bucket. At 100 TB the
-    bucket assignment is a write-time partitioning (partitionBy
-    centroid_id), making each query a partition-pruned scan."""
-    e = load_table(spark, sf_dir, "embeddings")
-    # centroid per label: element-wise mean via posexplode + re-assemble
+def label_centroids(e: DataFrame) -> DataFrame:
+    """Coarse IVF centroids: element-wise mean embedding per label
+    (posexplode -> per-position avg -> re-assemble). A deployment would
+    run k-means; per-label means give a deterministic stand-in with the
+    same downstream plan shape."""
     pos = e.select("label", F.posexplode("embedding").alias("pos", "v"))
-    cent = (
+    return (
         pos.groupBy("label", "pos")
         .agg(F.avg("v").alias("m"))
         .groupBy("label")
@@ -168,15 +164,37 @@ def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(pm, x -> CAST(x.m AS FLOAT))").alias("centroid"),
         )
     )
+
+
+@query("x_ann_ivf")  # rows-only: IVF recall depends on nprobe, by design
+def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style multi-probe ANN: coarse centroids = per-label mean
+    vectors (stand-in for a k-means pass); corpus vectors live in
+    exactly one inverted list (nearest centroid), queries probe their
+    2 nearest lists (nprobe=2) and merge — recovering neighbors that
+    fall just across a Voronoi boundary, the standard IVF recall knob.
+    At 100 TB the bucket assignment is a write-time partitioning
+    (partitionBy centroid_id), making each probe a partition-pruned
+    scan; nprobe scans nprobe partitions, never the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = label_centroids(e)
     assigned = sim.ivf_assign(e, cent)
-    queries = assigned.filter(F.col("vec_id").between(0, 4)).select(
+    probes = sim.ivf_assign(
+        e.filter(F.col("vec_id").between(0, 4)), cent, n_probe=2
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("_qvec"),
         F.col("centroid_id").alias("_qc"),
     )
-    bucket_hits = assigned.join(
-        F.broadcast(queries),
-        (F.col("centroid_id") == F.col("_qc")) & (F.col("vec_id") != F.col("query_id")),
+    bucket_hits = (
+        assigned.join(
+            F.broadcast(probes),
+            (F.col("centroid_id") == F.col("_qc"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        # a corpus vector can match a query through at most one list
+        # (corpus assignment is unique), so no dedup is needed
+        .select("query_id", "vec_id", "embedding", "_qvec")
     )
     scored = bucket_hits.select(
         "query_id", "vec_id", sim.cosine("_qvec", "embedding").alias("cos_sim")

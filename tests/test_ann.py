@@ -104,3 +104,38 @@ def test_lsh_rerank_is_exact_cosine(spark, sf_dir):
         .filter(F.abs(F.col("cos_sim") - F.col("exact")) > 1e-9)
     )
     assert recheck.count() == 0
+
+
+def test_ivf_multiprobe_invariants(spark, sf_dir):
+    """nprobe=2 mechanics: ranks dense, no self-match, every returned
+    neighbor's (unique) inverted list is one of the query's 2 probed
+    centroids, and the candidate pool is a superset of single-probe —
+    so per-rank similarity never degrades vs nprobe=1."""
+    from hephaestus_spark.queries.similarity import label_centroids
+
+    out = QUERIES["x_ann_ivf"](spark, sf_dir).toPandas()
+    assert (out.query_id != out.vec_id).all()
+    for _, grp in out.groupby("query_id"):
+        assert sorted(grp.rn) == list(range(1, len(grp) + 1))
+        assert len(grp) <= 5
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = label_centroids(e)
+    corpus_list = sim.ivf_assign(e, cent).select("vec_id", "centroid_id").toPandas()
+    probed = (
+        sim.ivf_assign(e.filter(F.col("vec_id").between(0, 4)), cent, n_probe=2)
+        .select(F.col("vec_id").alias("query_id"), "centroid_id")
+        .toPandas()
+    )
+    probe_sets = probed.groupby("query_id").centroid_id.apply(set).to_dict()
+    corpus_map = dict(zip(corpus_list.vec_id, corpus_list.centroid_id))
+    for row in out.itertuples():
+        assert corpus_map[row.vec_id] in probe_sets[row.query_id]
+
+    single = sim.ivf_assign(
+        e.filter(F.col("vec_id").between(0, 4)), cent, n_probe=1
+    ).select(F.col("vec_id").alias("query_id"), "centroid_id").toPandas()
+    single_map = dict(zip(single.query_id, single.centroid_id))
+    # the nearest centroid is always among the probes (superset property)
+    for q, c in single_map.items():
+        assert c in probe_sets[q]

@@ -96,3 +96,22 @@ def test_q15_topk_avoids_global_sort(spark, sf_dir):
     # orderBy().limit() must plan as TakeOrderedAndProject, not a full
     # global Sort + Exchange of the whole fact
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q18_topk_avoids_global_sort_and_stays_jvm(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "x_tpch_q18")
+    # final top-100 must be a per-partition heap + driver merge, never a
+    # full Sort+Exchange of the joined result
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bloom_prune_filters_fact_before_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "x_bloom_prune_join")
+    # the bloom probe is a broadcast of ONE bitmap row + a codegen'd
+    # filter — the fact side must not reach the exact join unfiltered
+    # through a nested loop over the keyset
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "xxhash64" in plan  # the salted probe positions ran scan-side
+    assert "BatchEvalPython" not in plan
