@@ -196,3 +196,65 @@ def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for band in range(4)
         ],
     )
+
+
+_PAIRS_DUCK = f"""
+    corpus AS ({_NEAR_CORPUS_DUCK}),
+    shingled AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_transform(range(1, greatest(len({_TOKENS_DUCK}) - 3, 1)),
+                       i -> array_to_string(list_slice({_TOKENS_DUCK}, CAST(i AS INTEGER), CAST(i + 4 AS INTEGER)), ' '))
+      )) AS shingle
+      FROM corpus
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    )
+"""
+
+
+@query(
+    "x_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_DUCK},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u AS id, v AS r FROM edges
+      UNION
+      SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+    )
+    SELECT id AS doc_id,
+           least(id, min(r)) AS cluster_id,
+           id = least(id, min(r)) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+)
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> dedup CLUSTERS: transitively connected docs
+    form one duplicate group labeled by its min doc_id; exactly the min
+    member is canonical (what a keep-one-per-group dedup retains).
+
+    Runs connected components (operators/graph.py min-label
+    propagation — one equi-join + one min-agg per round, rounds =
+    component diameter) over the q33 verified pairs. The oracle computes
+    the same fixpoint via a recursive transitive-closure CTE — feasible
+    at oracle scale because duplicate clusters are tiny; the Spark path
+    never materializes closures, only per-round labels."""
+    pairs = q33_near_dedup_jaccard(spark, sf_dir).select("id_a", "id_b")
+    from hephaestus_spark.operators.graph import dedup_clusters
+
+    return dedup_clusters(pairs)

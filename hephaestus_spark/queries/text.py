@@ -356,3 +356,76 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "media_type", "byte_len", "width", "height",
         F.element_at("feature", 1).alias("f0"),
     )
+
+
+# PII scrub: the test corpus is synthetic prose with no PII, so both
+# engines inject the same deterministic contact block into every 5th
+# document, then redact it — the redaction logic is what's checked.
+_PII_BLOCK = " reach me at user<ID>@example.com or +1 555-01<ID>"
+
+
+@query(
+    "x_pii_scrub",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' reach me at user' || doc_id ||
+                       '@example.com or +1 555-01' || doc_id
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\\+?[0-9][0-9 -]{6,}[0-9]')) AS BIGINT) AS n_phones
+    FROM seeded
+    """,
+)
+def x_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training corpora: replace email addresses and
+    phone-number shapes with typed placeholder tokens and count the
+    redactions per document (the audit signal a curation pipeline keeps
+    even after the raw PII is gone).
+
+    Pure regexp_replace/regexp_extract_all column exprs — scan-side,
+    codegen'd, zero shuffle; the patterns are RE2-compatible so the
+    DuckDB oracle runs the identical regexes. Reference parity: this is
+    the corpus-scale generalization of the reference's per-employee
+    email/phone validation (internal/services/employees/employees.go:160-241)."""
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?[0-9][0-9 -]{6,}[0-9]"
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach me at user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555-01"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(email_re), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(phone_re), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+    )
