@@ -104,3 +104,37 @@ def hash_sample(
         expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
     pred = expr.otherwise(hash_sample_pred(key, fraction))
     return df.filter(pred)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key: str,
+    weight: str | Column,
+    k: int,
+    modulus: int = 4_294_967_296,
+    multiplier: int = 2_654_435_761,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): each row gets sort key ln(u)/w with u a
+    deterministic uniform from the same engine-independent mixed hash
+    as hash_sample_pred, and the k LARGEST keys are the sample —
+    selection probability proportional to weight, reproducible on any
+    engine/partitioning (no RNG state, no seed plumbing).
+
+    At scale this is a TakeOrderedAndProject (per-partition heap of k,
+    driver merges k rows per partition) — one pass, no global sort, no
+    shuffle of the data itself. The classic distributed reservoir
+    without coordination."""
+    kcol = F.col(key)
+    low = kcol.bitwiseAND(F.lit(2147483647))
+    high = F.shiftright(kcol, 31).bitwiseAND(F.lit(2147483647))
+    mixed = F.pmod(low * F.lit(multiplier) + high * F.lit(40503), F.lit(modulus))
+    u = (mixed.cast("double") + 0.5) / F.lit(float(modulus))
+    w = F.col(weight) if isinstance(weight, str) else weight
+    skey = F.log(u) / w.cast("double")
+    return (
+        df.withColumn("_es_key", skey)
+        .orderBy(F.col("_es_key").desc(), kcol.asc())
+        .limit(k)
+        .drop("_es_key")
+    )

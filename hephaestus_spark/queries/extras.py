@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hephaestus_spark.operators.asof import asof_join_backward
-from hephaestus_spark.operators.curation import chunk_by_tokens, hash_sample
+from hephaestus_spark.operators.curation import (
+    chunk_by_tokens,
+    hash_sample,
+    weighted_sample_topk,
+)
 from hephaestus_spark.registry import query
 from hephaestus_spark.sources import load_table
 
@@ -485,4 +489,55 @@ def x_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").asc(),
         )
         .limit(100)
+    )
+
+
+@query(
+    "x_weighted_sample",
+    oracle="""
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             ln((((((doc_id & 2147483647) * 2654435761
+                    + ((doc_id >> 31) & 2147483647) * 40503) % 4294967296)
+                  + 4294967296) % 4294967296 + 0.5) / 4294967296)
+             / CAST(n_chars AS DOUBLE) AS es_key
+      FROM documents
+    )
+    ORDER BY es_key DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample of 50 documents
+    (Efraimidis-Spirakis A-ES over the engine-independent mixed hash,
+    operators/curation.py::weighted_sample_topk): longer docs
+    proportionally likelier, yet the selected set is bit-reproducible
+    across engines and partitionings — the auditable alternative to
+    RNG-seeded sampling for training-mix construction. One scan +
+    TakeOrderedAndProject; no shuffle of the data."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_topk(docs, "doc_id", "n_chars", k=50)
+
+
+@query(
+    "x_exact_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_extendedprice) AS med_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def x_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median/p90 (continuous interpolation) — the
+    companion to q26's sketched percentile_approx: at audit time you
+    pay the per-group sort once and get the true quantile. Spark plans
+    a single shuffle on the group key; the sort is per-group inside the
+    aggregate, never a global order."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("med_price"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+        F.count("*").cast("bigint").alias("n"),
     )

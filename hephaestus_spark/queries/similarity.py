@@ -207,3 +207,46 @@ def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "vec_id", "cos_sim", F.col("rn").cast("bigint").alias("rn"))
     )
+
+
+@query(
+    "x_embed_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0
+                THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) / scale)
+                               AS INTEGER)) END AS qvec
+    FROM s
+    """,
+)
+def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column: per-vector
+    scale = max|v|/127, qvec = round(v/scale) — an 8x storage cut (and
+    4-8x ANN bandwidth cut) that a 100 TB embedding table takes before
+    anything else. Pure higher-order-function projection (transform /
+    array_max) — scan-side, codegen'd, zero shuffle; dequantization is
+    qvec*scale with max abs error scale/2 per element. Zero vectors
+    quantize to zeros (scale 0 guard)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scale = (
+        F.array_max(F.expr("transform(embedding, x -> abs(CAST(x AS DOUBLE)))"))
+        / 127
+    ).alias("scale")
+    s = e.select("vec_id", "embedding", scale)
+    qvec = F.when(
+        F.col("scale") == 0, F.expr("transform(embedding, x -> 0)")
+    ).otherwise(
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT))"
+        )
+    )
+    return s.select("vec_id", "scale", qvec.alias("qvec"))

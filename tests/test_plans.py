@@ -115,3 +115,18 @@ def test_bloom_prune_filters_fact_before_shuffle(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "xxhash64" in plan  # the salted probe positions ran scan-side
     assert "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "x_weighted_sample")
+    # A-ES top-k must be a per-partition heap, never Sort+Exchange of
+    # the whole corpus
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_embed_quantize_is_scan_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "x_embed_quantize")
+    # pure projection: no shuffle, no Python
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
