@@ -541,3 +541,104 @@ def x_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
         F.count("*").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "x_dq_audit",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS metric,
+           count(*) = count(DISTINCT o_orderkey) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS DOUBLE),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) = 0
+    UNION ALL
+    SELECT 'orders_date_complete',
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*),
+           sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST(sum(CASE WHEN l_quantity < 0 OR l_quantity > 100
+                         THEN 1 ELSE 0 END) AS DOUBLE),
+           sum(CASE WHEN l_quantity < 0 OR l_quantity > 100
+                    THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                         THEN 1 ELSE 0 END) AS DOUBLE),
+           sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                    THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    """,
+)
+def x_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit (the Deequ pattern): PK
+    uniqueness, FK referential integrity, completeness, and range
+    checks, each one row (check_name, metric, passed).
+
+    Every check is an aggregate over ONE table scan — uniqueness and
+    completeness/range checks on the same table share a single pass
+    (one groupBy-less agg computes all its counters); the FK check is
+    a left-anti join (never a per-row EXISTS probe). At 100 TB this is
+    exactly the audit you run before promoting a snapshot: table scans
+    parallelize, results are 5 rows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    li = _t(spark, sf_dir, "lineitem")
+
+    # one pass over orders: uniqueness + completeness counters together
+    o_stats = o.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_orderkey").alias("n_pk"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("n_null"),
+    )
+    pk = o_stats.select(
+        F.lit("orders_pk_unique").alias("check_name"),
+        (F.col("n") - F.col("n_pk")).cast("double").alias("metric"),
+        (F.col("n") == F.col("n_pk")).alias("passed"),
+    )
+    complete = o_stats.select(
+        F.lit("orders_date_complete").alias("check_name"),
+        (F.col("n_null").cast("double") / F.col("n")).alias("metric"),
+        (F.col("n_null") == 0).alias("passed"),
+    )
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_orphan"))
+        .select(
+            F.lit("orders_fk_customer").alias("check_name"),
+            F.col("n_orphan").cast("double").alias("metric"),
+            (F.col("n_orphan") == 0).alias("passed"),
+        )
+    )
+    # one pass over lineitem: both range checks
+    li_stats = li.agg(
+        F.sum(
+            F.when((F.col("l_quantity") < 0) | (F.col("l_quantity") > 100), 1)
+            .otherwise(0)
+        ).alias("bad_qty"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+            .otherwise(0)
+        ).alias("bad_disc"),
+    )
+    qty = li_stats.select(
+        F.lit("lineitem_qty_range").alias("check_name"),
+        F.col("bad_qty").cast("double").alias("metric"),
+        (F.col("bad_qty") == 0).alias("passed"),
+    )
+    disc = li_stats.select(
+        F.lit("lineitem_discount_range").alias("check_name"),
+        F.col("bad_disc").cast("double").alias("metric"),
+        (F.col("bad_disc") == 0).alias("passed"),
+    )
+    return pk.union(orphans).union(complete).union(qty).union(disc)

@@ -250,3 +250,21 @@ def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s.select("vec_id", "scale", qvec.alias("qvec"))
+
+
+@query("x_kmeans")  # rows-only: iterative algorithm, no SQL equivalent
+def x_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (k=8, 4 rounds) over the embeddings table — the
+    iterative-algorithm representative: driver holds only the k x dim
+    model, data-side rounds are broadcast-assign + one keyed mean
+    shuffle each (operators/kmeans.py). Deterministic init (k lowest
+    vec_ids); output is the final self-consistent assignment."""
+    from hephaestus_spark.operators.kmeans import lloyd_kmeans
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, _cent, _obj = lloyd_kmeans(e, k=8, n_iter=4)
+    return assigned.select(
+        "vec_id",
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        F.round(F.col("sq_dist"), 6).alias("sq_dist"),
+    )
