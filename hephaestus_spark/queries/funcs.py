@@ -252,3 +252,62 @@ def q21_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     return e.select("event_id", F.explode(m).alias("map_key", "map_value"))
+
+
+@query(
+    "x_histogram",
+    oracle="""
+    SELECT CAST(least(floor(l_extendedprice / 5000), 19) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(l_extendedprice) AS total
+    FROM lineitem GROUP BY 1
+    """,
+)
+def x_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 bins of 5000, last bin open-ended):
+    the profile-a-column primitive. Bin assignment is a scan-side
+    expression, so the whole thing is one map-side-combined agg whose
+    shuffle carries <= 20 rows per partition regardless of table size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_col = F.least(F.floor(F.col("l_extendedprice") / 5000), F.lit(19)).cast(
+        "bigint"
+    )
+    return (
+        li.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("l_extendedprice").alias("total"),
+        )
+    )
+
+
+@query(
+    "x_window_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def x_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist / ntile)
+    per order status — one shuffle on the partition key; the o_orderkey
+    tiebreak in the window ORDER BY makes ntile's row numbering (and so
+    the whole result) deterministic on both engines."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )

@@ -396,3 +396,76 @@ def x_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("l_event_id", "r_event_id", "user_id", "l_ts", "r_ts")
 
     return replay_streaming(spark, feed, "arrival_day", join, output_mode="append")
+
+
+@query(
+    "x_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_v FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_c
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_v
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_p
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_c
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END
+                AS BIGINT) AS stage
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): per user,
+    the first view, the first click strictly AFTER it, the first
+    purchase strictly after THAT; stage = how deep the user got (1-3).
+
+    Three min-aggregations chained by user_id equi-joins — every
+    shuffle is keyed on user_id so AQE can reuse the partitioning, and
+    each stage's input shrinks to the survivors of the previous one.
+    The ordered-sequence semantics (not mere co-occurrence) is what
+    product funnels actually mean and what naive event-type counting
+    gets wrong."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_v"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_c"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_c"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+    return (
+        v.join(c.select("user_id", F.lit(1).alias("_c")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("_p")), "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.coalesce(F.col("_c"), F.lit(0))
+                + F.coalesce(F.col("_p"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("stage"),
+        )
+    )

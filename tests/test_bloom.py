@@ -83,3 +83,15 @@ def test_bloom_query_equals_plain_join(spark, sf_dir):
         .reset_index(drop=True)
     )
     assert bloomed.equals(plain)
+
+
+def test_bloom_prune_empty_keyset_prunes_everything(spark, sf_dir):
+    # empty dim -> empty word map -> every probe misses (element_at on
+    # an empty/null map coalesces to 0) -> semi-join-equivalent: empty
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    keys = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 0)
+        .select("p_partkey")
+    )
+    assert bloom_prune(li, keys, "l_partkey", "p_partkey", expected_keys=10).count() == 0
