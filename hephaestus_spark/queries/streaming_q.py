@@ -469,3 +469,53 @@ def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stage"),
         )
     )
+
+
+@query(
+    "x_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(datediff('day', f.cohort_week,
+                           date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by first-event week,
+    counted once per (cohort, week offset) they were active in.
+
+    Two shuffles, both on user_id (the min-agg and the join — AQE can
+    reuse the partitioning), then a distinct + count on the tiny
+    (cohort, offset) key space. Cohort week emitted as a string: DATE
+    wire formats differ across engines, strings don't."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count("*").cast("bigint").alias("n_users"))

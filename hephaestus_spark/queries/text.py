@@ -429,3 +429,45 @@ def x_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_phones"),
     )
+
+
+@query(
+    "x_token_entropy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({_TOKENS_DUCK}) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS cnt
+      FROM toks GROUP BY doc_id, token
+    ),
+    tot AS (SELECT doc_id, sum(cnt) AS n FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id,
+           -sum((cnt / n) * ln(cnt / n)) AS entropy,
+           CAST(count(*) AS BIGINT) AS n_unique
+    FROM tf JOIN tot ON tot.doc_id = tf.doc_id
+    GROUP BY tf.doc_id
+    """,
+)
+def x_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon token entropy per document — the repetition/diversity
+    quality signal data-curation filters use (low entropy = boilerplate
+    or degenerate repetition). Two keyed aggregations: term frequencies
+    on (doc, token), then -sum(p ln p) per doc via a window-free join
+    on the per-doc total. Everything is built-in column math; shuffle
+    keys are uniform (doc_id, token) hashes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt") / F.col("n")
+    return (
+        tf.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            (-F.sum(p * F.log(p))).alias("entropy"),
+            F.count("*").cast("bigint").alias("n_unique"),
+        )
+    )
