@@ -471,3 +471,52 @@ def x_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_unique"),
         )
     )
+
+
+@query(
+    "x_frame_sample",
+    oracle="""
+    -- DuckDB cannot slice BLOBs; the corpus is pure ASCII (asserted by
+    -- x_dq-style check: octet_length(encode(text)) == length(text) for
+    -- every row), so char slicing == byte slicing and the oracle
+    -- slices the VARCHAR then encodes.
+    WITH f AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS bl
+      FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 64
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+           sha256(substr(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_sha
+    FROM f, UNNEST(range(0, bl // 64, 4)) AS t(i)
+    """,
+)
+def x_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling on binary media payloads with REAL byte slicing
+    (no stub): treat each 'video' payload as fixed 64-byte frames and
+    keep every 4th one — substring on the binary column inside a
+    sequence/explode, all JVM-side, zero Python. This is the
+    keyframe-subsample shape of video curation: sequence() builds the
+    sampled indices WITHOUT materializing unsampled frames, so the
+    scan emits len/stride rows per doc, not len rows. Partial trailing
+    frames are dropped (bl // 64 full frames)."""
+    from hephaestus_spark.operators.multimodal import synthesize_media
+
+    d = load_table(spark, sf_dir, "documents")
+    v = (
+        synthesize_media(d)
+        .filter(F.col("media_type") == "video/mp4")
+        .filter(F.col("byte_len") >= 64)
+    )
+    idx = F.explode(
+        F.sequence(
+            F.lit(0).cast("bigint"),
+            (F.floor(F.col("byte_len") / 64) - 1).cast("bigint"),
+            F.lit(4).cast("bigint"),
+        )
+    ).alias("frame_idx")
+    frames = v.select("doc_id", "payload", idx)
+    frame = F.expr("substring(payload, CAST(frame_idx * 64 + 1 AS INT), 64)")
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.sha2(frame, 256).alias("frame_sha"),
+    )
