@@ -61,7 +61,10 @@ def shingle_table(docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str
 
 
 def minhash_signature_table(
-    sh: DataFrame, n_tables: int = 16, id_col: str = "doc_id"
+    sh: DataFrame,
+    n_tables: int = 16,
+    id_col: str = "doc_id",
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Per-doc shingle set + ``n_tables`` min-hashes in ONE aggregation.
 
@@ -69,8 +72,19 @@ def minhash_signature_table(
     xxhash64 salted with the table index — JVM built-ins only, no UDF,
     no ML pipeline. A single shuffle on ``id_col`` produces both the
     exact shingle set (for the verify stage) and the LSH signature (for
-    candidate generation), so the corpus is scanned once."""
-    aggs = [F.collect_set("shingle").alias("shingles")] + [
+    candidate generation), so the corpus is scanned once.
+
+    ``hash_shingles=True`` stores the shingle set as 64-bit xxhash64
+    values instead of strings: ~3x smaller persisted signatures and
+    cheaper array_intersect in the verify joins. Set-size and
+    intersection counts (hence Jaccard) are unchanged unless two
+    distinct shingles collide in 64 bits (~1e-13 for a 500-shingle doc;
+    across a 1e9-shingle corpus, expected cross-doc collisions follow
+    the birthday bound — acceptable for dedup, and deterministic for a
+    fixed corpus, which is what keeps the oracle comparison exact on
+    the test data)."""
+    shingle_col = F.xxhash64("shingle") if hash_shingles else F.col("shingle")
+    aggs = [F.collect_set(shingle_col).alias("shingles")] + [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
         for i in range(n_tables)
     ]

@@ -103,7 +103,11 @@ def q33_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One scan -> one shuffle: exact shingle sets AND the 8-table
     # min-hash signature come out of the same aggregation. Persisted:
     # consumed by candidate generation and twice by the verify joins.
-    sig = minhash_signature_table(shingle_table(corpus, n=5), n_tables=8).persist()
+    # Shingles stored as 64-bit hashes: same Jaccard (collision odds
+    # ~1e-13/doc, deterministic on fixed data), 3x smaller state.
+    sig = minhash_signature_table(
+        shingle_table(corpus, n=5), n_tables=8, hash_shingles=True
+    ).persist()
     cand = minhash_candidate_pairs(sig, n_tables=8)
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
