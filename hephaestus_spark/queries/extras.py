@@ -642,3 +642,68 @@ def x_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bad_disc") == 0).alias("passed"),
     )
     return pk.union(orphans).union(complete).union(qty).union(disc)
+
+
+@query(
+    "x_fuzzy_match",
+    oracle="""
+    WITH corrupted AS (
+      SELECT p_partkey + 3000000 AS corrupt_id,
+             substr(p_name, 1, 2) || substr(p_name, 4) AS name_c
+      FROM part WHERE p_partkey % 11 = 0
+    ),
+    cand AS (
+      SELECT c.corrupt_id, c.name_c, p.p_partkey, p.p_name,
+             CAST(levenshtein(c.name_c, p.p_name) AS BIGINT) AS dist
+      FROM corrupted c
+      JOIN part p ON substr(c.name_c, 1, 2) = substr(p.p_name, 1, 2)
+      WHERE levenshtein(c.name_c, p.p_name) <= 2
+    )
+    SELECT corrupt_id, p_partkey AS matched_partkey, p_name AS matched_name, dist
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY corrupt_id ORDER BY dist ASC, p_partkey ASC) AS rn
+      FROM cand
+    ) WHERE rn = 1
+    """,
+)
+def x_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (entity-resolution shape): every 11th part
+    name is re-ingested with its 3rd character dropped, then matched
+    back by edit distance <= 2, best match by (distance, key).
+
+    The scale discipline is the BLOCKING: candidates come from an
+    equi-join on the 2-char prefix, so levenshtein — O(len^2) per
+    pair — runs only inside blocks, never on the n^2 cross product.
+    (Production blocking uses phonetic keys or q-gram LSH; the plan
+    shape is identical.) The best-match pick is a bounded per-corrupt-id
+    window over block candidates."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    corrupted = p.filter(F.col("p_partkey") % 11 == 0).select(
+        (F.col("p_partkey") + 3000000).alias("corrupt_id"),
+        F.concat(
+            F.substring("p_name", 1, 2), F.expr("substring(p_name, 4)")
+        ).alias("name_c"),
+    )
+    cand = (
+        corrupted.join(
+            p, F.substring("name_c", 1, 2) == F.substring("p_name", 1, 2)
+        )
+        .withColumn("dist", F.levenshtein("name_c", "p_name").cast("bigint"))
+        .filter(F.col("dist") <= 2)
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("corrupt_id").orderBy(
+        F.col("dist").asc(), F.col("p_partkey").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "corrupt_id",
+            F.col("p_partkey").alias("matched_partkey"),
+            F.col("p_name").alias("matched_name"),
+            "dist",
+        )
+    )
