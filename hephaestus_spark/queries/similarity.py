@@ -25,25 +25,48 @@ _EMBED_DIM = 64
     "q34_cosine_topk",
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
-               FROM embeddings WHERE vec_id BETWEEN 0 AND 4)
-    SELECT query_id, vec_id, cos_sim, rn FROM (
+               FROM embeddings WHERE vec_id BETWEEN 0 AND 4),
+    scored AS (
       SELECT q.query_id, e.vec_id,
-             list_cosine_similarity(q.qvec, e.embedding) AS cos_sim,
-             CAST(row_number() OVER (
-               PARTITION BY q.query_id
-               ORDER BY list_cosine_similarity(q.qvec, e.embedding) DESC,
-                        e.vec_id ASC) AS BIGINT) AS rn
+             list_sum(list_transform(list_zip(q.qvec, e.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.qvec,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos64
       FROM q, embeddings e
       WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id,
+           CAST(round(cos64, 4) AS DOUBLE) AS cos_sim, rn
+    FROM (
+      SELECT query_id, vec_id, cos64,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cos64 DESC, vec_id ASC) AS BIGINT) AS rn
+      FROM scored
     ) WHERE rn <= 10
     """,
 )
 def q34_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 of query vectors 0..4, deterministic
-    tiebreak by vec_id. Queries broadcast; corpus streams once."""
+    tiebreak by vec_id. Queries broadcast; corpus streams once.
+
+    Cross-engine discipline (the r2 red row): the oracle computes the
+    SAME left-to-right double accumulation as Spark's ``aggregate`` —
+    never DuckDB's float32 ``list_cosine_similarity`` — ranks on that
+    exact double expression, and BOTH engines emit
+    ``round(cos_sim, 4)`` so a value near a 4dp half-boundary (the r2
+    witness: query 1 / vec 124, cos ~= 0.30275028) cannot round apart."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id").between(0, 4))
-    return sim.brute_force_topk(e, queries, k=10)
+    ranked = sim.brute_force_topk(e, queries, k=10)
+    return ranked.select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("cos_sim"), 4).alias("cos_sim"),
+        "rn",
+    )
 
 
 @query(
