@@ -259,7 +259,7 @@ def q21_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(least(floor(l_extendedprice / 5000), 19) AS BIGINT) AS bin,
            CAST(count(*) AS BIGINT) AS n,
-           sum(l_extendedprice) AS total
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM lineitem GROUP BY 1
     """,
 )
@@ -276,7 +276,8 @@ def x_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(bin_col.alias("bin"))
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.sum("l_extendedprice").alias("total"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
         )
     )
 

@@ -57,7 +57,15 @@ def q34_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     never DuckDB's float32 ``list_cosine_similarity`` — ranks on that
     exact double expression, and BOTH engines emit
     ``round(cos_sim, 4)`` so a value near a 4dp half-boundary (the r2
-    witness: query 1 / vec 124, cos ~= 0.30275028) cannot round apart."""
+    witness: query 1 / vec 124, cos ~= 0.30275028) agrees between the
+    engines. Caveat (kept honest per ADVICE r3): the two engines round
+    the SAME double, but with different algorithms (Spark HALF_UP on
+    the shortest-decimal repr vs DuckDB on the scaled binary value), so
+    a double landing exactly on a 5th-decimal boundary could in
+    principle still split; ``tests/test_oracle.py`` plus the raw
+    (unrounded) cross-engine equality test in ``tests/test_ann.py``
+    exist to catch that — and any DuckDB summation-order change —
+    rather than assume it away."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id").between(0, 4))
     ranked = sim.brute_force_topk(e, queries, k=10)
@@ -77,18 +85,32 @@ def q34_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT vec_id + 1000000 AS vec_id, embedding
       FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos64
+      FROM corpus a, corpus b
+      WHERE a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_cosine_similarity(a.embedding, b.embedding) AS cos_sim
-    FROM corpus a, corpus b
-    WHERE a.vec_id < b.vec_id
-      AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+    SELECT id_a, id_b, CAST(round(cos64, 4) AS DOUBLE) AS cos_sim
+    FROM pairs WHERE cos64 >= 0.99
     """,
 )
 def x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (>= 0.99). The corpus re-ingests
     every vec_id % 10 == 0 vector under a new id (duplicate content,
     new key — the dedup target).
+
+    Cross-engine discipline (same class as the q34 r2 red row): the
+    oracle never calls DuckDB's float32 ``list_cosine_similarity`` —
+    its ``>= 0.99`` threshold FILTER in float32 could change the row
+    SET, not just a hash. Both engines filter on the same left-to-right
+    double accumulation and emit ``round(cos_sim, 4)``.
 
     Scale path (NOT all-pairs): 128 hyperplane sign bits banded 8x16;
     candidates are the pairs sharing a 16-bit band key, joined by EQUI
@@ -128,6 +150,7 @@ def x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.select("id_a", "id_b", sim.cosine("vec_a", "vec_b").alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.99)
+        .select("id_a", "id_b", F.round(F.col("cos_sim"), 4).alias("cos_sim"))
     )
 
 

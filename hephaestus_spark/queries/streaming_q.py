@@ -28,7 +28,7 @@ from hephaestus_spark.streaming.replay import replay_streaming
     SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           sum(value) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -36,7 +36,12 @@ def q27_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        # decimal-exact sum: order-independent, bit-identical across
+        # engines (see q09 docstring — the audited r4 discipline)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
         .select(
             F.col("window.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
@@ -53,7 +58,7 @@ def q27_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
              - CAST(k AS INTEGER) * INTERVAL '15 minutes'       AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           sum(value) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
     GROUP BY 1, 2
     """,
@@ -65,7 +70,10 @@ def q27_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
         .select(
             F.col("window.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
@@ -144,7 +152,8 @@ def q27_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts) AS session_start,
            max(ts) AS session_end,
            CAST(count(*) AS BIGINT) AS n_events,
-           sum(value) AS sum_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
     FROM islands GROUP BY user_id, session_no
     """,
 )

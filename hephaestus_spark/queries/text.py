@@ -441,36 +441,45 @@ def x_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS cnt
       FROM toks GROUP BY doc_id, token
     ),
-    tot AS (SELECT doc_id, sum(cnt) AS n FROM tf GROUP BY doc_id)
-    SELECT tf.doc_id,
-           -sum((cnt / n) * ln(cnt / n)) AS entropy,
-           CAST(count(*) AS BIGINT) AS n_unique
-    FROM tf JOIN tot ON tot.doc_id = tf.doc_id
-    GROUP BY tf.doc_id
+    byd AS (
+      SELECT doc_id, list_sort(list(cnt)) AS cs, sum(cnt) AS n,
+             CAST(count(*) AS BIGINT) AS n_unique
+      FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id,
+           -list_sum(list_transform(cs, c -> (c / n) * ln(c / n))) AS entropy,
+           n_unique
+    FROM byd
     """,
 )
 def x_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon token entropy per document — the repetition/diversity
     quality signal data-curation filters use (low entropy = boilerplate
     or degenerate repetition). Two keyed aggregations: term frequencies
-    on (doc, token), then -sum(p ln p) per doc via a window-free join
-    on the per-doc total. Everything is built-in column math; shuffle
-    keys are uniform (doc_id, token) hashes."""
+    on (doc, token), then -sum(p ln p) per doc. Everything is built-in
+    column math; shuffle keys are uniform (doc_id, token) hashes.
+
+    Cross-engine discipline (audited r4): a grouped double sum of
+    ``p*ln(p)`` terms is order-sensitive, so BOTH engines fold over the
+    SORTED per-doc count list left-to-right (Spark ``aggregate`` /
+    DuckDB ``list_sum``) — pinning the accumulation order makes the
+    emitted double bit-identical. ``n`` is a sum of integral counts
+    (exact in double, order-free). The per-doc list is bounded by the
+    doc's unique-token count, so collect_list state stays small."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(
         F.count("*").cast("double").alias("cnt")
     )
-    tot = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
-    p = F.col("cnt") / F.col("n")
-    return (
-        tf.join(tot, "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            (-F.sum(p * F.log(p))).alias("entropy"),
-            F.count("*").cast("bigint").alias("n_unique"),
-        )
+    byd = tf.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("cnt")).alias("cs"),
+        F.sum("cnt").alias("n"),
+        F.count("*").cast("bigint").alias("n_unique"),
     )
+    entropy = -F.expr(
+        "aggregate(cs, CAST(0 AS DOUBLE), (acc, c) -> acc + (c / n) * ln(c / n))"
+    )
+    return byd.select("doc_id", entropy.alias("entropy"), "n_unique")
 
 
 @query(

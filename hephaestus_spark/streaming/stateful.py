@@ -91,8 +91,12 @@ def changed_rows_stream(df: DataFrame, key: str, compare_cols: list[str]) -> Dat
 
 # session bounds kept in MICROseconds since epoch: the events table
 # carries microsecond timestamps and the oracle compares them exactly.
+# sum kept in integer CENTS: event values are exact 2dp decimals, so
+# round(v*100) is an exact int and the accumulation is order-independent
+# — bit-identical to the oracle's cents sum no matter how batches or
+# engines order the adds (the q14/q19/q34 cross-engine discipline).
 SESSION_STATE_SCHEMA = (
-    "start_us long, last_us long, n_events long, sum_value double"
+    "start_us long, last_us long, n_events long, sum_cents long"
 )
 SESSION_OUT_SCHEMA = T.StructType(
     [
@@ -132,7 +136,7 @@ def session_stats_stream(
                     "session_start": [pd.Timestamp(start_us, unit="us")],
                     "session_end": [pd.Timestamp(last_us, unit="us")],
                     "n_events": [n],
-                    "sum_value": [sv],
+                    "sum_value": [sv / 100.0],
                 }
             )
 
@@ -143,11 +147,13 @@ def session_stats_stream(
         gap_us = gap_ms * 1000
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
         ts_us = (rows["ts"].astype("int64") // 1_000).tolist()
-        vals = rows["value"].astype(float).tolist()
+        # exact 2dp values -> exact integer cents (never near a .5
+        # rounding midpoint, so Python/DuckDB rounding modes agree)
+        vals = [int(round(v * 100)) for v in rows["value"].astype(float)]
         if state.exists:
             start_us, last_us, n, sv = state.get
         else:
-            start_us, last_us, n, sv = ts_us[0], ts_us[0], 0, 0.0
+            start_us, last_us, n, sv = ts_us[0], ts_us[0], 0, 0
         out = []
         for t, v in zip(ts_us, vals):
             # >= : sessions are half-open [start, last+gap) — an event
@@ -156,7 +162,7 @@ def session_stats_stream(
             if n > 0 and t - last_us >= gap_us:
                 state.update((start_us, last_us, n, sv))
                 out.append(emit())
-                start_us, n, sv = t, 0, 0.0
+                start_us, n, sv = t, 0, 0
             last_us = max(last_us, t)
             n += 1
             sv += v

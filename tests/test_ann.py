@@ -75,6 +75,8 @@ def test_embed_near_dup_matches_brute_force(spark, sf_dir):
             sim.cosine("a.embedding", "b.embedding").alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.99)
+        # the registered query emits round(cos_sim, 4); match it here
+        .select("id_a", "id_b", F.round(F.col("cos_sim"), 4).alias("cos_sim"))
         .toPandas()
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
@@ -86,6 +88,44 @@ def test_embed_near_dup_matches_brute_force(spark, sf_dir):
         .reset_index(drop=True)
     )
     assert banded.equals(brute)
+
+
+def test_cosine_bit_identical_across_engines(spark, sf_dir, oracle):
+    """The q34 / x_embed_near_dup oracles assume DuckDB's list_sum uses
+    the same left-to-right naive double accumulation as Spark's
+    ``aggregate`` (ADVICE r3: an undocumented DuckDB implementation
+    detail). Assert the RAW, unrounded doubles are bit-identical so a
+    DuckDB summation-order change is caught here, not at the driver."""
+    from hephaestus_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id").between(0, 4)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qvec")
+    )
+    spark_raw = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.cosine("_qvec", "embedding").alias("c"))
+        .toPandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    duck_raw = oracle.execute(
+        """
+        SELECT q.vec_id AS query_id, e.vec_id,
+               list_sum(list_transform(list_zip(q.embedding, e.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+        FROM embeddings q, embeddings e
+        WHERE q.vec_id BETWEEN 0 AND 4 AND e.vec_id <> q.vec_id
+        ORDER BY query_id, e.vec_id
+        """
+    ).df().reset_index(drop=True)
+    assert len(spark_raw) == len(duck_raw)
+    # bit-identical: exact equality, no tolerance
+    assert (spark_raw.c.values == duck_raw.c.values).all()
 
 
 def test_lsh_rerank_is_exact_cosine(spark, sf_dir):
