@@ -650,26 +650,51 @@ def x_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pk.union(orphans).union(complete).union(qty).union(disc)
 
 
+_FUZZY_CAP = 1000
+
+
 @query(
     "x_fuzzy_match",
-    oracle="""
+    oracle=f"""
     WITH corrupted AS (
       SELECT p_partkey + 3000000 AS corrupt_id,
              substr(p_name, 1, 2) || substr(p_name, 4) AS name_c
       FROM part WHERE p_partkey % 11 = 0
     ),
+    part_keys AS (
+      SELECT DISTINCT p_partkey, p_name, k FROM (
+        SELECT p_partkey, p_name,
+               UNNEST([substr(p_name, 1, 2), substr(p_name, 3, 2),
+                       substr(p_name, 5, 2)]) AS k
+        FROM part)
+    ),
+    hot AS (
+      SELECT k FROM part_keys GROUP BY k HAVING count(*) > {_FUZZY_CAP}
+    ),
+    corrupt_keys AS (
+      SELECT DISTINCT corrupt_id, name_c, k FROM (
+        SELECT corrupt_id, name_c,
+               UNNEST([substr(name_c, 1, 2), substr(name_c, 3, 2),
+                       substr(name_c, 5, 2)]) AS k
+        FROM corrupted)
+    ),
     cand AS (
-      SELECT c.corrupt_id, c.name_c, p.p_partkey, p.p_name,
-             CAST(levenshtein(c.name_c, p.p_name) AS BIGINT) AS dist
-      FROM corrupted c
-      JOIN part p ON substr(c.name_c, 1, 2) = substr(p.p_name, 1, 2)
-      WHERE levenshtein(c.name_c, p.p_name) <= 2
+      SELECT DISTINCT c.corrupt_id, c.name_c, p.p_partkey, p.p_name
+      FROM corrupt_keys c
+      JOIN part_keys p ON c.k = p.k
+      WHERE c.k NOT IN (SELECT k FROM hot)
+    ),
+    scored AS (
+      SELECT corrupt_id, p_partkey, p_name,
+             CAST(levenshtein(name_c, p_name) AS BIGINT) AS dist
+      FROM cand
+      WHERE levenshtein(name_c, p_name) <= 2
     )
     SELECT corrupt_id, p_partkey AS matched_partkey, p_name AS matched_name, dist
     FROM (
       SELECT *, row_number() OVER (
         PARTITION BY corrupt_id ORDER BY dist ASC, p_partkey ASC) AS rn
-      FROM cand
+      FROM scored
     ) WHERE rn = 1
     """,
 )
@@ -678,12 +703,18 @@ def x_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     name is re-ingested with its 3rd character dropped, then matched
     back by edit distance <= 2, best match by (distance, key).
 
-    The scale discipline is the BLOCKING: candidates come from an
-    equi-join on the 2-char prefix, so levenshtein — O(len^2) per
-    pair — runs only inside blocks, never on the n^2 cross product.
-    (Production blocking uses phonetic keys or q-gram LSH; the plan
-    shape is identical.) The best-match pick is a bounded per-corrupt-id
-    window over block candidates."""
+    Scale discipline (r4, VERDICT r2 item 4 — replaces the bare
+    2-char-prefix blocking): MULTI-KEY positional digram blocking
+    (chars 1-2, 3-4, 5-6) unioned + pair-deduped, so one edit can break
+    at most one key window; plus a HOT-KEY CAP — keys whose part-side
+    block exceeds _FUZZY_CAP rows are excluded from both sides, bounding the
+    within-block join at n_keys*cap pairs per probe even on a
+    Zipf-skewed corpus (operators/fuzzy.py; skew fixture asserted in
+    tests/test_fuzzy.py). The oracle replicates keys + cap exactly, so
+    the result — including any cap-induced misses — is hash-checked,
+    never silently truncated."""
+    from hephaestus_spark.operators.fuzzy import blocked_best_match
+
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
     corrupted = p.filter(F.col("p_partkey") % 11 == 0).select(
         (F.col("p_partkey") + 3000000).alias("corrupt_id"),
@@ -691,27 +722,21 @@ def x_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("p_name", 1, 2), F.expr("substring(p_name, 4)")
         ).alias("name_c"),
     )
-    cand = (
-        corrupted.join(
-            p, F.substring("name_c", 1, 2) == F.substring("p_name", 1, 2)
-        )
-        .withColumn("dist", F.levenshtein("name_c", "p_name").cast("bigint"))
-        .filter(F.col("dist") <= 2)
+    best = blocked_best_match(
+        corrupted,
+        p,
+        probe_id="corrupt_id",
+        probe_name="name_c",
+        cand_id="p_partkey",
+        cand_name="p_name",
+        max_dist=2,
+        cap=_FUZZY_CAP,
     )
-    from pyspark.sql.window import Window as W
-
-    w = W.partitionBy("corrupt_id").orderBy(
-        F.col("dist").asc(), F.col("p_partkey").asc()
-    )
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "corrupt_id",
-            F.col("p_partkey").alias("matched_partkey"),
-            F.col("p_name").alias("matched_name"),
-            "dist",
-        )
+    return best.select(
+        "corrupt_id",
+        F.col("p_partkey").alias("matched_partkey"),
+        F.col("p_name").alias("matched_name"),
+        "dist",
     )
 
 
