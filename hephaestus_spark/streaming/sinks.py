@@ -165,6 +165,10 @@ class JdbcMergeTarget:
     # engines whose ON CONFLICT binder can't update composite columns
     # (DuckDB refuses list-column updates; Postgres text[] is fine).
     mode: str = "upsert"
+    # rows per executemany round trip (SURVEY §4 P3: batched JDBC — the
+    # reference's row-at-a-time writes are the N+1 anti-pattern; at sink
+    # scale the statement count must be O(rows/batch_size), not O(rows))
+    batch_size: int = 1000
 
     def merge_batch(self, spark: SparkSession, staged: DataFrame) -> dict[str, int]:
         extra = list(self.insert_only_cols or [])
@@ -190,14 +194,36 @@ class JdbcMergeTarget:
             ]
         factory = self.connection_factory
         key, cols = self.key, self.cols
+        batch_size = max(1, self.batch_size)
+
+        def flush(cur, buf):
+            # one executemany per statement per chunk: for delete_insert
+            # ALL deletes land before ALL inserts, so a key staged with
+            # several bridge rows keeps every row (the per-row interleave
+            # would delete earlier inserts of the same key)
+            for sql, params in stmts:
+                if params == [key]:  # delete round: dedup keys, keep order
+                    seen, argsets = set(), []
+                    for r in buf:
+                        if r[key] not in seen:
+                            seen.add(r[key])
+                            argsets.append([r[key]])
+                else:
+                    argsets = [[r[c] for c in params] for r in buf]
+                cur.executemany(sql, argsets)
 
         def write_partition(rows):
             conn = factory()
             try:
                 cur = conn.cursor()
+                buf = []
                 for r in rows:
-                    for sql, params in stmts:
-                        cur.execute(sql, [r[c] for c in params])
+                    buf.append(r)
+                    if len(buf) >= batch_size:
+                        flush(cur, buf)
+                        buf = []
+                if buf:
+                    flush(cur, buf)
                 conn.commit()
             finally:
                 conn.close()

@@ -127,6 +127,102 @@ def test_merge_batch_is_idempotent_per_batch(spark, tmp_path):
     con.close()
 
 
+class _CountingConn:
+    """DBAPI passthrough counting execute/executemany round trips — the
+    proxy for network round trips on a real JDBC link. foreachPartition
+    runs in an executor worker process, so counts are persisted into the
+    target DB itself (a `_stmt_stats` table) to be visible driver-side."""
+
+    def __init__(self, real):
+        self._real = real
+        real.execute(
+            "CREATE TABLE IF NOT EXISTS _stmt_stats (kind VARCHAR, n INTEGER)"
+        )
+
+    def cursor(self):
+        return _CountingCursor(self._real, self._real.cursor())
+
+    def commit(self):
+        self._real.commit()
+
+    def close(self):
+        self._real.close()
+
+
+class _CountingCursor:
+    def __init__(self, conn, real):
+        self._conn, self._real = conn, real
+
+    def _bump(self, kind):
+        self._conn.execute("INSERT INTO _stmt_stats VALUES (?, 1)", [kind])
+
+    def execute(self, sql, params=None):
+        self._bump("execute")
+        return self._real.execute(sql, params or [])
+
+    def executemany(self, sql, argsets):
+        self._bump("executemany")
+        return self._real.executemany(sql, argsets)
+
+
+def test_merge_batch_statement_count_is_batched(spark, tmp_path):
+    """SURVEY §4 P3 / VERDICT r2 item 5: the sink must issue
+    O(rows/batch_size) statements per partition, never O(rows)."""
+    db = str(tmp_path / "sink4.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE emp (id BIGINT PRIMARY KEY, fullname VARCHAR, updated_at TIMESTAMP)"
+    )
+    con.close()
+    target = JdbcMergeTarget(
+        table="emp", key="id", cols=["fullname"],
+        connection_factory=lambda: _CountingConn(duckdb.connect(db)),
+        placeholder="?", batch_size=100,
+    )
+    n = 750
+    batch = spark.createDataFrame(
+        [(i, f"name {i}") for i in range(n)], "id long, fullname string"
+    ).coalesce(1)
+    target.merge_batch(spark, batch)
+    con = duckdb.connect(db)
+    stats = dict(
+        con.execute(
+            "SELECT kind, sum(n) FROM _stmt_stats GROUP BY kind"
+        ).fetchall()
+    )
+    # ceil(750/100) = 8 executemany calls, zero per-row execute calls
+    assert stats.get("execute") is None
+    assert stats["executemany"] == 8
+    assert con.execute("SELECT count(*) FROM emp").fetchone()[0] == n
+    con.close()
+
+
+def test_delete_insert_keeps_all_rows_of_multirow_key(spark, tmp_path):
+    """A15 bridge rewrite: a task staged with several executor rows must
+    keep EVERY row — all deletes run before all inserts within a chunk
+    (the old per-row interleave deleted earlier inserts of the same key)."""
+    db = str(tmp_path / "sink5.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE bridge (task_id BIGINT, executor VARCHAR)")
+    con.execute("INSERT INTO bridge VALUES (7, 'stale'), (8, 'keepme')")
+    con.close()
+    target = JdbcMergeTarget(
+        table="bridge", key="task_id", cols=["executor"],
+        connection_factory=lambda: duckdb.connect(db), placeholder="?",
+        mode="delete_insert",
+    )
+    staged = spark.createDataFrame(
+        [(7, "alice"), (7, "bob"), (7, "carol")], "task_id long, executor string"
+    ).coalesce(1)
+    target.merge_batch(spark, staged)
+    con = duckdb.connect(db)
+    rows = con.execute(
+        "SELECT task_id, executor FROM bridge ORDER BY task_id, executor"
+    ).fetchall()
+    con.close()
+    assert rows == [(7, "alice"), (7, "bob"), (7, "carol"), (8, "keepme")]
+
+
 def test_merge_batch_maps_string_array_column(spark, tmp_path):
     """SURVEY §7 risk 6: the reference's tasks.comments is Postgres
     text[] (internal/repository/task.go:114-117). A Spark array<string>
