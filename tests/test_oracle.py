@@ -29,3 +29,39 @@ def test_rows_only(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     assert df.columns
     assert df.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# Scaled sweeps (pre-driver gate, VERDICT r2 item 6): the r1 rounding
+# bugs (q14/q19) and the r2 one (q34) each appeared only one scale
+# factor above the default suite's sf0.001. Run explicitly:
+#   python -m pytest tests/test_oracle.py -m slow -q
+# ---------------------------------------------------------------------------
+_SWEEP_DIRS = [
+    pytest.param("/root/testdata/sf0.01", id="sf0.01"),
+    pytest.param("/root/testdata/sf0.1", id="sf0.1"),
+]
+_SWEEP_CONS: dict = {}
+
+
+def _oracle_for(sfd: str):
+    import duckdb
+
+    from hephaestus_spark.sources import TABLES
+
+    con = _SWEEP_CONS.get(sfd)
+    if con is None:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfd}/{t}.parquet'")
+        _SWEEP_CONS[sfd] = con
+    return con
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.parametrize("sfd", _SWEEP_DIRS)
+def test_oracle_match_scaled(name, sfd, spark):
+    df = QUERIES[name](spark, sfd)
+    report = compare_frames(df.toPandas(), _oracle_for(sfd).execute(ORACLES[name]).df())
+    assert report["match"], f"{name}@{sfd}: {report}"
