@@ -117,6 +117,14 @@ def decode_message(b: bytes, fields: dict[int, tuple[str, str]]) -> dict:
             sub = decode_message(b[i : i + n], {1: ("seconds", "int64"), 2: ("nanos", "int64")})
             out[name] = sub.get("seconds", 0)
             i += n
+        elif kind == "bytes":
+            n, i = _read_varint(b, i)
+            out[name] = b[i : i + n]
+            i += n
+        elif kind == "rep_bytes":  # repeated submessage, kept opaque
+            n, i = _read_varint(b, i)
+            out.setdefault(name, []).append(b[i : i + n])
+            i += n
         else:
             raise ValueError(f"unsupported kind {kind}")
     return out
@@ -142,6 +150,10 @@ def _encode_field(field_no: int, kind: str, v) -> bytes:
     if kind == "ts":
         body = _encode_field(1, "int64", v)
         return tag_len + _write_varint(len(body)) + body
+    if kind == "bytes":
+        return tag_len + _write_varint(len(v)) + v
+    if kind == "rep_bytes":
+        return b"".join(_encode_field(field_no, "bytes", x) for x in v)
     raise ValueError(f"unsupported kind {kind}")
 
 
