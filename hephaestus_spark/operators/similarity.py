@@ -171,6 +171,32 @@ def hyperplane_band_keys(
     )
 
 
+def band_hot_buckets(
+    bands: DataFrame, cap: int, band_col: str = "band", key_col: str = "band_key"
+) -> DataFrame:
+    """(band, band_key, bucket_rows) of LSH band buckets larger than
+    ``cap`` — what ``drop_hot_band_buckets`` removes. Keep it separate
+    so callers can count/log the cut (no silent truncation): a hot
+    hyperplane bucket means a dense direction cluster whose self-join
+    is quadratic in the bucket, the one skew channel banding leaves."""
+    return (
+        bands.groupBy(band_col, key_col)
+        .agg(F.count("*").alias("bucket_rows"))
+        .filter(F.col("bucket_rows") > cap)
+    )
+
+
+def drop_hot_band_buckets(
+    bands: DataFrame, cap: int, band_col: str = "band", key_col: str = "band_key"
+) -> DataFrame:
+    """Exclude rows of band buckets larger than ``cap`` (broadcast
+    anti-join on the tiny hot set; VERDICT r2 item 8). A pair living in
+    a dropped bucket can still collide in its other bands — the cap
+    trades bounded recall loss for a bounded worst-case join."""
+    hot = band_hot_buckets(bands, cap, band_col, key_col).select(band_col, key_col)
+    return bands.join(F.broadcast(hot), [band_col, key_col], "left_anti")
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

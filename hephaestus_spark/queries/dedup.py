@@ -98,7 +98,15 @@ def q33_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables with prob 0.2^8 ~ 2.6e-6, and the hash family is fixed
     (xxhash64 salted by table index), so the result is deterministic
     run-to-run. The jaccard ratio is int/int division — bit-identical
-    across engines (single IEEE divide, no accumulation)."""
+    across engines (single IEEE divide, no accumulation).
+
+    bucket_cap=10000 (r4) insures the worst case: a bucket of b
+    near-identical docs costs b^2 candidate pairs, so buckets beyond
+    the cap are excluded (minhash_hot_buckets logs what a cap drops —
+    never silent). The cap cannot fire on the driver's test corpora
+    (far fewer than 10k docs share any min-hash there), so the oracle
+    — which models no cap — is unchanged; the skew mechanics are
+    asserted separately in tests/test_lsh_cap.py."""
     corpus = _near_corpus(spark, sf_dir)
     # One scan -> one shuffle: exact shingle sets AND the 8-table
     # min-hash signature come out of the same aggregation. Persisted:
@@ -108,7 +116,7 @@ def q33_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signature_table(
         shingle_table(corpus, n=5), n_tables=8, hash_shingles=True
     ).persist()
-    cand = minhash_candidate_pairs(sig, n_tables=8)
+    cand = minhash_candidate_pairs(sig, n_tables=8, bucket_cap=10_000)
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
@@ -165,10 +173,15 @@ def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale. Pure built-ins: explode + narrow-int agg + bit ops.
 
     The +1/-1 vote sum reduces to set-bit counting: vote_i > 0 iff
-    2*count(bit_i set) > n_tokens, so the aggregate is 64 plain
-    sum((h>>i)&1) columns plus count(*) — about half the codegen of
-    the equivalent sum(CASE WHEN ... THEN 1 ELSE -1) form, with the
-    same single map-side-combined shuffle."""
+    2*count(bit_i set) > n_tokens. r4 packing (the r3 driver bench
+    showed the 64-sum-column agg at 9x its r2 cost): 4 bit-counters
+    ride in ONE 64-bit sum column as 16-bit lanes —
+    lane_j = sum over tokens of (bit_{4j} | bit_{4j+1}<<16 |
+    bit_{4j+2}<<32 | bit_{4j+3}<<48) — so the aggregate is 16 long
+    sums + count(*) instead of 64, a quarter of the agg state and
+    codegen, same single map-side-combined shuffle. Lanes can't
+    overflow below 65536 tokens per doc (doc_len ≪ that here; a
+    general corpus would pre-chunk or widen to 32-bit lanes)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -179,15 +192,24 @@ def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("token"),
     ).withColumn("h", F.xxhash64("token"))
-    votes = toks.groupBy("doc_id").agg(
-        F.count("*").alias("n_tok"),
-        *[F.sum(F.expr(f"(h >> {i}) & 1")).alias(f"b{i}") for i in range(64)],
-    )
+    lanes = [
+        F.sum(
+            F.expr(
+                f"((h >> {4 * j}) & 1) | (((h >> {4 * j + 1}) & 1) << 16)"
+                f" | (((h >> {4 * j + 2}) & 1) << 32)"
+                f" | (((h >> {4 * j + 3}) & 1) << 48)"
+            )
+        ).alias(f"lane{j}")
+        for j in range(16)
+    ]
+    votes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"), *lanes)
     sig = F.lit(0).cast("bigint")
     for i in range(64):
+        j, k = divmod(i, 4)
+        count_i = F.expr(f"(lane{j} >> {16 * k}) & 65535")
         # OR the bit in (shiftleft handles the sign bit; OR can't overflow)
         bit = F.when(
-            F.col(f"b{i}") * 2 > F.col("n_tok"),
+            count_i * 2 > F.col("n_tok"),
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {i})"),
         ).otherwise(F.lit(0).cast("bigint"))
         sig = sig.bitwiseOR(bit)
@@ -262,3 +284,23 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hephaestus_spark.operators.graph import dedup_clusters
 
     return dedup_clusters(pairs)
+
+
+@query("x_pagerank")  # rows-only: iterative algorithm, no SQL equivalent
+def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the verified near-dup pair graph (q33 output) —
+    the document-centrality signal a curation pipeline uses to pick the
+    most-connected member of a duplicate neighborhood (or to weight
+    boilerplate clusters down). Third iterative-algorithm demo beside
+    connected components and k-means: per-round join + keyed sum with
+    teleport normalization, no driver data collect (operators/graph.py;
+    invariants — probability mass sums to 1, degree monotonicity,
+    determinism — asserted in tests/test_graph.py). Ranks are rounded
+    to 10dp for a stable rows-only wire format."""
+    from hephaestus_spark.operators.graph import pagerank
+
+    pairs = q33_near_dedup_jaccard(spark, sf_dir).select("id_a", "id_b")
+    pr = pagerank(pairs, n_iter=10)
+    return pr.select(
+        F.col("id").alias("doc_id"), F.round("rank", 10).alias("rank")
+    )

@@ -129,7 +129,12 @@ def x_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread it across the cluster rather than the scan's file count.
     corpus = e.union(dup).repartition(spark.sparkContext.defaultParallelism)
     planes = sim.hyperplanes(n_bits=128, dim=_EMBED_DIM, seed=42)
-    bands = sim.hyperplane_band_keys(corpus, planes, bits_per_band=16)
+    # hot-bucket cap (r4): a dense direction cluster makes one band
+    # bucket quadratic; cap it (cannot fire at test scale — the oracle
+    # models no cap; mechanics asserted in tests/test_lsh_cap.py)
+    bands = sim.drop_hot_band_buckets(
+        sim.hyperplane_band_keys(corpus, planes, bits_per_band=16), cap=10_000
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -166,7 +171,11 @@ def x_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planes = sim.hyperplanes(n_bits=16, dim=_EMBED_DIM, seed=42)
-    bands = sim.lsh_bands(sim.lsh_signature(e, planes))
+    # corpus-side hot-bucket cap (r4): bounds per-query candidate
+    # fan-out even when one band bucket holds a dense cluster
+    bands = sim.drop_hot_band_buckets(
+        sim.lsh_bands(sim.lsh_signature(e, planes)), cap=10_000
+    )
     queries = bands.filter(F.col("vec_id").between(0, 4)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("_qvec"),

@@ -1,0 +1,101 @@
+"""Hot-bucket caps for LSH band joins (VERDICT r2 item 8).
+
+The skew scenario: b near-identical rows land in ONE bucket, making the
+band self-join produce ~b^2/2 candidate pairs. With the cap, buckets
+over the limit are excluded from the join (and reported by the
+hot-bucket helpers — the cut is observable, not silent), bounding the
+worst bucket's contribution at cap^2 regardless of corpus skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hephaestus_spark.operators import similarity as sim
+from hephaestus_spark.operators.textops import (
+    minhash_candidate_pairs,
+    minhash_hot_buckets,
+    minhash_signature_table,
+    shingle_table,
+)
+
+
+def _boilerplate_corpus(spark, n_hot=60):
+    """n_hot identical docs (classic boilerplate skew: same shingles ->
+    same min-hashes -> one bucket per table) + 2 distinct near-dup docs."""
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, text) for i in range(n_hot)]
+    rows += [
+        (1000, "completely different words appear in this tiny document body"),
+        (1001, "completely different words appear in this tiny document frame"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_cap_bounds_candidates(spark):
+    corpus = _boilerplate_corpus(spark, n_hot=60)
+    sig = minhash_signature_table(shingle_table(corpus, n=3), n_tables=4).persist()
+
+    uncapped = minhash_candidate_pairs(sig, n_tables=4).count()
+    assert uncapped >= 60 * 59 // 2  # the quadratic bomb is real
+
+    hot = minhash_hot_buckets(sig, n_tables=4, cap=10).toPandas()
+    assert len(hot) == 4  # one hot bucket per table
+    assert (hot.bucket_rows == 60).all()
+
+    capped = minhash_candidate_pairs(sig, n_tables=4, bucket_cap=10)
+    pairs = capped.toPandas()
+    # the boilerplate block is capped away; the rare near-dup pair survives
+    assert (1000, 1001) in set(zip(pairs.id_a, pairs.id_b))
+    assert len(pairs) <= 1  # nothing quadratic leaks through
+    sig.unpersist()
+
+
+def test_minhash_cap_noop_below_threshold(spark):
+    corpus = _boilerplate_corpus(spark, n_hot=5)
+    sig = minhash_signature_table(shingle_table(corpus, n=3), n_tables=4).persist()
+    a = (
+        minhash_candidate_pairs(sig, n_tables=4)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    b = (
+        minhash_candidate_pairs(sig, n_tables=4, bucket_cap=10_000)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert a.equals(b)  # cap above every bucket -> identical result
+    sig.unpersist()
+
+
+def _clustered_vectors(spark, n_hot=50):
+    """n_hot copies of one direction (one band bucket per band) plus a
+    couple of distinct vectors."""
+    base = [1.0] + [0.0] * 7
+    other = [0.0] * 7 + [1.0]
+    rows = [(i, base) for i in range(n_hot)]
+    rows += [(2000, other), (2001, list(other))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_band_cap_bounds_and_reports(spark):
+    e = _clustered_vectors(spark, n_hot=50)
+    planes = sim.hyperplanes(n_bits=16, dim=8, seed=42)
+    bands = sim.lsh_bands(sim.lsh_signature(e, planes))
+
+    hot = sim.band_hot_buckets(bands, cap=10).toPandas()
+    assert len(hot) >= 4  # the dense cluster fills (at least) its 4 bands
+    assert (hot.bucket_rows >= 50).all()
+
+    kept = sim.drop_hot_band_buckets(bands, cap=10)
+    # every surviving bucket is within the cap
+    sizes = kept.groupBy("band", "band_key").count().toPandas()
+    assert (sizes["count"] <= 10).all()
+    # the rare identical pair still collides in all its bands
+    rare = kept.filter(F.col("vec_id") >= 2000)
+    assert rare.count() == 8  # 2 vectors x 4 bands survive
+
+
+def test_band_cap_noop_below_threshold(spark):
+    e = _clustered_vectors(spark, n_hot=5)
+    planes = sim.hyperplanes(n_bits=16, dim=8, seed=42)
+    bands = sim.lsh_bands(sim.lsh_signature(e, planes))
+    assert sim.drop_hot_band_buckets(bands, cap=10_000).count() == bands.count()
