@@ -79,6 +79,69 @@ def connected_components(
         edges.unpersist()
 
 
+def pagerank(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    n_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an undirected pair graph — the third iterative-
+    algorithm demo beside connected components (above) and Lloyd
+    k-means (operators/kmeans.py), exercising the join+agg-per-round
+    pattern WITH per-round normalization (teleport).
+
+    Edges are made bidirectional, so every node has out-degree >= 1 and
+    no dangling-mass correction is needed: each round preserves total
+    probability mass exactly — N * (1-d)/N + d * sum(rank) = 1.
+
+    Per round: one equi-join (edges x ranks on src) + one keyed sum on
+    dst + a teleport floor for nodes with no in-contribution. Each
+    round's ranks are ``localCheckpoint``ed (eager): persist alone
+    truncates execution but the LOGICAL plan still grows a join per
+    round, and past ~15 rounds analyzer cost explodes — checkpointing
+    cuts the lineage so every round optimizes the same constant-size
+    plan (production: reliable ``checkpoint`` dir for fault tolerance).
+    The driver holds only loop control — no data collect, so the
+    identical plan runs per-round on a 1000-executor graph. Fixed
+    n_iter: power iteration converges geometrically at rate ~damping
+    (0.85^10 ≈ 0.2 residual); callers needing tighter convergence raise
+    n_iter — each extra round is one more join+agg, nothing else
+    grows."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    out_deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
+    ed = edges.join(out_deg, "u").localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("u").alias("id")).distinct().localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("rank"))
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(n_iter):
+        contribs = (
+            ed.join(ranks, ed.u == ranks.id)
+            .select(F.col("v").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def dedup_clusters(
     pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
 ) -> DataFrame:

@@ -56,3 +56,46 @@ def test_hub_merges_pairs(spark):
     out = dedup_clusters(pairs)
     assert out.select(F.countDistinct("cluster_id")).first()[0] == 1
     assert out.filter("is_canonical").first().doc_id == 1
+
+
+# ---------------------------------------------------------------------------
+# PageRank (operators/graph.py::pagerank)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_mass_sums_to_one(spark):
+    from hephaestus_spark.operators.graph import pagerank
+
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4), (10, 11)])
+    pr = pagerank(pairs, n_iter=10).toPandas()
+    assert abs(pr["rank"].sum() - 1.0) < 1e-9  # teleport preserves mass
+    assert (pr["rank"] > 0).all()
+
+
+def test_pagerank_degree_monotonicity_and_symmetry(spark):
+    from hephaestus_spark.operators.graph import pagerank
+
+    # star: hub 0 touches 1..4; leaves are symmetric
+    pairs = _pairs(spark, [(0, 1), (0, 2), (0, 3), (0, 4)])
+    pr = {r.id: r["rank"] for r in pagerank(pairs, n_iter=20).collect()}
+    leaves = [pr[i] for i in (1, 2, 3, 4)]
+    assert max(leaves) - min(leaves) < 1e-12  # symmetric nodes tie
+    assert pr[0] > max(leaves)  # the hub dominates
+
+
+def test_pagerank_deterministic(spark):
+    from hephaestus_spark.operators.graph import pagerank
+
+    pairs = _pairs(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    a = pagerank(pairs, n_iter=8).toPandas().sort_values("id").reset_index(drop=True)
+    b = pagerank(pairs, n_iter=8).toPandas().sort_values("id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    from hephaestus_spark.operators.graph import pagerank
+
+    # cycle of 5: 2-regular, stationary distribution is exactly uniform
+    pairs = _pairs(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)])
+    pr = pagerank(pairs, n_iter=5).toPandas()
+    assert (abs(pr["rank"] - 0.2) < 1e-12).all()
