@@ -12,6 +12,7 @@ you'd use benchmarking on a real cluster.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -74,18 +75,47 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    regressions = _regressions_vs_best(timings, sf)
+    if regressions:  # bench hygiene: flag >1.5x vs best prior round
+        out["regressions"] = regressions
+    print(json.dumps(out))
     spark.stop()
+
+
+def _regressions_vs_best(
+    timings: dict[str, float], sf: float, factor: float = 1.5
+) -> dict[str, dict[str, float]]:
+    """Per-query times regressing > ``factor`` vs the best recorded
+    prior round at the SAME sf (BENCH_r*.json beside this script).
+    Empty dict = healthy; when present, the driver-visible JSON carries
+    the evidence instead of hiding a plan regression in a total."""
+    best: dict[str, float] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        # driver records wrap the bench line under "parsed"
+        rec = rec.get("parsed", rec)
+        if rec.get("sf") != sf:
+            continue
+        for q, t in rec.get("queries", {}).items():
+            if isinstance(t, (int, float)) and t > 0:
+                best[q] = min(best.get(q, t), t)
+    return {
+        q: {"now": t, "best_prior": best[q]}
+        for q, t in timings.items()
+        if q in best and t > best[q] * factor
+    }
 
 
 if __name__ == "__main__":

@@ -70,7 +70,10 @@ def test_bloom_query_equals_plain_join(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(
             F.count("*").cast("bigint").alias("n_items"),
-            F.sum("l_extendedprice").alias("sum_price"),
+            # decimal-exact like the registered query (r4 discipline)
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
         )
         .toPandas()
         .sort_values("l_returnflag")
