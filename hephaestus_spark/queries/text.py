@@ -529,3 +529,164 @@ def x_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("bigint").alias("frame_idx"),
         F.sha2(frame, 256).alias("frame_sha"),
     )
+
+
+# --------------------------------------------------------------------------
+# r4 curation extensions: repetition stats, benchmark contamination,
+# training-mix composition
+# --------------------------------------------------------------------------
+@query(
+    "x_repetition_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKENS_DUCK} AS ts FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, len(ts) AS n_tok,
+             list_transform(range(1, greatest(len(ts), 1)),
+                            i -> ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i + 1 AS INTEGER)]) AS gs
+      FROM toks
+    ),
+    gc AS (
+      SELECT doc_id, n_tok, g, CAST(count(*) AS BIGINT) AS c
+      FROM grams, UNNEST(gs) AS t(g)
+      GROUP BY doc_id, n_tok, g
+    )
+    SELECT doc_id,
+           CAST(max(n_tok) AS BIGINT) AS n_tok,
+           CAST(max(c) AS DOUBLE) * 2 / max(n_tok) AS top_bigram_frac,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+             / sum(c) AS dup_bigram_frac
+    FROM gc GROUP BY doc_id
+    """,
+)
+def x_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher/MassiveText rule family):
+    per doc, the fraction of tokens covered by its most frequent bigram
+    and the fraction of bigram slots occupied by repeated bigrams —
+    high values mean boilerplate/degenerate text a curation filter
+    drops. One explode + one (doc, gram) agg + one doc agg, all keyed
+    shuffles on uniform hash keys; no driver work. Both emitted ratios
+    are int/int single IEEE divides — bit-identical across engines
+    (COVERAGE.md float-determinism audit: int-exact). Docs shorter
+    than 2 tokens emit no bigram rows and are excluded (same rows in
+    both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.size(F.expr(_TOKENS)).alias("n_tok"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size({_TOKENS}) - 1, 1)),"
+                f" i -> concat_ws(' ', slice({_TOKENS}, i, 2)))"
+            )
+        ).alias("g"),
+    )
+    gc = grams.groupBy("doc_id", "n_tok", "g").agg(F.count("*").alias("c"))
+    return gc.groupBy("doc_id").agg(
+        F.max("n_tok").cast("bigint").alias("n_tok"),
+        (F.max("c").cast("double") * 2 / F.max("n_tok")).alias("top_bigram_frac"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c")
+        ).alias("dup_bigram_frac"),
+    )
+
+
+@query(
+    "x_contamination",
+    oracle=f"""
+    WITH bench AS (
+      SELECT doc_id AS bench_id, {_TOKENS_DUCK} AS ts
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    bench_grams AS (
+      SELECT DISTINCT g FROM (
+        SELECT UNNEST(list_transform(range(1, greatest(len(ts) - 6, 1)),
+               i -> array_to_string(list_slice(ts, CAST(i AS INTEGER), CAST(i + 7 AS INTEGER)), ' '))) AS g
+        FROM bench)
+    ),
+    corpus AS (
+      SELECT doc_id, {_TOKENS_DUCK} AS ts FROM documents WHERE doc_id % 97 <> 0
+    ),
+    corpus_grams AS (
+      SELECT doc_id, len(ts) AS n_tok, UNNEST(list_distinct(
+        list_transform(range(1, greatest(len(ts) - 6, 1)),
+               i -> array_to_string(list_slice(ts, CAST(i AS INTEGER), CAST(i + 7 AS INTEGER)), ' ')))) AS g
+      FROM corpus
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(count(*) AS DOUBLE) / max(c.n_tok) AS hit_frac
+    FROM corpus_grams c JOIN bench_grams b ON c.g = b.g
+    GROUP BY c.doc_id
+    """,
+)
+def x_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (decontamination, the step every
+    training corpus takes before evaluation is trustworthy): docs
+    sharing 8-gram shingles with a held-out benchmark set (stand-in:
+    every 97th doc) are flagged with their hit count and hits/token
+    rate. The benchmark shingle set is SMALL by nature (eval suites,
+    not corpora), so Spark broadcasts it and the check is a scan-side
+    broadcast semi-join per corpus shingle — zero shuffle of the
+    corpus, the only agg is per-doc hit counting. Counts and the
+    count/n_tok divide are int-exact cross-engine."""
+    from hephaestus_spark.operators.textops import tokens, word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    bgrams = (
+        bench.select(F.explode(word_shingles(tokens(), 8)).alias("g")).distinct()
+    )
+    cgrams = corpus.select(
+        "doc_id",
+        F.size(tokens()).alias("n_tok"),
+        F.explode(word_shingles(tokens(), 8)).alias("g"),
+    )
+    hits = cgrams.join(F.broadcast(bgrams), "g")
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_hits"),
+        (F.count("*").cast("double") / F.max("n_tok")).alias("hit_frac"),
+    )
+
+
+@query(
+    "x_source_mix",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source, lang, len({_TOKENS_DUCK}) AS n_tok FROM documents
+    ),
+    tot AS (SELECT sum(n_tok) AS corpus_tok FROM per_doc)
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_tok) AS DOUBLE) / (SELECT corpus_tok FROM tot)
+             AS token_share
+    FROM per_doc GROUP BY source, lang
+    """,
+)
+def x_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture composition: docs and tokens per (source, lang)
+    with each cell's share of total corpus tokens — the table a data
+    mixer reweights against (e.g. up-sample code, cap a crawl source).
+    One scan-side token count + one keyed agg; the global total is a
+    1-row broadcast joined back (no second scan, no driver collect).
+    Token counts are integral sums (exact in double) and the share is
+    a single divide of identical numerator/denominator — int-exact
+    cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select("source", "lang", F.size(F.expr(_TOKENS)).alias("n_tok"))
+    cells = per_doc.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    total = per_doc.agg(F.sum("n_tok").alias("corpus_tok"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("corpus_tok")).alias("token_share"),
+    )
