@@ -525,27 +525,70 @@ def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_topk(docs, "doc_id", "n_chars", k=50)
 
 
+def _interp_duck(q: float) -> str:
+    """Explicit continuous-quantile interpolation over a sorted DuckDB
+    list `ls` of length n — the formula both engines spell out verbatim
+    (see x_exact_quantiles docstring)."""
+    return (
+        f"ls[CAST(floor((n - 1) * {q}) AS INTEGER) + 1]"
+        f" + (ls[least(CAST(floor((n - 1) * {q}) AS INTEGER) + 2, n)]"
+        f"    - ls[CAST(floor((n - 1) * {q}) AS INTEGER) + 1])"
+        f"   * ((n - 1) * {q} - floor((n - 1) * {q}))"
+    )
+
+
 @query(
     "x_exact_quantiles",
-    oracle="""
+    oracle=f"""
+    WITH g AS (
+      SELECT l_returnflag, list_sort(list(l_extendedprice)) AS ls,
+             CAST(count(*) AS INTEGER) AS n
+      FROM lineitem GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           median(l_extendedprice) AS med_price,
-           quantile_cont(l_extendedprice, 0.9) AS p90_price,
-           CAST(count(*) AS BIGINT) AS n
-    FROM lineitem GROUP BY l_returnflag
+           {_interp_duck(0.5)} AS med_price,
+           {_interp_duck(0.9)} AS p90_price,
+           CAST(n AS BIGINT) AS n
+    FROM g
     """,
 )
 def x_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-group median/p90 (continuous interpolation) — the
     companion to q26's sketched percentile_approx: at audit time you
-    pay the per-group sort once and get the true quantile. Spark plans
-    a single shuffle on the group key; the sort is per-group inside the
-    aggregate, never a global order."""
+    pay the per-group materialization once and get the true quantile.
+    Single shuffle on the group key.
+
+    Cross-engine discipline (r4 — closes the last documented residual
+    in COVERAGE.md's float audit): engine-internal quantile functions
+    (F.percentile / quantile_cont) interpolate with their own formula
+    shapes, which need not produce the same double. Both engines now
+    spell out the SAME formula over the same sorted values —
+    lo + (hi - lo) * frac at 0-based position (n-1)*q — so every
+    arithmetic step is an identical IEEE op on identical inputs and
+    the result is bit-identical. Memory note: the per-group sorted
+    array is materialized either way (built-in exact percentiles
+    buffer all group values too); groups here are the 3 return flags.
+    At 100 TB you'd switch to q26's sketches or a two-pass
+    count-then-select exact method."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.median("l_extendedprice").alias("med_price"),
-        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
-        F.count("*").cast("bigint").alias("n"),
+    g = li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_list("l_extendedprice")).alias("ls"),
+        F.count("*").cast("int").alias("n"),
+    )
+
+    def interp(q: float):
+        pos = (F.col("n") - 1) * F.lit(q)
+        lo_i = F.floor(pos).cast("int") + 1
+        hi_i = F.least(lo_i + 1, F.col("n"))
+        lo = F.element_at("ls", lo_i)
+        hi = F.element_at("ls", hi_i)
+        return lo + (hi - lo) * (pos - F.floor(pos))
+
+    return g.select(
+        "l_returnflag",
+        interp(0.5).alias("med_price"),
+        interp(0.9).alias("p90_price"),
+        F.col("n").cast("bigint").alias("n"),
     )
 
 
