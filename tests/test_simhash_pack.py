@@ -1,0 +1,78 @@
+"""The r4 lane-packed simhash aggregate must be bit-for-bit the naive
+64-column form (packing is a codegen optimization, not a semantic
+change), and bench.py's regression parser must read both bench-line and
+driver-wrapped records."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+import hephaestus_spark.queries  # noqa: F401 — registration
+from hephaestus_spark.registry import QUERIES
+from hephaestus_spark.sources import load_table
+
+
+def _naive_simhash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(split(regexp_replace(lower(text), '[^a-z ]', ' '), ' '),"
+                " t -> t <> '')"
+            )
+        ).alias("token"),
+    ).withColumn("h", F.xxhash64("token"))
+    votes = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        *[F.sum(F.expr(f"(h >> {i}) & 1")).alias(f"b{i}") for i in range(64)],
+    )
+    sig = F.lit(0).cast("bigint")
+    for i in range(64):
+        bit = F.when(
+            F.col(f"b{i}") * 2 > F.col("n_tok"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {i})"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig = sig.bitwiseOR(bit)
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def test_packed_simhash_equals_naive(spark, sf_dir):
+    packed = (
+        QUERIES["x_simhash"](spark, sf_dir)
+        .select("doc_id", "simhash")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    naive = (
+        _naive_simhash(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert packed.equals(naive)
+
+
+def test_bench_regression_parser(tmp_path, monkeypatch):
+    import bench
+
+    # one bare bench line, one driver-wrapped record, one at another sf
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"qa": 1.0, "qb": 2.0}})
+    )
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"n": 3, "rc": 0, "parsed": {"sf": 0.1, "queries": {"qa": 0.4}}})
+    )
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"sf": 0.01, "queries": {"qa": 0.01}})
+    )
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda _p: str(tmp_path)
+    )
+    out = bench._regressions_vs_best({"qa": 0.9, "qb": 2.1}, sf=0.1)
+    # best prior qa = 0.4 (from the wrapped record, NOT the 0.01-sf one);
+    # 0.9 > 0.4*1.5 -> flagged. qb 2.1 < 2.0*1.5 -> not flagged.
+    assert out == {"qa": {"now": 0.9, "best_prior": 0.4}}
