@@ -160,3 +160,61 @@ def test_task_types_dimension(spark):
         "install",
         "repair",
     ]
+
+
+def test_task_poll_to_pipeline_end_to_end(spark, tmp_path):
+    """A2/A13-A20 through the transport seam: two polled days (one with
+    data, one empty) drive TaskSyncPipeline - merge, bridge rewrite, and
+    the watermark advancing past the EMPTY day too (tasks.go:164-169)."""
+    import datetime as dt
+
+    from hephaestus_spark.streaming.pipeline import TaskSyncPipeline
+
+    def task_bytes(i, desc, executors):
+        return pc.encode_message(
+            {
+                "id": i,
+                "type": "install",
+                "creation_date": 1704067200 + i,
+                "closing_date": 0,
+                "description": desc,
+                "address": f"{i} st",
+                "customer_name": "C",
+                "customer_login": "c1",
+                "comments": [],
+                "executors": executors,
+                "is_closed": False,
+            },
+            pc.TASK_FIELDS,
+        )
+
+    t = InProcessTransport(
+        task_payloads_by_date={
+            "2024-01-01": [task_bytes(1, "day1 task", [11, 12])],
+            # 2024-01-02 absent -> empty day
+            "2024-01-03": [task_bytes(2, "day3 task", [13])],
+        }
+    )
+    feed = str(tmp_path / "tfeed")
+    poller = FeedPoller(transport=t, task_feed_dir=feed)
+    assert poller.poll_tasks_for_date(spark, dt.date(2024, 1, 1)) == 1
+    assert poller.poll_tasks_for_date(spark, dt.date(2024, 1, 2)) == 0
+    assert poller.poll_tasks_for_date(spark, dt.date(2024, 1, 3)) == 1
+
+    pipe = TaskSyncPipeline(
+        feed_dir=feed,
+        tasks_path=str(tmp_path / "tasks"),
+        bridge_path=str(tmp_path / "bridge"),
+        watermark_path=str(tmp_path / "wm"),
+    )
+    pipe.run_available_now(spark)
+
+    tasks = {r["id"]: r for r in spark.read.parquet(str(tmp_path / "tasks")).collect()}
+    assert set(tasks) == {1, 2}
+    assert tasks[1]["description"] == "day1 task"
+    bridge = spark.read.parquet(str(tmp_path / "bridge")).collect()
+    assert {(r["task_id"], r["member"]) for r in bridge} == {
+        (1, "11"), (1, "12"), (2, "13"),
+    }
+    # watermark advanced past the last polled day with data
+    assert pipe.last_processed_date(spark) == dt.date(2024, 1, 4)
