@@ -130,3 +130,28 @@ def test_embed_quantize_is_scan_side(spark, sf_dir):
     # pure projection: no shuffle, no Python
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_contamination_benchmark_side_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "x_contamination")
+    # eval-suite shingles are small by nature: the overlap check must be
+    # a broadcast join of the benchmark side, never a corpus shuffle
+    # join or a cross product — and all-JVM (no Python in the path)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_fuzzy_match_has_no_cross_product(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "x_fuzzy_match")
+    # blocking must keep levenshtein inside equi-join blocks
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_repetition_and_source_mix_stay_jvm(spark, sf_dir):
+    for name in ("x_repetition_stats", "x_source_mix"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
