@@ -304,3 +304,183 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("id").alias("doc_id"), F.round("rank", 10).alias("rank")
     )
+
+
+_CURATION_CORPUS_DUCK = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text || '{_SUFFIX}' AS text
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+@query(
+    "x_curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_CURATION_CORPUS_DUCK}),
+    exact_ranked AS (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM corpus
+    ),
+    kept1 AS (SELECT doc_id, text FROM exact_ranked WHERE rn = 1),
+    shingled AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_transform(range(1, greatest(len({_TOKENS_DUCK}) - 3, 1)),
+                       i -> array_to_string(list_slice({_TOKENS_DUCK}, CAST(i AS INTEGER), CAST(i + 4 AS INTEGER)), ' '))
+      )) AS shingle
+      FROM kept1
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT u AS id, v AS r FROM edges
+      UNION SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+    ),
+    near_dropped AS (
+      SELECT id AS doc_id FROM reach GROUP BY id
+      HAVING id <> least(id, min(r))
+    ),
+    kept2 AS (
+      SELECT k.doc_id, k.text FROM kept1 k
+      WHERE k.doc_id NOT IN (SELECT doc_id FROM near_dropped)
+    ),
+    toks2 AS (SELECT doc_id, {_TOKENS_DUCK} AS ts FROM kept2),
+    grams AS (
+      SELECT doc_id, len(ts) AS n_tok,
+             list_transform(range(1, greatest(len(ts), 1)),
+                            i -> ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i + 1 AS INTEGER)]) AS gs
+      FROM toks2
+    ),
+    gc AS (
+      SELECT doc_id, n_tok, g, count(*) AS c
+      FROM grams, UNNEST(gs) AS t(g) GROUP BY doc_id, n_tok, g
+    ),
+    rep AS (
+      SELECT doc_id, max(n_tok) AS n_tok,
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup_frac
+      FROM gc GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CASE WHEN er.rn > 1 THEN 'exact_dup'
+                WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                WHEN rep.n_tok < 20 THEN 'too_short'
+                WHEN rep.dup_frac > 0.2 THEN 'repetitive'
+                ELSE 'kept' END AS status
+    FROM corpus c
+    JOIN exact_ranked er ON er.doc_id = c.doc_id
+    LEFT JOIN near_dropped nd ON nd.doc_id = c.doc_id
+    LEFT JOIN rep ON rep.doc_id = c.doc_id
+    """,
+)
+def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pass — the composite a training-data team
+    actually runs, assembled from the already-oracled stages: exact
+    dedup (sha2 canonical-keep) -> near-dedup (minhash-LSH candidates,
+    exact-Jaccard verify, connected-component clusters, keep min-id
+    canonical) -> quality gates (length, bigram-repetition). Emits one
+    (doc_id, status) row per corpus doc with the FIRST failing stage:
+    exact_dup | near_dup | too_short | repetitive | kept.
+
+    The corpus synthesizes both duplicate classes over `documents`
+    (every 10th doc re-ingested verbatim, every 7th with a 4-token
+    suffix), so every stage fires. Plan shape: each stage is the same
+    bounded plan its standalone query uses (hash-groupBy; banded
+    equi-join + verify with the r4 bucket cap; per-round label
+    propagation; scan-side token math) with statuses assembled by left
+    joins on doc_id — no new shuffle classes, so the composite scales
+    exactly as its parts do. The only emitted column is a string
+    status: no float channel at all (the most robust hash-compare
+    class). Oracle = same stages as recursive/windowed SQL."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_dup = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near_dup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_SUFFIX)).alias("text"),
+    )
+    corpus = d.union(exact_dup).union(near_dup)
+
+    from pyspark.sql.window import Window as W
+
+    ranked = corpus.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy(F.sha2("text", 256)).orderBy("doc_id")),
+    )
+    kept1 = ranked.filter(F.col("rn") == 1).select("doc_id", "text")
+
+    sig = minhash_signature_table(
+        shingle_table(kept1, n=5), n_tables=8, hash_shingles=True
+    ).persist()
+    cand = minhash_candidate_pairs(sig, n_tables=8, bucket_cap=10_000)
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    jac = n_common * 1.0 / (
+        F.size("sh_a").cast("bigint") + F.size("sh_b").cast("bigint") - n_common
+    )
+    pairs = (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .filter(jac >= 0.8)
+        .select("id_a", "id_b")
+    )
+    from hephaestus_spark.operators.graph import dedup_clusters
+
+    near_dropped = (
+        dedup_clusters(pairs)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id", F.lit(True).alias("_near_dropped"))
+    )
+
+    kept2 = kept1.join(near_dropped, "doc_id", "left_anti")
+    toks = "filter(split(regexp_replace(lower(text), '[^a-z ]', ' '), ' '), t -> t <> '')"
+    grams = kept2.select(
+        "doc_id",
+        F.size(F.expr(toks)).alias("n_tok"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size({toks}) - 1, 1)),"
+                f" i -> concat_ws(' ', slice({toks}, i, 2)))"
+            )
+        ).alias("g"),
+    )
+    gc = grams.groupBy("doc_id", "n_tok", "g").agg(F.count("*").alias("c"))
+    rep = gc.groupBy("doc_id").agg(
+        F.max("n_tok").alias("n_tok"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c")
+        ).alias("dup_frac"),
+    )
+
+    status = (
+        F.when(F.col("rn") > 1, F.lit("exact_dup"))
+        .when(F.col("_near_dropped"), F.lit("near_dup"))
+        .when(F.col("n_tok") < 20, F.lit("too_short"))
+        .when(F.col("dup_frac") > 0.2, F.lit("repetitive"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        ranked.select("doc_id", "rn")
+        .join(near_dropped, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .select("doc_id", status.alias("status"))
+    )
