@@ -1,0 +1,52 @@
+"""Exact money/value sums at integer speed (scaled-long accumulation).
+
+The r4 audit made every money sum DECIMAL-exact in both engines —
+correct (order-independent, bit-identical across engines) but ~3x
+slower than double on the hottest agg shapes (Decimal128 per-row adds
+defeat whole-stage-codegen's integer fast path).
+
+The same exactness is available at integer speed: the sources are exact
+2dp (prices) / 4dp (price*(1-discount)) values, so
+``sum(cast(round(x * 10^dp) as bigint)) / 10^dp`` is
+
+- exact: round() recovers the true scaled integer (double noise on an
+  exact-2dp value is ~1e-11 absolute, 10 orders inside the 0.5 round
+  boundary; for the 4dp product both engines compute the SAME IEEE
+  double expression, so the rounded integer is identical even before
+  being exact),
+- order-independent: int64 addition is associative,
+- cross-engine bit-identical: the final bigint/double divide is one
+  IEEE op on identical operands,
+- fast: whole-stage-codegen long adds, no BigDecimal allocation.
+
+Overflow headroom: int64 caps at 9.2e18. At 2dp a 1e5-magnitude value
+scales to 1e7, overflowing only past ~9e11 rows per GROUP; at 4dp past
+~9e9 rows per group. A 100 TB table is ~1e12 lineitem rows, so a
+single-group 4dp sum at that scale should pre-aggregate per partition
+or widen the final combine to decimal(38,0) — documented here, not
+needed at any driver SF and not the common grouped shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def scaled_long(col: Column, dp: int = 2) -> Column:
+    """Scan-side transform: exact dp-decimal double -> scaled bigint."""
+    return F.round(col * (10 ** dp)).cast("bigint")
+
+
+def sum_money(col: Column, dp: int = 2) -> Column:
+    """Order-independent exact sum of a dp-decimal column as DOUBLE."""
+    return F.sum(scaled_long(col, dp)) / float(10 ** dp)
+
+
+def sum_money_sql(expr: str, dp: int = 2) -> str:
+    """DuckDB oracle fragment matching :func:`sum_money` bit-for-bit."""
+    scale = 10 ** dp
+    return (
+        f"CAST(sum(CAST(round(({expr}) * {scale}) AS BIGINT)) AS DOUBLE)"
+        f" / {scale}.0"
+    )

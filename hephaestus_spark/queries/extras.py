@@ -18,6 +18,7 @@ from hephaestus_spark.operators.curation import (
     hash_sample,
     weighted_sample_topk,
 )
+from hephaestus_spark.functions.money import sum_money
 from hephaestus_spark.registry import query
 from hephaestus_spark.sources import load_table
 
@@ -77,11 +78,11 @@ def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt,
-           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS f_total,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS f_total,
            count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
-           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS o_total,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS o_total,
            count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt,
-           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_total
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS p_total
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -96,7 +97,7 @@ def x_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+            sum_money(F.col("o_totalprice")).alias("total"),
         )
     )
     return p.select(
@@ -294,7 +295,7 @@ def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_tpch_q3",
     oracle="""
     SELECT l.l_orderkey,
-           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -328,12 +329,9 @@ def x_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .cast("decimal(18,4)")
-            ).cast("double").alias(
-                "revenue"
-            )
+            sum_money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), dp=4
+            ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
     )
@@ -342,7 +340,7 @@ def x_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x_tpch_q5",
     oracle="""
-    SELECT n.n_name, CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    SELECT n.n_name, CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -391,12 +389,9 @@ def x_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .cast("decimal(18,4)")
-            ).cast("double").alias(
-                "revenue"
-            )
+            sum_money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), dp=4
+            ).alias("revenue")
         )
     )
 
@@ -405,7 +400,8 @@ def x_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_bloom_prune_join",
     oracle="""
     SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_price
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#11'
     GROUP BY l_returnflag
@@ -444,7 +440,7 @@ def x_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").cast("bigint").alias("n_items"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+            sum_money(F.col("l_extendedprice")).alias("sum_price"),
         )
     )
 
@@ -788,7 +784,7 @@ def x_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -839,12 +835,9 @@ def x_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .cast("decimal(18,4)")
-            ).cast("double").alias(
-                "revenue"
-            )
+            sum_money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), dp=4
+            ).alias("revenue")
         )
     )
 
@@ -853,7 +846,7 @@ def x_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_tpch_q10",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -884,12 +877,9 @@ def x_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .cast("decimal(18,4)")
-            ).cast("double").alias(
-                "revenue"
-            )
+            sum_money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), dp=4
+            ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hephaestus_spark.functions.money import sum_money
 from hephaestus_spark.registry import query
 from hephaestus_spark.sources import load_table
 
@@ -259,7 +260,8 @@ def q21_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(least(floor(l_extendedprice / 5000), 19) AS BIGINT) AS bin,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total
     FROM lineitem GROUP BY 1
     """,
 )
@@ -276,8 +278,7 @@ def x_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(bin_col.alias("bin"))
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("double").alias("total"),
+            sum_money(F.col("l_extendedprice")).alias("total"),
         )
     )
 

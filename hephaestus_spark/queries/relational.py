@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from hephaestus_spark.functions.money import scaled_long, sum_money, sum_money_sql
 from hephaestus_spark.registry import query
 from hephaestus_spark.sources import load_table
 
@@ -204,14 +205,13 @@ def q08_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q09_agg_tpch_q1",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity      AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(18,4))) AS DOUBLE)                 AS sum_disc_price,
-           avg(l_quantity)                                             AS avg_qty,
-           CAST(count(*) AS BIGINT)                                    AS count_order
+           {sum_money_sql('l_quantity')}                              AS sum_qty,
+           {sum_money_sql('l_extendedprice')}                         AS sum_base_price,
+           {sum_money_sql('l_extendedprice * (1 - l_discount)', 4)}   AS sum_disc_price,
+           avg(l_quantity)                                            AS avg_qty,
+           CAST(count(*) AS BIGINT)                                   AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
@@ -222,26 +222,23 @@ def q09_agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries |groups| rows per partition, not |input| — the property that
     makes this a bandwidth no-op at 100 TB (6 groups total).
 
-    Cross-engine discipline (the q14/q19/q34 failure class, audited r4):
-    money sums accumulate in DECIMAL in BOTH engines — the source doubles
-    are exact 2dp values (4dp for the price*(1-disc) product), so the
-    decimal cast is lossless and the sum is exact and order-independent;
-    the final CAST to DOUBLE is then bit-identical across engines no
-    matter how partial aggregation ordered the adds. avg_qty is safe raw:
+    Cross-engine discipline (the q14/q19/q34 failure class, audited r4;
+    r5 replaced the decimal accumulators with scaled-long sums after the
+    r4 bench flagged the 3x Decimal128 tax): money sums accumulate as
+    scaled bigints in BOTH engines (functions/money.py) — same exact,
+    order-independent, bit-identical-across-engines result, at
+    whole-stage-codegen integer-add speed. avg_qty is safe raw:
     quantities are integral doubles, whose sums are exact in binary."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("double").alias("sum_base_price"),
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .cast("decimal(18,4)")
-            ).cast("double").alias("sum_disc_price"),
+            sum_money(F.col("l_quantity")).alias("sum_qty"),
+            sum_money(F.col("l_extendedprice")).alias("sum_base_price"),
+            sum_money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), dp=4
+            ).alias("sum_disc_price"),
             F.avg("l_quantity").alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
@@ -280,9 +277,9 @@ def q10_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q11_rollup",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           {sum_money_sql('o_totalprice')}                           AS sum_price,
            CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
@@ -290,19 +287,19 @@ def q10_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    # decimal-exact sum (see q09 docstring): order-independent, so the
-    # emitted double is bit-identical across engines
+    # scaled-long exact sum (see q09 docstring): order-independent,
+    # bit-identical across engines, integer-speed adds
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        sum_money(F.col("o_totalprice")).alias("sum_price"),
         F.grouping_id().cast("bigint").alias("gid"),
     )
 
 
 @query(
     "q11_cube",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           {sum_money_sql('o_totalprice')}                           AS sum_price,
            CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -311,7 +308,7 @@ def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        sum_money(F.col("o_totalprice")).alias("sum_price"),
         F.grouping_id().cast("bigint").alias("gid"),
     )
 
@@ -371,20 +368,22 @@ def q12_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey, o_totalprice,
            lag(o_totalprice)  OVER w AS prev_price,
            lead(o_totalprice) OVER w AS next_price,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                 OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate ASC, o_orderkey ASC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS running_total
+                AS DOUBLE) / 100.0 AS running_total
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
     """,
 )
 def q13_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead are source-value passthrough (bit-exact). The running
-    sum accumulates in DECIMAL in both engines (see q09 docstring): a
-    window cumulative sum is order-sensitive in double (DuckDB may use
-    segment-tree reassociation), while decimal is exact regardless."""
+    sum accumulates as scaled longs in both engines (functions/money.py;
+    see q09 docstring): a window cumulative sum is order-sensitive in
+    double (DuckDB may use segment-tree reassociation), while int64
+    accumulation is exact regardless — and integer-speed, unlike the r4
+    decimal variant this replaces."""
     o = _t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
     return o.select(
@@ -393,10 +392,11 @@ def q13_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .cast("double")
-        .alias("running_total"),
+        (
+            F.sum(scaled_long(F.col("o_totalprice")))
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            / 100.0
+        ).alias("running_total"),
     )
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from hephaestus_spark.functions.money import sum_money, sum_money_sql
 from hephaestus_spark.registry import query
 from hephaestus_spark.sources import load_table
 from hephaestus_spark.streaming.replay import replay_streaming
@@ -24,11 +25,11 @@ from hephaestus_spark.streaming.replay import replay_streaming
 # --------------------------------------------------------------------------
 @query(
     "q27_window_tumbling",
-    oracle="""
+    oracle=f"""
     SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           {sum_money_sql('value')} AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -36,11 +37,12 @@ def q27_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour"), "event_type")
-        # decimal-exact sum: order-independent, bit-identical across
-        # engines (see q09 docstring — the audited r4 discipline)
+        # scaled-long exact sum: order-independent, bit-identical across
+        # engines at integer speed (functions/money.py, r5 — replaces
+        # the r4 decimal accumulator the bench flagged)
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            sum_money(F.col("value")).alias("sum_value"),
         )
         .select(
             F.col("window.start").cast("timestamp_ntz").alias("window_start"),
@@ -53,12 +55,12 @@ def q27_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q27_window_sliding",
-    oracle="""
+    oracle=f"""
     SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
              - CAST(k AS INTEGER) * INTERVAL '15 minutes'       AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           {sum_money_sql('value')} AS sum_value
     FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
     GROUP BY 1, 2
     """,
@@ -72,7 +74,7 @@ def q27_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            sum_money(F.col("value")).alias("sum_value"),
         )
         .select(
             F.col("window.start").cast("timestamp_ntz").alias("window_start"),
