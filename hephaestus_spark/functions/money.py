@@ -34,8 +34,17 @@ from pyspark.sql import functions as F
 
 
 def scaled_long(col: Column, dp: int = 2) -> Column:
-    """Scan-side transform: exact dp-decimal double -> scaled bigint."""
-    return F.round(col * (10 ** dp)).cast("bigint")
+    """Scan-side transform: exact dp-decimal double -> scaled bigint.
+
+    floor(x*scale + 0.5), NOT round(): Spark's Round on DoubleType
+    allocates a per-row BigDecimal (measured 2.4 s vs 0.3 s on q09 —
+    worse than the decimal aggregation it was meant to replace), while
+    floor is a single codegen'd Math.floor. The true scaled value is an
+    integer n and the double carries |eps| << 0.5, so floor(n + eps +
+    0.5) == n for any sign of n or eps — and DuckDB's floor is the same
+    IEEE op, so the two engines produce the identical bigint.
+    """
+    return F.floor(col * (10 ** dp) + F.lit(0.5)).cast("bigint")
 
 
 def sum_money(col: Column, dp: int = 2) -> Column:
@@ -47,6 +56,6 @@ def sum_money_sql(expr: str, dp: int = 2) -> str:
     """DuckDB oracle fragment matching :func:`sum_money` bit-for-bit."""
     scale = 10 ** dp
     return (
-        f"CAST(sum(CAST(round(({expr}) * {scale}) AS BIGINT)) AS DOUBLE)"
+        f"CAST(sum(CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)) AS DOUBLE)"
         f" / {scale}.0"
     )

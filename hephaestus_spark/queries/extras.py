@@ -78,11 +78,11 @@ def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt,
-           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS f_total,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS DOUBLE) / 100.0 AS f_total,
            count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
-           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS o_total,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS DOUBLE) / 100.0 AS o_total,
            count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt,
-           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS p_total
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS DOUBLE) / 100.0 AS p_total
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -295,7 +295,7 @@ def x_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_tpch_q3",
     oracle="""
     SELECT l.l_orderkey,
-           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -340,7 +340,7 @@ def x_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x_tpch_q5",
     oracle="""
-    SELECT n.n_name, CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+    SELECT n.n_name, CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -400,7 +400,7 @@ def x_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_bloom_prune_join",
     oracle="""
     SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
              / 100.0 AS sum_price
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#11'
@@ -784,7 +784,7 @@ def x_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -846,7 +846,7 @@ def x_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_tpch_q10",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey

@@ -260,7 +260,7 @@ def q21_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(least(floor(l_extendedprice / 5000), 19) AS BIGINT) AS bin,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
              / 100.0 AS total
     FROM lineitem GROUP BY 1
     """,

@@ -368,7 +368,7 @@ def q12_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey, o_totalprice,
            lag(o_totalprice)  OVER w AS prev_price,
            lead(o_totalprice) OVER w AS next_price,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                 OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate ASC, o_orderkey ASC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
