@@ -51,6 +51,24 @@ def test_minhash_cap_bounds_candidates(spark):
     sig.unpersist()
 
 
+def test_minhash_cap_pre_exclude_hot_equivalent(spark):
+    """pre_exclude_hot=True (bounded agg state for pathological
+    buckets) must produce exactly the same pairs as the default
+    collect-then-filter path."""
+    corpus = _boilerplate_corpus(spark, n_hot=60)
+    sig = minhash_signature_table(shingle_table(corpus, n=3), n_tables=4).persist()
+    a = (
+        minhash_candidate_pairs(sig, n_tables=4, bucket_cap=10)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    b = (
+        minhash_candidate_pairs(sig, n_tables=4, bucket_cap=10, pre_exclude_hot=True)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
+    sig.unpersist()
+
+
 def test_minhash_cap_noop_below_threshold(spark):
     corpus = _boilerplate_corpus(spark, n_hot=5)
     sig = minhash_signature_table(shingle_table(corpus, n=3), n_tables=4).persist()
