@@ -27,6 +27,7 @@ from hephaestus_spark.operators.textops import (
     minhash_candidate_pairs,
     minhash_signature_table,
     shingle_table,
+    simhash_signatures,
 )
 from hephaestus_spark.registry import query
 from hephaestus_spark.sources import load_table
@@ -172,48 +173,14 @@ def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise comparison into an equi-join, which is what survives at
     corpus scale. Pure built-ins: explode + narrow-int agg + bit ops.
 
-    The +1/-1 vote sum reduces to set-bit counting: vote_i > 0 iff
-    2*count(bit_i set) > n_tokens. r4 packing (the r3 driver bench
-    showed the 64-sum-column agg at 9x its r2 cost): 4 bit-counters
-    ride in ONE 64-bit sum column as 16-bit lanes —
-    lane_j = sum over tokens of (bit_{4j} | bit_{4j+1}<<16 |
-    bit_{4j+2}<<32 | bit_{4j+3}<<48) — so the aggregate is 16 long
-    sums + count(*) instead of 64, a quarter of the agg state and
-    codegen, same single map-side-combined shuffle. Lanes can't
-    overflow below 65536 tokens per doc (doc_len ≪ that here; a
-    general corpus would pre-chunk or widen to 32-bit lanes)."""
+    The implementation (operators/textops.py simhash_signatures) packs
+    4 bit-counters per 64-bit sum as 16-bit lanes — 16 long sums
+    instead of 64, the r4 10x bench win — and (r5) deterministically
+    truncates at 65,535 tokens/doc so the lanes can NEVER overflow
+    (test_simhash.py asserts packed == unpacked per-bit reference on a
+    70k-token doc)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "filter(split(regexp_replace(lower(text), '[^a-z ]', ' '), ' '),"
-                " t -> t <> '')"
-            )
-        ).alias("token"),
-    ).withColumn("h", F.xxhash64("token"))
-    lanes = [
-        F.sum(
-            F.expr(
-                f"((h >> {4 * j}) & 1) | (((h >> {4 * j + 1}) & 1) << 16)"
-                f" | (((h >> {4 * j + 2}) & 1) << 32)"
-                f" | (((h >> {4 * j + 3}) & 1) << 48)"
-            )
-        ).alias(f"lane{j}")
-        for j in range(16)
-    ]
-    votes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"), *lanes)
-    sig = F.lit(0).cast("bigint")
-    for i in range(64):
-        j, k = divmod(i, 4)
-        count_i = F.expr(f"(lane{j} >> {16 * k}) & 65535")
-        # OR the bit in (shiftleft handles the sign bit; OR can't overflow)
-        bit = F.when(
-            count_i * 2 > F.col("n_tok"),
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {i})"),
-        ).otherwise(F.lit(0).cast("bigint"))
-        sig = sig.bitwiseOR(bit)
-    out = votes.select("doc_id", sig.alias("simhash"))
+    out = simhash_signatures(d).drop("n_tok")
     return out.select(
         "doc_id",
         "simhash",
