@@ -273,21 +273,36 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Synthetic PII seeded on every 13th BASE doc before duplicate
+# synthesis, so copies inherit it and the dedup stages are unchanged.
+_PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE_RE = "\\+?[0-9][0-9 -]{6,}[0-9]"
+
+_CURATION_SEEDED_DUCK = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com now'
+                ELSE text END AS text
+    FROM documents
+"""
+
 _CURATION_CORPUS_DUCK = f"""
-    SELECT doc_id, text FROM documents
+    SELECT doc_id, text FROM seeded
     UNION ALL
     SELECT doc_id + 1000000 AS doc_id, text
-    FROM documents WHERE doc_id % 10 = 0
+    FROM seeded WHERE doc_id % 10 = 0
     UNION ALL
     SELECT doc_id + 2000000 AS doc_id, text || '{_SUFFIX}' AS text
-    FROM documents WHERE doc_id % 7 = 0
+    FROM seeded WHERE doc_id % 7 = 0
 """
 
 
 @query(
     "x_curation_pipeline",
     oracle=f"""
-    WITH RECURSIVE corpus AS ({_CURATION_CORPUS_DUCK}),
+    WITH RECURSIVE seeded AS ({_CURATION_SEEDED_DUCK}),
+    corpus AS ({_CURATION_CORPUS_DUCK}),
     exact_ranked AS (
       SELECT doc_id, text,
              row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
@@ -329,6 +344,26 @@ _CURATION_CORPUS_DUCK = f"""
       SELECT k.doc_id, k.text FROM kept1 k
       WHERE k.doc_id NOT IN (SELECT doc_id FROM near_dropped)
     ),
+    bench_grams AS (
+      SELECT DISTINCT g FROM (
+        SELECT UNNEST(list_transform(range(1, greatest(len({_TOKENS_DUCK}) - 6, 1)),
+               i -> array_to_string(list_slice({_TOKENS_DUCK}, CAST(i AS INTEGER), CAST(i + 7 AS INTEGER)), ' '))) AS g
+        FROM seeded WHERE doc_id % 97 = 0)
+    ),
+    kept2_grams AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_transform(range(1, greatest(len({_TOKENS_DUCK}) - 6, 1)),
+               i -> array_to_string(list_slice({_TOKENS_DUCK}, CAST(i AS INTEGER), CAST(i + 7 AS INTEGER)), ' ')))) AS g
+      FROM kept2
+    ),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id FROM kept2_grams c JOIN bench_grams b ON c.g = b.g
+    ),
+    pii AS (
+      SELECT doc_id FROM kept2
+      WHERE regexp_matches(text, '{_PII_EMAIL_RE}')
+         OR regexp_matches(text, '{_PII_PHONE_RE}')
+    ),
     toks2 AS (SELECT doc_id, {_TOKENS_DUCK} AS ts FROM kept2),
     grams AS (
       SELECT doc_id, len(ts) AS n_tok,
@@ -348,12 +383,16 @@ _CURATION_CORPUS_DUCK = f"""
     SELECT c.doc_id,
            CASE WHEN er.rn > 1 THEN 'exact_dup'
                 WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
                 WHEN rep.n_tok < 20 THEN 'too_short'
                 WHEN rep.dup_frac > 0.2 THEN 'repetitive'
+                WHEN pi.doc_id IS NOT NULL THEN 'pii'
                 ELSE 'kept' END AS status
     FROM corpus c
     JOIN exact_ranked er ON er.doc_id = c.doc_id
     LEFT JOIN near_dropped nd ON nd.doc_id = c.doc_id
+    LEFT JOIN contaminated ct ON ct.doc_id = c.doc_id
+    LEFT JOIN pii pi ON pi.doc_id = c.doc_id
     LEFT JOIN rep ON rep.doc_id = c.doc_id
     """,
 )
@@ -362,21 +401,45 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually runs, assembled from the already-oracled stages: exact
     dedup (sha2 canonical-keep) -> near-dedup (minhash-LSH candidates,
     exact-Jaccard verify, connected-component clusters, keep min-id
-    canonical) -> quality gates (length, bigram-repetition). Emits one
+    canonical) -> benchmark decontamination (8-gram overlap with a
+    broadcast benchmark set) -> quality gates (length,
+    bigram-repetition) -> PII gate (email/phone regex). Emits one
     (doc_id, status) row per corpus doc with the FIRST failing stage:
-    exact_dup | near_dup | too_short | repetitive | kept.
+    exact_dup | near_dup | contaminated | too_short | repetitive |
+    pii | kept.
 
-    The corpus synthesizes both duplicate classes over `documents`
-    (every 10th doc re-ingested verbatim, every 7th with a 4-token
-    suffix), so every stage fires. Plan shape: each stage is the same
-    bounded plan its standalone query uses (hash-groupBy; banded
-    equi-join + verify with the r4 bucket cap; per-round label
-    propagation; scan-side token math) with statuses assembled by left
-    joins on doc_id — no new shuffle classes, so the composite scales
-    exactly as its parts do. The only emitted column is a string
-    status: no float channel at all (the most robust hash-compare
-    class). Oracle = same stages as recursive/windowed SQL."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    The corpus synthesizes every failure class over `documents`: PII
+    seeded on every 13th BASE doc (before duplicate synthesis, so
+    copies inherit it and dedup is unchanged), every 10th doc
+    re-ingested verbatim, every 7th with a 4-token suffix, and every
+    97th doc doubling as the held-out benchmark set (so its survivors
+    flag as contaminated). Plan shape: each stage is the same bounded
+    plan its standalone query uses (hash-groupBy; banded equi-join +
+    verify with the bucket cap; per-round label propagation; broadcast
+    semi-join for contamination — the corpus never shuffles for it;
+    scan-side regex for PII; scan-side token math) with statuses
+    assembled by left joins on doc_id — no new shuffle classes, so the
+    composite scales exactly as its parts do. The only emitted column
+    is a string status: no float channel at all (the most robust
+    hash-compare class). Oracle = same stages as recursive/windowed
+    SQL."""
+    from hephaestus_spark.operators.textops import tokens, word_shingles
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
     exact_dup = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
@@ -418,6 +481,35 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     kept2 = kept1.join(near_dropped, "doc_id", "left_anti")
+
+    # Benchmark decontamination: the benchmark shingle set is small by
+    # nature (eval suites, not corpora) -> broadcast; the corpus side
+    # never shuffles for this stage (same plan as x_contamination).
+    bench_grams = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(word_shingles(tokens(), 8)).alias("g"))
+        .distinct()
+    )
+    kept2_grams = kept2.select(
+        "doc_id", F.explode(word_shingles(tokens(), 8)).alias("g")
+    )
+    contaminated = (
+        kept2_grams.join(F.broadcast(bench_grams), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_contaminated", F.lit(True))
+    )
+
+    # PII gate: scan-side regex match, zero shuffle (x_pii_scrub's
+    # patterns — RE2-compatible so the oracle runs the identical ones).
+    pii = (
+        kept2.filter(
+            F.col("text").rlike(_PII_EMAIL_RE) | F.col("text").rlike(_PII_PHONE_RE)
+        )
+        .select("doc_id")
+        .withColumn("_pii", F.lit(True))
+    )
+
     toks = "filter(split(regexp_replace(lower(text), '[^a-z ]', ' '), ' '), t -> t <> '')"
     grams = kept2.select(
         "doc_id",
@@ -441,13 +533,17 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     status = (
         F.when(F.col("rn") > 1, F.lit("exact_dup"))
         .when(F.col("_near_dropped"), F.lit("near_dup"))
+        .when(F.col("_contaminated"), F.lit("contaminated"))
         .when(F.col("n_tok") < 20, F.lit("too_short"))
         .when(F.col("dup_frac") > 0.2, F.lit("repetitive"))
+        .when(F.col("_pii"), F.lit("pii"))
         .otherwise(F.lit("kept"))
     )
     return (
         ranked.select("doc_id", "rn")
         .join(near_dropped, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .join(pii, "doc_id", "left")
         .join(rep, "doc_id", "left")
         .select("doc_id", status.alias("status"))
     )
