@@ -195,19 +195,25 @@ class JdbcMergeTarget:
         factory = self.connection_factory
         key, cols = self.key, self.cols
         batch_size = max(1, self.batch_size)
+        delete_insert = self.mode == "delete_insert"
 
-        def flush(cur, buf):
+        def flush(cur, buf, deleted_keys):
             # one executemany per statement per chunk: for delete_insert
             # ALL deletes land before ALL inserts, so a key staged with
-            # several bridge rows keeps every row (the per-row interleave
-            # would delete earlier inserts of the same key)
+            # several bridge rows keeps every row. deleted_keys carries
+            # per-CONNECTION state: a key spanning two chunks must not be
+            # re-deleted in the second chunk (that would erase the first
+            # chunk's inserts — caught by test_postgres_integration.py
+            # against real Postgres, invisible to single-chunk fixtures).
             for sql, params in stmts:
-                if params == [key]:  # delete round: dedup keys, keep order
-                    seen, argsets = set(), []
+                if params == [key]:  # delete round: once per key, keep order
+                    argsets = []
                     for r in buf:
-                        if r[key] not in seen:
-                            seen.add(r[key])
+                        if r[key] not in deleted_keys:
+                            deleted_keys.add(r[key])
                             argsets.append([r[key]])
+                    if not argsets:
+                        continue
                 else:
                     argsets = [[r[c] for c in params] for r in buf]
                 cur.executemany(sql, argsets)
@@ -216,14 +222,15 @@ class JdbcMergeTarget:
             conn = factory()
             try:
                 cur = conn.cursor()
+                deleted_keys: set = set()
                 buf = []
                 for r in rows:
                     buf.append(r)
                     if len(buf) >= batch_size:
-                        flush(cur, buf)
+                        flush(cur, buf, deleted_keys)
                         buf = []
                 if buf:
-                    flush(cur, buf)
+                    flush(cur, buf, deleted_keys)
                 conn.commit()
             finally:
                 conn.close()
@@ -231,7 +238,15 @@ class JdbcMergeTarget:
         missing = [c for c in extra if c not in staged.columns]
         for c in missing:
             staged = staged.withColumn(c, F.lit(None))
-        staged.select(key, *cols, *extra).foreachPartition(write_partition)
+        staged = staged.select(key, *cols, *extra)
+        if delete_insert:
+            # All bridge rows of a key MUST live in one partition (one
+            # connection/transaction): with rows of a key spread across
+            # partitions, partition A's DELETE can land after partition
+            # B's INSERT and silently drop B's rows. Hash-repartition on
+            # the key — the same co-location a cluster JDBC sink needs.
+            staged = staged.repartition(F.col(key))
+        staged.foreachPartition(write_partition)
         return {}
 
 
