@@ -884,3 +884,205 @@ def x_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "x_tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def x_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (priority split per category): the shipdate range
+    pushes to the lineitem scan BEFORE the join, the join carries only
+    (orderkey, priority) from orders, and the conditional counts are one
+    map-side-combined agg over 3 groups — the shuffle after the join is
+    a bandwidth no-op. Counts are int-exact cross-engine."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "x_tpch_q14",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             * 100.0 AS promo_pct,
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE) / 10000.0 AS promo_revenue,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS total_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+)
+def x_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): date range pushed to the
+    lineitem scan; part contributes only (partkey, is-promo), so the
+    join's build side is two narrow columns; one global agg emits a
+    single row. Revenue accumulates as scaled longs in both engines
+    (functions/money.py) and the percentage is the same two-IEEE-op
+    divide+multiply on identical operands — bit-identical."""
+    from hephaestus_spark.functions.money import scaled_long
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = scaled_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), dp=4
+    )
+    joined = li.join(p, li.l_partkey == p.p_partkey).select(
+        (F.col("p_type") == "PROMO").alias("is_promo"), cents.alias("c4")
+    )
+    agg = joined.agg(
+        F.sum(F.when(F.col("is_promo"), F.col("c4")).otherwise(0)).alias("promo_c"),
+        F.sum("c4").alias("total_c"),
+    )
+    return agg.select(
+        (
+            F.col("promo_c").cast("double") / F.col("total_c").cast("double") * 100.0
+        ).alias("promo_pct"),
+        (F.col("promo_c").cast("double") / 10000.0).alias("promo_revenue"),
+        (F.col("total_c").cast("double") / 10000.0).alias("total_revenue"),
+    )
+
+
+@query(
+    "x_tpch_q19",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+       OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def x_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive multi-attribute predicates): the OR
+    can't ride the equi-join, but its part-only implicant CAN pre-filter
+    the build side — part shrinks to the 3 brand/size windows before the
+    join (a ~97% build-side cut the optimizer won't derive on its own),
+    and the full disjunction evaluates as the post-join residual. The
+    lineitem side keeps only the 3 columns the residual needs."""
+    part_pred = (
+        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#17") & F.col("p_size").between(10, 30))
+        | ((F.col("p_brand") == "Brand#25") & F.col("p_size").between(20, 50))
+    )
+    q = F.col("l_quantity")
+    full_pred = (
+        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 15) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#17") & F.col("p_size").between(10, 30) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#25") & F.col("p_size").between(20, 50) & q.between(20, 40))
+    )
+    p = _t(spark, sf_dir, "part").filter(part_pred).select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(full_pred)
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            sum_money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), dp=4
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "x_tpch_q22",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+             CAST(count(*) AS BIGINT) AS n_pos
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS totacctbal
+    FROM customer, pos
+    WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * n_pos > total_cents
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def x_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (rich customers with no urgent orders — the
+    classic "no orders at all" predicate is degenerate on this data,
+    where every customer has orders, cf. q07's 0 rows): global-avg
+    scalar subquery + anti join + keyed agg. The above-average test is
+    an EXACT integer cross-multiply — cents * n_pos > total_cents — in
+    both engines, so no boundary row can flip on a last-ulp difference
+    of a double average (the q34 failure class, designed out rather
+    than tolerated). The 1-row aggregate broadcasts via crossJoin, the
+    anti join streams customer against orders' custkey column, and the
+    final agg groups by nation."""
+    from hephaestus_spark.functions.money import scaled_long
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal",
+        scaled_long(F.col("c_acctbal")).alias("cents"),
+    )
+    pos = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum("cents").alias("total_cents"),
+            F.count("*").alias("n_pos"),
+        )
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("cents") * F.col("n_pos") > F.col("total_cents"))
+    )
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            sum_money(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
