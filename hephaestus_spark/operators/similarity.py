@@ -242,3 +242,185 @@ def ivf_assign(
         .filter(F.col("_rn") <= n_probe)
         .drop("_rn", "_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the ANN compression path that makes 100 TB
+# of embeddings searchable. A d-dim vector becomes m sub-vector codes
+# (one byte-ish each, k codewords per subspace): 64 float32 dims -> 8
+# int codes is a ~32x memory/bandwidth cut, and query scoring becomes
+# m table lookups (ADC) instead of d multiplies. References: Jegou et
+# al., "Product Quantization for Nearest Neighbor Search" (public
+# paper); same layout Faiss IVF-PQ uses.
+# ---------------------------------------------------------------------------
+
+
+def _lit_vec(v) -> str:
+    return "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in v) + ")"
+
+
+def _lit_mat(mat) -> str:
+    return "array(" + ",".join(_lit_vec(r) for r in mat) + ")"
+
+
+def _pq_sub(vec_col: str, j: int, d: int) -> str:
+    """SQL: subspace-j slice of the vector, as doubles (1-based slice)."""
+    return (
+        f"transform(slice({vec_col}, {j * d + 1}, {d}), x -> CAST(x AS DOUBLE))"
+    )
+
+
+def _pq_code_expr(vec_col: str, codebook, j: int, d: int) -> str:
+    """SQL: nearest-codeword index (0-based) for subspace j.
+
+    transform over the literal codebook computes the k squared
+    distances; array_position(min) takes the FIRST minimum — a
+    deterministic lowest-index tiebreak in both training and encoding."""
+    cb = _lit_mat(codebook)
+    sub = _pq_sub(vec_col, j, d)
+    dists = (
+        f"transform({cb}, c -> aggregate(zip_with({sub}, c,"
+        f" (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (a, v) -> a + v))"
+    )
+    return f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Train m per-subspace codebooks (k codewords each) with Lloyd
+    rounds. Returns the codebook cube as a Python list [m][k][d/m] —
+    the MODEL lives on the driver (m*k*d doubles, ~8 KB here), exactly
+    the kmeans model/data split; the data never leaves executors.
+
+    Per round ONE job over the corpus: codes for all m subspaces are
+    scan-side expressions against the literal codebook cube (no
+    crossJoin — k distance exprs per subspace, codegen'd), and the
+    update is a single keyed shuffle on (subspace, code, position)
+    whose output is m*k*d rows. Rounds are driver-controlled only.
+
+    Determinism: init = sub-vectors of the k lowest-id vectors; FIRST-
+    minimum tiebreak in assignment; empty codes keep their previous
+    codeword. Same corpus -> same codebooks, run-to-run."""
+    dim = len(vectors.select(vec_col).first()[0])
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    d = dim // m
+    seed_rows = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    assert len(seed_rows) >= k, f"need >= {k} vectors to seed {k} codewords"
+    cube = [
+        [[float(r[0][j * d + p]) for p in range(d)] for r in seed_rows]
+        for j in range(m)
+    ]
+    for _ in range(n_iter):
+        code_cols = [
+            F.expr(_pq_code_expr(vec_col, cube[j], j, d)).alias(f"_c{j}")
+            for j in range(m)
+        ]
+        enc = vectors.select(vec_col, *code_cols)
+        sub = enc.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.col(f"_c{j}").alias("code"),
+                            F.expr(_pq_sub(vec_col, j, d)).alias("sv"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("s")
+        ).select("s.j", "s.code", F.posexplode("s.sv").alias("pos", "v"))
+        means = (
+            sub.groupBy("j", "code", "pos")
+            .agg(F.avg("v").alias("mv"))
+            .collect()
+        )
+        new_cube = [[list(cw) for cw in cb] for cb in cube]  # keep empties
+        for r in means:
+            new_cube[r["j"]][r["code"]][r["pos"]] = float(r["mv"])
+        cube = new_cube
+    return cube
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """array<int> of m nearest-codeword indices per vector — a pure
+    scan-side projection against the literal codebooks (no UDF, no
+    shuffle, no model broadcast round-trip). This column is what a
+    100 TB deployment persists instead of raw floats."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    codes = ", ".join(_pq_code_expr(vec_col, codebooks[j], j, d) for j in range(m))
+    return df.withColumn(out_col, F.expr(f"array({codes})"))
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k_final: int = 5,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """ADC (asymmetric distance) top-k with exact rerank.
+
+    Each query precomputes its LUT — sqdist(query sub-vector, codeword)
+    for all m*k cells — as one scan-side array<array<double>>; the
+    (small) query side broadcasts with its LUTs attached. Scoring a
+    corpus row is then m element_at lookups + adds, NOT d multiplies:
+    the bandwidth shape that scans billions of codes per node. The top
+    ``rerank`` ADC candidates per query are re-scored with exact cosine
+    on the raw vectors and the true top ``k_final`` emitted — standard
+    PQ practice (quantization error moves neighbors a few ranks, almost
+    never out of the top-R)."""
+    from pyspark.sql.window import Window as W
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    luts = "array(" + ", ".join(
+        f"transform({_lit_mat(codebooks[j])}, c -> aggregate("
+        f"zip_with({_pq_sub('_qvec', j, d)}, c, (x, y) -> (x - y) * (x - y)),"
+        f" CAST(0 AS DOUBLE), (a, v) -> a + v))"
+        for j in range(m)
+    ) + ")"
+    q = queries.select(
+        F.col(id_col).alias(query_id), F.col(vec_col).alias("_qvec")
+    ).withColumn("_lut", F.expr(luts))
+    # [] indexing is 0-based in Spark SQL (element_at is the 1-based one)
+    adc = (
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE),"
+        f" (acc, j) -> acc + _lut[j][{codes_col}[j]])"
+    )
+    scored = (
+        codes_df.join(F.broadcast(q), F.col(id_col) != F.col(query_id))
+        .select(query_id, id_col, vec_col, "_qvec", F.expr(adc).alias("_adc"))
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+    cands = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= rerank
+    )
+    w2 = W.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        cands.select(query_id, id_col, cosine("_qvec", vec_col).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k_final)
+        .select(query_id, id_col, "cos_sim", F.col("rn").cast("bigint").alias("rn"))
+    )

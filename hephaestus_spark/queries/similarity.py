@@ -323,3 +323,25 @@ def x_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").cast("int").alias("cluster_id"),
         F.round(F.col("sq_dist"), 6).alias("sq_dist"),
     )
+
+
+@query("x_ann_pq")  # rows-only: PQ quantization error is approximate by design
+def x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py pq_*): train
+    8 sub-space codebooks (16 codewords each, 5 Lloyd rounds), encode
+    the corpus to 8 int codes per vector (~32x smaller than the raw
+    floats — the compression a 100 TB embedding table needs before it
+    is searchable at all), then answer the same 5 queries q34 uses via
+    ADC — per-query LUT of m*k cell distances, scoring = 8 lookups per
+    corpus row instead of 64 multiplies — with an exact-cosine rerank
+    of the top-50. Deterministic end-to-end (seeded init, first-min
+    tiebreaks), so rows-only still yields a stable hash across runs;
+    recall vs the exact top-k is asserted in tests/test_pq.py."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cbs = sim.pq_train(e, m=8, k=16, n_iter=5)
+    codes = sim.pq_encode(e, cbs)
+    queries = e.filter(F.col("vec_id").between(0, 4))
+    out = sim.pq_adc_topk(codes, queries, cbs, k_final=5, rerank=50)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rn"
+    )
