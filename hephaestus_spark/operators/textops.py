@@ -266,3 +266,13 @@ def stopword_hits(tokens_expr: str, words: list[str]) -> str:
     """SQL snippet: number of tokens that are in `words`."""
     lst = ", ".join(f"'{w}'" for w in words)
     return f"size(filter({tokens_expr}, t -> t IN ({lst})))"
+
+
+def url_domain(url_col: str) -> F.Column:
+    """Normalized registrable host of a URL-ish string: lowercase,
+    scheme and leading www. stripped, path/query dropped. Pure regex
+    projection (scan-side, zero shuffle); the pattern is RE2-compatible
+    so a DuckDB oracle can run the identical extraction."""
+    return F.regexp_extract(
+        F.lower(F.col(url_col)), r"^[a-z]+://(www\.)?([^/?]+)", 2
+    )

@@ -690,3 +690,85 @@ def x_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.col("n_tokens").cast("double") / F.col("corpus_tok")).alias("token_share"),
     )
+
+
+@query(
+    "x_blocklist_filter",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0
+                  THEN text || ' Click Here To Subscribe today'
+                  ELSE text END AS text,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'HTTPS://WWW.' || source || '.example.' || lang
+                       || '/doc/' || CAST(doc_id AS VARCHAR)
+                  ELSE 'http://' || source || '.example.' || lang
+                       || '/path?q=' || CAST(doc_id AS VARCHAR) END AS url
+      FROM documents
+    ),
+    normed AS (
+      SELECT doc_id, text,
+             regexp_extract(lower(url), '^[a-z]+://(www\\.)?([^/?]+)', 2) AS domain
+      FROM urls
+    )
+    SELECT doc_id, domain,
+           CASE WHEN len(list_filter(['src3.example', 'src7.example', 'src12.example'],
+                                     b -> starts_with(domain, b || '.'))) > 0
+                THEN 'blocked_domain'
+                WHEN contains(lower(text), 'click here to subscribe')
+                  OR contains(lower(text), 'lorem ipsum')
+                THEN 'blocked_phrase'
+                ELSE 'ok' END AS verdict
+    FROM normed
+    """,
+)
+def x_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-side blocklist filtering — the stage every web-scale
+    training corpus runs before any content analysis: normalize each
+    doc's URL (lowercase, strip scheme + www., drop path/query —
+    operators/textops.py::url_domain), block registrable domains on a
+    blocklist (matched across every TLD suffix), and block boilerplate
+    phrases. Blocklists are tiny by nature, so both checks inline as
+    literal-array `exists` / `contains` expressions: scan-side,
+    codegen'd, ZERO shuffle and zero joins regardless of corpus size —
+    at 100 TB this folds into whatever scan reads the corpus first.
+    URLs are synthesized deterministically from (source, lang, doc_id)
+    with mixed-case/scheme variants so the normalization is actually
+    exercised; output is strings only (no float channel)."""
+    from hephaestus_spark.operators.textops import url_domain
+
+    d = load_table(spark, sf_dir, "documents")
+    # seed a boilerplate phrase (mixed case) so the phrase gate fires
+    text = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.col("text"), F.lit(" Click Here To Subscribe today")),
+    ).otherwise(F.col("text"))
+    url = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"), F.lit(".example."),
+            F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example."),
+            F.col("lang"), F.lit("/path?q="), F.col("doc_id").cast("string"),
+        )
+    )
+    normed = d.select("doc_id", text.alias("text"), url.alias("url")).select(
+        "doc_id", "text", url_domain("url").alias("domain")
+    )
+    blocked_domain = F.expr(
+        "exists(array('src3.example', 'src7.example', 'src12.example'),"
+        " b -> startswith(domain, concat(b, '.')))"
+    )
+    blocked_phrase = F.lower(F.col("text")).contains(
+        "click here to subscribe"
+    ) | F.lower(F.col("text")).contains("lorem ipsum")
+    verdict = (
+        F.when(blocked_domain, F.lit("blocked_domain"))
+        .when(blocked_phrase, F.lit("blocked_phrase"))
+        .otherwise(F.lit("ok"))
+    )
+    return normed.select("doc_id", "domain", verdict.alias("verdict"))

@@ -155,3 +155,67 @@ def test_repetition_and_source_mix_stay_jvm(spark, sf_dir):
     for name in ("x_repetition_stats", "x_source_mix"):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
+
+
+def test_q19_shape_build_side_prefiltered(spark, sf_dir):
+    """x_tpch_q19: the part-only implicant of the OR must reach the
+    part scan (PushedFilters mentions p_brand), and the join must stay
+    hash-based — a naive OR-join would degenerate to nested-loop."""
+    plan = plan_of(spark, sf_dir, "x_tpch_q19")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # brand/size implicant reaches the part scan as a pushed filter
+    assert "EqualTo(p_brand,Brand#2)" in plan
+    # Catalyst additionally derives the quantity-range union for the
+    # lineitem scan from the OR — keep that too
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+
+
+def test_blocklist_filter_is_scan_side(spark, sf_dir):
+    """x_blocklist_filter: blocklists inline as literal arrays — the
+    whole query must be a single scan with NO shuffle and NO join."""
+    plan = plan_of(spark, sf_dir, "x_blocklist_filter")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_encode_is_scan_side(spark, sf_dir):
+    """pq_encode: codes come from literal-codebook expressions — a pure
+    projection (no shuffle, no Python, no join)."""
+    import hephaestus_spark.operators.similarity as sim
+    from hephaestus_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cbs = sim.pq_train(e, m=4, k=8, n_iter=1)
+    df = sim.pq_encode(e, cbs)
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q33_capped_candidates_have_no_window(spark, sf_dir):
+    """r5 plan shape: the capped candidate stage is a (t, v) aggregate
+    + explode — the r4 count window (evaluated once per self-join side)
+    must be gone."""
+    from hephaestus_spark.operators.textops import (
+        minhash_candidate_pairs, minhash_signature_table, shingle_table)
+    from hephaestus_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = minhash_signature_table(shingle_table(d, n=5), n_tables=4)
+    cand = minhash_candidate_pairs(sig, n_tables=4, bucket_cap=100)
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cand.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "collect_list" in plan
