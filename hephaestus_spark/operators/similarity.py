@@ -424,3 +424,113 @@ def pq_adc_topk(
         .filter(F.col("rn") <= k_final)
         .select(query_id, id_col, "cos_sim", F.col("rn").cast("bigint").alias("rn"))
     )
+
+
+def ivfpq_encode(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """IVF-PQ index rows: (id, list, residual PQ codes, raw vector).
+
+    Classic Jegou-style composition: each vector is PQ-encoded on its
+    RESIDUAL from its coarse centroid (residuals concentrate near the
+    origin, so the same codebook budget quantizes them much more finely
+    than raw vectors). The residual is a zip_with projection against
+    the broadcast centroid row, and the codes come from the literal
+    codebooks — everything scan-side after the one broadcast join. At
+    100 TB the output is written partitioned by ``centroid_id``: each
+    probe then reads exactly nprobe partitions."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    res = (
+        f"zip_with({vec_col}, {centroid_vec},"
+        f" (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    )
+    withres = assigned.join(F.broadcast(centroids), centroid_id).withColumn(
+        "_res", F.expr(res)
+    )
+    codes = ", ".join(_pq_code_expr("_res", codebooks[j], j, d) for j in range(m))
+    return withres.select(
+        id_col, centroid_id, vec_col, F.expr(f"array({codes})").alias("pq_codes")
+    )
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    queries_assigned: DataFrame,
+    centroids: DataFrame,
+    codebooks: list,
+    k_final: int = 5,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """ADC search over an IVF-PQ index with exact rerank.
+
+    ``queries_assigned`` carries one row per (query, probed centroid)
+    (ivf_assign with n_probe > 1). Each probe row computes its OWN LUT
+    against the query's residual from THAT centroid — the asymmetric
+    trick that makes residual coding work — then scores only the rows
+    of the probed list via the (centroid_id) equi-join: the corpus
+    outside the probed lists is never touched (partition pruning at
+    scale). Scoring = m lookups; top-``rerank`` ADC candidates get an
+    exact-cosine rerank on the raw vectors."""
+    from pyspark.sql.window import Window as W
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    qres = (
+        f"zip_with(_qvec, {centroid_vec},"
+        f" (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    )
+    luts = "array(" + ", ".join(
+        f"transform({_lit_mat(codebooks[j])}, c -> aggregate("
+        f"zip_with({_pq_sub('_qres', j, d)}, c, (x, y) -> (x - y) * (x - y)),"
+        f" CAST(0 AS DOUBLE), (a, v) -> a + v))"
+        for j in range(m)
+    ) + ")"
+    q = (
+        queries_assigned.select(
+            F.col(id_col).alias(query_id),
+            F.col(vec_col).alias("_qvec"),
+            centroid_id,
+        )
+        .join(F.broadcast(centroids), centroid_id)
+        .withColumn("_qres", F.expr(qres))
+        .withColumn("_lut", F.expr(luts))
+        .select(query_id, "_qvec", centroid_id, "_lut")
+    )
+    adc = (
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE),"
+        f" (acc, j) -> acc + _lut[j][pq_codes[j]])"
+    )
+    scored = (
+        index.join(
+            F.broadcast(q),
+            (index[centroid_id] == q[centroid_id])
+            & (F.col(id_col) != F.col(query_id)),
+        )
+        .select(query_id, id_col, vec_col, "_qvec", F.expr(adc).alias("_adc"))
+    )
+    # a corpus vector lives in exactly one list, but a query probing
+    # several lists scores it once per probe only if lists overlap —
+    # they don't (unique corpus assignment), so no dedup is needed
+    w = W.partitionBy(query_id).orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+    cands = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= rerank
+    )
+    w2 = W.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        cands.select(query_id, id_col, cosine("_qvec", vec_col).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k_final)
+        .select(query_id, id_col, "cos_sim", F.col("rn").cast("bigint").alias("rn"))
+    )

@@ -345,3 +345,39 @@ def x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rn"
     )
+
+
+@query("x_ann_ivfpq")  # rows-only: IVF recall + PQ error, approximate by design
+def x_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the full Faiss-style index shape and THE standard
+    billion-vector ANN layout: coarse quantizer (per-label centroids,
+    k-means stand-in) routes each vector to one inverted list; PQ
+    codebooks (8 subspaces x 16 codewords, trained on RESIDUALS from
+    the coarse centroid — residuals concentrate near the origin so the
+    same code budget quantizes far finer); queries probe their 2
+    nearest lists with a per-probe residual LUT and score by ADC (8
+    lookups/row), exact-cosine rerank of the top 50. At 100 TB: the
+    index is written partitioned by centroid_id so each probe is a
+    partition-pruned scan of the codes column — ~32x less bandwidth
+    than raw vectors — and only reranked candidates touch floats.
+    Deterministic end-to-end; recall floor pinned in tests/test_pq.py."""
+    full = load_table(spark, sf_dir, "embeddings")
+    e = full.select("vec_id", "embedding")
+    cent = label_centroids(full)
+    assigned = sim.ivf_assign(e, cent)
+    res = assigned.join(F.broadcast(cent), "centroid_id").withColumn(
+        "residual",
+        F.expr(
+            "zip_with(embedding, centroid,"
+            " (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        ),
+    ).select("vec_id", "residual")
+    cbs = sim.pq_train(res, m=8, k=16, n_iter=4, vec_col="residual")
+    index = sim.ivfpq_encode(assigned, cent, cbs)
+    probes = sim.ivf_assign(
+        e.filter(F.col("vec_id").between(0, 4)), cent, n_probe=2
+    )
+    out = sim.ivfpq_topk(index, probes, cent, cbs, k_final=5, rerank=50)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rn"
+    )

@@ -86,3 +86,63 @@ def test_codes_compress(spark):
     row = sim.pq_encode(e, cbs).select("pq_codes").first()
     assert len(row.pq_codes) == 8
     assert all(0 <= c < 16 for c in row.pq_codes)
+
+
+def test_ivfpq_recall_vs_restricted_exact(spark):
+    """IVF-PQ decomposes error into routing loss (which lists were
+    probed — a coarse-quantizer/data property) and coding loss (ADC on
+    residual codes vs exact distance). This pins the CODING loss: the
+    IVF-PQ top-5 must overlap the exact-cosine top-5 RESTRICTED TO THE
+    PROBED LISTS at >= 90% (measured 0.96; deterministic pipeline).
+    Global recall on these label-uncorrelated synthetic vectors is
+    routing-bound (~0.32 at nprobe=2 of 10 lists) and is not what this
+    operator controls."""
+    from pyspark.sql.window import Window as W
+
+    from hephaestus_spark.queries.similarity import label_centroids
+
+    full = load_table(spark, SF, "embeddings")
+    e = full.select("vec_id", "embedding")
+    cent = label_centroids(full)
+    assigned = sim.ivf_assign(e, cent)
+    res = (
+        assigned.join(F.broadcast(cent), "centroid_id")
+        .withColumn(
+            "residual",
+            F.expr(
+                "zip_with(embedding, centroid,"
+                " (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+            ),
+        )
+        .select("vec_id", "residual")
+    )
+    cbs = sim.pq_train(res, m=8, k=16, n_iter=4, vec_col="residual")
+    index = sim.ivfpq_encode(assigned, cent, cbs)
+    probes = sim.ivf_assign(
+        e.filter(F.col("vec_id").between(0, 4)), cent, n_probe=2
+    )
+    got = {
+        (r.query_id, r.vec_id)
+        for r in sim.ivfpq_topk(index, probes, cent, cbs, 5, 50).collect()
+    }
+    q = probes.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qvec"),
+        F.col("centroid_id").alias("_qc"),
+    )
+    hits = assigned.join(
+        F.broadcast(q),
+        (F.col("centroid_id") == F.col("_qc"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = hits.select(
+        "query_id", "vec_id", sim.cosine("_qvec", "embedding").alias("cs")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("vec_id").asc())
+    restricted = {
+        (r.query_id, r.vec_id)
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .collect()
+    }
+    assert len(got & restricted) / len(restricted) >= 0.90
