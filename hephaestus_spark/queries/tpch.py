@@ -1,0 +1,787 @@
+"""The remaining TPC-H query shapes (Q2, Q4, Q6, Q8, Q9, Q11, Q13,
+Q15, Q16, Q17, Q20, Q21), completing the full 22-query suite.
+
+Q1/Q3/Q5/Q7/Q10/Q12/Q14/Q18/Q19/Q22 already live in relational.py /
+extras.py; with this module every TPC-H access shape — correlated
+scalar subqueries, EXISTS / NOT EXISTS pairs, NOT IN, HAVING against a
+global aggregate, min-per-group-then-join-back — has a Spark-first
+implementation and a DuckDB oracle.
+
+The test schema omits partsupp, l_commitdate/l_receiptdate, o_comment,
+p_container, p_mfgr and c_phone, so each query keeps the ORIGINAL's
+optimizer shape (what makes it hard) while re-targeting predicates at
+the columns that exist; the adaptation is documented per query.
+
+Exactness discipline (functions/money.py): every money sum accumulates
+scaled longs in both engines, and every threshold against an average or
+a fraction of a total is an integer cross-multiply — no boundary row
+can flip on a last-ulp double difference (the r2 q34 failure class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hephaestus_spark.functions.money import scaled_long, sum_money
+from hephaestus_spark.registry import query
+from hephaestus_spark.sources import load_table
+
+_C4 = "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "x_tpch_q2",
+    oracle="""
+    WITH cand AS (
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
+             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+                     AND p.p_type = 'STANDARD' AND p.p_size <= 15
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey AND r.r_name = 'AMERICA'
+    ), mins AS (
+      SELECT p_partkey, min(cents) AS mc FROM cand GROUP BY 1
+    )
+    SELECT DISTINCT c.s_acctbal, c.s_name, c.n_name, c.p_partkey, c.p_name,
+           CAST(c.cents AS DOUBLE) / 100.0 AS price
+    FROM cand c JOIN mins m ON m.p_partkey = c.p_partkey AND c.cents = m.mc
+    ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, c.p_partkey
+    LIMIT 100
+    """,
+)
+def x_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (cheapest supplier per part): the correlated
+    ``= (SELECT min(...))'' subquery decorrelates into a min-per-group
+    aggregate joined back to the candidate set on (partkey, min-price).
+    No partsupp table here, so lineitem is the part<->supplier
+    association and l_extendedprice stands in for ps_supplycost.
+
+    Scale shape: region/nation broadcast into the supplier join; the
+    part filter prunes the fact rows before any wide shuffle; the
+    min-agg and the join-back share the p_partkey hash partitioning, so
+    AQE reuses one exchange. Min over scaled-long cents is exact, so
+    the join-back equality cannot miss on a double ulp. DISTINCT
+    collapses multiple lineitems at the same (part, supplier, price).
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", scaled_long(F.col("l_extendedprice")).alias("cents")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15))
+        .select("p_partkey", "p_name")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name", "cents")
+    )
+    mins = cand.groupBy("p_partkey").agg(F.min("cents").alias("mc")).select(
+        F.col("p_partkey").alias("min_partkey"), "mc"
+    )
+    return (
+        cand.join(
+            mins,
+            (F.col("p_partkey") == F.col("min_partkey"))
+            & (F.col("cents") == F.col("mc")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            (F.col("cents").cast("double") / 100.0).alias("price"),
+        )
+        .distinct()
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "x_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def x_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (priority check via correlated EXISTS): the
+    original's l_commitdate < l_receiptdate is absent, so "delayed" is
+    re-expressed with the columns we have — a lineitem shipped more
+    than 60 days after its order date, which keeps the interesting
+    part: an EXISTS whose predicate correlates columns from BOTH sides.
+
+    Spark plan: LEFT SEMI hash join on l_orderkey with the shipdate
+    comparison as a residual join condition — one pass over each input,
+    never a count of matches. The quarter filter pushes to the orders
+    scan before the shuffle.
+    """
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )
+
+
+@query(
+    "x_tpch_q6",
+    oracle="""
+    SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def x_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): pure scan-side query — every
+    predicate pushes to the parquet reader (date + discount + quantity
+    are all plain column comparisons, visible as PushedFilters), and
+    the single global sum is map-side combined, so the "shuffle" moves
+    one row per partition. The discount bounds compare doubles, which
+    is safe here: the stored values are the parsed doubles of
+    {0.00..0.10}, and both engines compare the identical bit patterns
+    (asserted by the oracle hash). Keeping the comparison on the raw
+    column — rather than an exact integer rewrite — is what lets it
+    reach the scan.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        sum_money(F.col("l_extendedprice") * F.col("l_discount"), dp=4).alias("revenue"),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
+
+
+@query(
+    "x_tpch_q8",
+    oracle=f"""
+    WITH all_nations AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             {_C4} AS vol, sn.n_name AS nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'AMERICA'
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol ELSE 0 END) AS DOUBLE)
+             / CAST(sum(vol) AS DOUBLE) AS mkt_share,
+           CAST(sum(vol) AS DOUBLE) / 10000.0 AS total_volume
+    FROM all_nations
+    GROUP BY o_year
+    """,
+)
+def x_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): a 7-table join where the
+    share is a conditional-sum / total-sum ratio per year. All four
+    dimension-side inputs (part filter, both nation copies, region)
+    broadcast; the only shuffles are the three fact-fact equi-joins,
+    each carrying two or three narrow columns. Both engines accumulate
+    scaled-long volumes, and the share is one IEEE divide on identical
+    longs — bit-identical without any tolerance.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r), n.n_regionkey == F.col("r_regionkey")
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    vol = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), dp=4)
+    an = (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("vol"),
+            "nation",
+        )
+    )
+    return an.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("nation") == "NATION_3", F.col("vol")).otherwise(0)).cast("double")
+            / F.sum("vol").cast("double")
+        ).alias("mkt_share"),
+        (F.sum("vol").cast("double") / 10000.0).alias("total_volume"),
+    )
+
+
+@query(
+    "x_tpch_q9",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)
+                    - CAST(floor(p.p_retailprice * l.l_quantity * 10000 + 0.5) AS BIGINT) // 10)
+               AS DOUBLE) / 10000.0 AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%gear%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def x_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): profit
+    = revenue - cost per lineitem, aggregated over a 5-way join keyed
+    three different ways. ps_supplycost is absent, so cost is proxied
+    as 10% of p_retailprice * l_quantity — preserving what matters:
+    a per-row arithmetic combination of columns from two join inputs.
+
+    Exactness: revenue and cost each become scaled longs BEFORE the
+    subtraction, so the profit sum is pure int64 arithmetic in both
+    engines (retailprice is 2dp and quantity integral, so cost*10000
+    is a multiple of 10 and the /10 division is exact). The p_name
+    LIKE filter prunes part before broadcast; nation broadcasts into
+    supplier; the fact shuffles carry only narrow columns.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    rev = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), dp=4)
+    cost = (scaled_long(F.col("p_retailprice") * F.col("l_quantity"), dp=4) / 10).cast(
+        "bigint"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (rev - cost).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("amount").cast("double") / 10000.0).alias("sum_profit"))
+    )
+
+
+@query(
+    "x_tpch_q11",
+    oracle=f"""
+    WITH per_part AS (
+      SELECT l.l_partkey, sum({_C4}) AS value_c
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+                     AND n.n_name IN ('NATION_1', 'NATION_2')
+      GROUP BY 1
+    ), total AS (
+      SELECT sum(value_c) AS total_c, count(*) AS n_parts FROM per_part
+    )
+    SELECT p.l_partkey AS partkey,
+           CAST(p.value_c AS DOUBLE) / 10000.0 AS value
+    FROM per_part p, total t
+    WHERE p.value_c * t.n_parts > 2 * t.total_c
+    ORDER BY p.value_c DESC, p.l_partkey
+    """,
+)
+def x_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock: HAVING against a global
+    scalar subquery): per-part value for two nations' suppliers, kept
+    when the part's value exceeds twice the MEAN per-part value.
+    partsupp is absent, so value is lineitem revenue instead of
+    supplycost * availqty — the plan shape (the same aggregate feeding
+    both the groups and the threshold) is unchanged. The original's
+    fixed fraction is deliberately scale-dependent (the spec divides
+    it by SF); testing against the mean keeps the query selective at
+    EVERY scale factor without a per-SF constant.
+
+    Scale shape: the grand total re-aggregates the per-part result
+    (|parts| rows), NOT the fact table — one fact scan total — and
+    crossJoin-broadcasts one row back. The threshold is the integer
+    cross-multiply value_c * n_parts > 2 * total_c: no double
+    fraction, no boundary flips.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    n = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("n_nationkey")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), dp=4)
+            ).alias("value_c")
+        )
+    )
+    total = per_part.agg(
+        F.sum("value_c").alias("total_c"), F.count("*").alias("n_parts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c") * F.col("n_parts") > 2 * F.col("total_c"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("value_c").cast("double") / 10000.0).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+@query(
+    "x_tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def x_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): a LEFT
+    OUTER join whose FILTER LIVES IN THE JOIN CONDITION (not a WHERE —
+    moving it to WHERE would silently drop zero-order customers), a
+    count that must count matches, not rows, and a second aggregation
+    over the first's output. o_comment NOT LIKE is absent, so the
+    join-side filter is on o_orderpriority.
+
+    Scale shape: the first agg shuffles on c_custkey (same key as the
+    join — AQE reuses the exchange); the second agg's input is one row
+    per customer and its key space is tiny (distinct counts), so the
+    final shuffle is trivial. count(o_orderkey) counts non-null
+    matches only, which is the left-join-correct semantics.
+    """
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
+@query(
+    "x_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, sum({_C4}) AS total_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_c AS DOUBLE) / 10000.0 AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_c = (SELECT max(total_c) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def x_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier via a view reused in a scalar
+    subquery): quarterly revenue per supplier, then the supplier(s)
+    whose revenue EQUALS the maximum. The classic trap is computing
+    max(revenue) as a double and testing equality — here revenue stays
+    a scaled long until after the max-equality test, so the `=` is
+    exact int64 comparison in both engines and ties are kept
+    deterministically.
+
+    Scale shape: the revenue view aggregates the date-pruned fact once
+    (|suppliers| output rows); the 1-row max broadcasts back via
+    crossJoin; supplier joins the tiny qualifying set broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), dp=4)
+        ).alias("total_c")
+    )
+    mx = revenue.agg(F.max("total_c").alias("max_c"))
+    top = (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_c") == F.col("max_c"))
+        .select("supplier_no", "total_c")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(F.broadcast(top), s.s_suppkey == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_c").cast("double") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "x_tpch_q16",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#11'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def x_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier count per part attribute, with a NOT
+    IN exclusion subquery): partsupp is absent so lineitem provides the
+    part<->supplier association; the excluded-supplier predicate (the
+    original's "complaints" comment scan) becomes s_acctbal < 0.
+
+    Scale shape: the exclusion list is tiny -> broadcast LEFT ANTI join
+    on the fact (NOT IN over a non-nullable key is exactly anti-join
+    semantics); the part filter broadcasts; count(DISTINCT) runs as
+    Spark's two-phase expand/agg on the (brand, type, size) keys — no
+    driver-side distinct.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#11")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "x_tpch_q17",
+    oracle="""
+    WITH li_b AS (
+      SELECT l.l_partkey, CAST(l.l_quantity AS BIGINT) AS qty,
+             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11')
+    ), pa AS (
+      SELECT l_partkey, sum(qty) AS sq, count(*) AS cnt FROM li_b GROUP BY 1
+    )
+    SELECT CAST(sum(b.cents) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM li_b b JOIN pa ON pa.l_partkey = b.l_partkey
+    WHERE b.qty * 5 * pa.cnt < pa.sq
+    """,
+)
+def x_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity orders vs 0.2 x per-part
+    average): the correlated AVG subquery decorrelates into a per-part
+    aggregate joined back to the same rows. p_container is absent, so
+    the part restriction is brand-only.
+
+    The threshold l_quantity < 0.2 * avg(l_quantity) is the textbook
+    ulp trap (avg is a double divide); since quantities are integral
+    it is rewritten as the exact integer cross-multiply
+    qty * 5 * cnt < sum_qty in BOTH engines — same predicate, no
+    floating point anywhere near the boundary.
+
+    Scale shape: the brand part-list broadcasts and prunes lineitem
+    BEFORE the per-part stats (per-part stats are unchanged by pruning
+    to those parts); the per-part sum/count then ride an UNORDERED
+    window over l_partkey instead of an agg + join-back — one fact
+    scan, one shuffle, no second join, and the test asserts the scan
+    count (test_plans.py). The whole-partition window state is two
+    longs per part.
+    """
+    from pyspark.sql.window import Window
+
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#11")
+        .select("p_partkey")
+    )
+    li_b = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            scaled_long(F.col("l_extendedprice")).alias("cents"),
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        li_b.withColumn("sq", F.sum("qty").over(w))
+        .withColumn("cnt", F.count("*").over(w))
+        .filter(F.col("qty") * 5 * F.col("cnt") < F.col("sq"))
+        .agg(
+            (F.sum("cents").cast("double") / 100.0 / 7.0).alias("avg_yearly"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "x_tpch_q20",
+    oracle="""
+    WITH li96 AS (
+      SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    ), pairs AS (
+      SELECT l_partkey, l_suppkey, sum(q) AS pq FROM li96 GROUP BY 1, 2
+    ), tot AS (
+      SELECT l_partkey, sum(pq) AS tq FROM pairs GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_1')
+      AND s.s_suppkey IN (SELECT p.l_suppkey FROM pairs p
+                          JOIN tot t ON t.l_partkey = p.l_partkey
+                          WHERE p.pq * 4 > t.tq)
+    ORDER BY s.s_suppkey
+    """,
+)
+def x_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (the nested-IN chain: suppliers IN (pairs whose
+    quantity exceeds a fraction of a correlated aggregate) filtered by
+    nation): ps_availqty is absent, so the quantity test becomes "this
+    supplier shipped more than 1/4 of the part's 1996 volume" —
+    keeping the doubly-nested subquery with a correlated aggregate
+    threshold, which is the hard part of Q20.
+
+    Scale shape: the part name-filter broadcasts and semi-prunes the
+    fact first; the per-part total RE-AGGREGATES the per-pair result
+    (co-partitioned on l_partkey — no second fact scan); the fraction
+    test is the integer cross-multiply pq * 4 > tq; qualifying
+    suppliers collapse to a distinct key set that semi-joins supplier.
+    """
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li96 = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select("l_partkey", "l_suppkey", F.col("l_quantity").cast("bigint").alias("q"))
+    )
+    pairs = li96.groupBy("l_partkey", "l_suppkey").agg(F.sum("q").alias("pq"))
+    tot = pairs.groupBy("l_partkey").agg(F.sum("pq").alias("tq"))
+    qualifying = (
+        pairs.join(tot, "l_partkey")
+        .filter(F.col("pq") * 4 > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_1")
+        .select("n_nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    return (
+        s.join(qualifying, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "x_tpch_q21",
+    oracle="""
+    SELECT s.s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN nation n    ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_2'
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def x_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    l_receiptdate > l_commitdate lateness flag is absent, so "late" is
+    l_returnflag = 'R'. The oracle states the literal EXISTS / NOT
+    EXISTS pair; the Spark plan is the DECORRELATED form — per
+    (order, supplier) compute has_late, per order compute the supplier
+    count and the count of suppliers with a late item, then keep pairs
+    where has_late AND n_supp >= 2 AND n_late_supp == 1. The two
+    correlated subqueries collapse into ONE aggregation tree:
+
+      EXISTS other-supplier            <=>  n_supp >= 2
+      NOT EXISTS other late supplier   <=>  n_late_supp == 1 (mine)
+
+    Scale shape: one shuffle of the status-F lineitems on orderkey;
+    the order-level aggregate re-aggregates the pair-level one
+    (co-partitioned, no second fact pass); the winners join back to
+    the pair rows on the same key; nation broadcasts into supplier.
+    At 100 TB this is strictly better than executing two correlated
+    semi/anti joins against the fact table, which would scan and
+    shuffle lineitem three times.
+    """
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    lif = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+    g1 = lif.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_late")
+    )
+    g2 = g1.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("has_late").alias("n_late_supp")
+    )
+    winners = (
+        g1.join(g2, "l_orderkey")
+        .filter(
+            (F.col("has_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
+        .select("l_suppkey")
+    )
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_2")
+        .select("n_nationkey")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        winners.join(s, winners.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

@@ -47,6 +47,7 @@ def load_all() -> None:
         dedup,
         similarity,
         extras,
+        tpch,
     )
 
     # The driver's CORRECTNESS sweep records only the first 50 registered

@@ -219,3 +219,66 @@ def test_q33_capped_candidates_have_no_window(spark, sf_dir):
     plan = buf.getvalue()
     assert "Window" not in plan
     assert "collect_list" in plan
+
+
+# ---------------------------------------------------------------------------
+# r5: the 12 TPC-H completions (queries/tpch.py)
+# ---------------------------------------------------------------------------
+
+def test_tpch_q4_exists_is_semi_join_not_aggregation(spark, sf_dir):
+    """The EXISTS must run as one residual-condition semi join — never
+    a count-matches aggregate or a nested loop over the fact."""
+    plan = plan_of(spark, sf_dir, "x_tpch_q4")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q6_predicates_reach_the_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "x_tpch_q6")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_tpch_q8_dimensions_broadcast(spark, sf_dir):
+    """part filter, both nation copies and region must all broadcast;
+    only the fact-fact joins may shuffle."""
+    plan = plan_of(spark, sf_dir, "x_tpch_q8")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q16_not_in_is_broadcast_anti_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "x_tpch_q16")
+    assert "LeftAnti, BuildRight" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    )
+
+
+def test_tpch_q17_decorrelated_avg_scans_fact_once(spark, sf_dir):
+    """The correlated-avg decorrelation must NOT rescan lineitem for
+    the per-part stats: the sum/count ride a whole-partition window
+    over l_partkey, so the plan is exactly lineitem + part (each scan
+    appears twice in formatted output: tree + detail section), one
+    Window, and no join-back."""
+    plan = plan_of(spark, sf_dir, "x_tpch_q17")
+    assert plan.count("Scan parquet") <= 4  # 2 distinct scans x 2 listings
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["x_tpch_q2", "x_tpch_q9", "x_tpch_q11", "x_tpch_q13", "x_tpch_q15",
+     "x_tpch_q20", "x_tpch_q21"],
+)
+def test_tpch_completions_stay_jvm_and_join_safely(spark, sf_dir, name):
+    """No Python evaluation and no accidental cartesian anywhere in the
+    12 completions (the q11/q15 crossJoin is a 1-row broadcast — Spark
+    plans it as BroadcastNestedLoopJoin over a single row, which is the
+    intended scalar-subquery shape, so only CartesianProduct is
+    banned)."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
