@@ -63,17 +63,35 @@ def scd1_merge(
         .when(in_old & in_new, F.lit(ACTION_SKIP))
         .otherwise(F.lit(ACTION_KEEP))
     )
-    take_new = action.isin(ACTION_INSERT, ACTION_UPDATE)
+    # action ∈ {insert, update}  ⇔  in_new ∧ (¬in_old ∨ differ) — keep it
+    # a plain boolean rather than re-testing the string CASE.
+    take_new = in_new & (~in_old | differ)
 
-    out_cols = [
-        F.coalesce(F.col(f"old.{key}"), F.col(f"new.{key}")).alias(key)
-    ] + [
-        F.when(take_new, F.col(f"new.{c}")).otherwise(F.col(f"old.{c}")).alias(c)
+    # Two-stage projection on purpose: ``__take_new`` (and ``action``)
+    # are each referenced by several output columns, and inlining them
+    # per column exploded the generated projection ~4x (per-column CASE
+    # trees), bloating codegen enough to thrash Janino's class cache in
+    # long sessions. Non-cheap aliases referenced more than once are
+    # NOT re-inlined by CollapseProject, so the flags are computed once.
+    mid_cols = (
+        [F.coalesce(F.col(f"old.{key}"), F.col(f"new.{key}")).alias(key)]
+        + [F.col(f"old.{c}").alias(f"__o_{c}") for c in compare_cols]
+        + [F.col(f"new.{c}").alias(f"__n_{c}") for c in compare_cols]
+        + [take_new.alias("__take_new")]
+    )
+    if with_action:
+        mid_cols.append(action.alias("action"))
+    mid = joined.select(*mid_cols)
+
+    out_cols = [F.col(key)] + [
+        F.when(F.col("__take_new"), F.col(f"__n_{c}"))
+        .otherwise(F.col(f"__o_{c}"))
+        .alias(c)
         for c in compare_cols
     ]
     if with_action:
-        out_cols.append(action.alias("action"))
-    return joined.select(*out_cols)
+        out_cols.append(F.col("action"))
+    return mid.select(*out_cols)
 
 
 def conditional_reset(

@@ -1086,3 +1086,44 @@ def x_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_money(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+from hephaestus_spark.operators.layout import zorder_sql as _zorder_sql
+
+_Z_SQL = _zorder_sql(["l_partkey", "l_suppkey"])
+
+
+@query(
+    "x_zorder_key",
+    # The oracle's bit formula is GENERATED from the same loop as the
+    # Spark expression (operators/layout.py) — the two spellings cannot
+    # drift independently.
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, zkey FROM (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             {_Z_SQL} AS zkey
+      FROM lineitem
+    ) ORDER BY zkey, l_orderkey, l_linenumber LIMIT 200
+    """,
+)
+def x_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
+    the data-layout primitive behind multi-dimensional file skipping
+    (operators/layout.py has the full scale rationale). Emits the 200
+    smallest keys with their coordinates; deterministic tiebreaks. The
+    real usage is ``repartitionByRange('zkey').sortWithinPartitions(
+    'zkey')`` before a partitioned write, so min-max stats prune files
+    for filters on EITHER key; tests/test_layout.py measures that the
+    z-sorted layout shrinks per-bucket bounding boxes on both
+    dimensions vs a single-column sort."""
+    from hephaestus_spark.operators.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return (
+        li.withColumn("zkey", zorder_key(["l_partkey", "l_suppkey"]))
+        .orderBy("zkey", "l_orderkey", "l_linenumber")
+        .limit(200)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "zkey")
+    )

@@ -772,3 +772,65 @@ def x_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("ok"))
     )
     return normed.select("doc_id", "domain", verdict.alias("verdict"))
+
+
+# --------------------------------------------------------------------------
+# r5: TF-IDF keyword extraction (per-document top terms)
+# --------------------------------------------------------------------------
+@query(
+    "x_tfidf_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({_TOKENS_DUCK}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    )
+    SELECT doc_id, token, tf, df, weight FROM (
+      SELECT t.doc_id, t.token, t.tf, d.df,
+             (t.tf * 1000000 * n.n_docs) // d.df AS weight,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY (t.tf * 1000000 * n.n_docs) // d.df DESC, t.token ASC
+             ) AS rn
+      FROM tf t JOIN df d USING (token), n
+    ) WHERE rn <= 5
+    """,
+)
+def x_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-5 terms by a TF-IDF-family
+    rarity weight. The weight is the LINEAR-idf variant
+    ``tf * S * N / df`` as one integer division (S = 1e6 resolution) —
+    chosen over ``tf * ln(N/df)`` because ln() is libm-dependent and
+    the two engines' last-ulp disagreement could flip a rank at some
+    scale (the q34 failure class); the integer form is bit-identical
+    everywhere, and per fixed (N, df) it orders docs exactly like the
+    log form. Overflow bound: tf*S*N < 2^63 holds to N ≈ 9e12/tf docs;
+    a 1e10-doc corpus with tf ≤ 1e3 would drop S to 1e3.
+
+    Scale shape: tf is one (doc, token) hash-agg; df RE-AGGREGATES the
+    tf output (no second corpus pass); the df join shuffles on token —
+    skewed for stopwords, which is exactly what AQE skew-join splits —
+    and the 1-row doc count broadcasts via crossJoin. The top-5 window
+    partitions by doc_id: millions of tiny partitions, no global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg(F.count("*").alias("n_docs"))
+    tok = d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("weight", F.expr("div(tf * 1000000 * n_docs, df)"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("weight").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "token", "tf", "df", "weight")
+    )
