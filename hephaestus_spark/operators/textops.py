@@ -276,3 +276,33 @@ def url_domain(url_col: str) -> F.Column:
     return F.regexp_extract(
         F.lower(F.col(url_col)), r"^[a-z]+://(www\.)?([^/?]+)", 2
     )
+
+
+def minhash_probe_pairs(
+    batch_sig: DataFrame,
+    corpus_sig: DataFrame,
+    n_tables: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-sided LSH probe: (batch_id, corpus_id) candidates for an
+    incoming batch against an existing corpus signature table.
+
+    The daily-ingest shape at 100 TB: the corpus signatures are a
+    MAINTAINED table (bucketed/partitioned on its band keys on disk),
+    so dedup of a new batch never re-shuffles the corpus — the batch's
+    band rows (|batch| x n_tables, typically MBs) BROADCAST into a map-
+    side join against the corpus bands. No corpus self-join, no
+    quadratic channel at all on the corpus side: fan-out is |batch
+    bucket| x |corpus bucket| only where band values collide.
+    """
+    b = _minhash_buckets(batch_sig, n_tables, id_col).withColumnRenamed(
+        id_col, "batch_id"
+    )
+    c = _minhash_buckets(corpus_sig, n_tables, id_col).withColumnRenamed(
+        id_col, "corpus_id"
+    )
+    return (
+        c.join(F.broadcast(b), ["t", "v"])
+        .select("batch_id", "corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from hephaestus_spark.operators.textops import (
     minhash_candidate_pairs,
+    minhash_probe_pairs,
     minhash_signature_table,
     shingle_table,
     simhash_signatures,
@@ -546,4 +547,93 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pii, "doc_id", "left")
         .join(rep, "doc_id", "left")
         .select("doc_id", status.alias("status"))
+    )
+
+
+# --------------------------------------------------------------------------
+# r5: incremental dedup — a new batch probed against the existing corpus
+# --------------------------------------------------------------------------
+@query(
+    "x_incremental_dedup",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    batch AS (
+      SELECT doc_id + 3000000 AS doc_id, text || '{_SUFFIX}' AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    sh_c AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_transform(range(1, greatest(len({_TOKENS_DUCK}) - 3, 1)),
+                       i -> array_to_string(list_slice({_TOKENS_DUCK}, CAST(i AS INTEGER), CAST(i + 4 AS INTEGER)), ' '))
+      )) AS shingle
+      FROM corpus
+    ),
+    sh_b AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_transform(range(1, greatest(len({_TOKENS_DUCK}) - 3, 1)),
+                       i -> array_to_string(list_slice({_TOKENS_DUCK}, CAST(i AS INTEGER), CAST(i + 4 AS INTEGER)), ' '))
+      )) AS shingle
+      FROM batch
+    ),
+    sz_c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh_c GROUP BY doc_id),
+    sz_b AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh_b GROUP BY doc_id),
+    inter AS (
+      SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sh_b b JOIN sh_c c ON b.shingle = c.shingle
+      GROUP BY 1, 2
+    )
+    SELECT batch_id, corpus_id,
+           n_common * 1.0 / (sb.n_sh + sc.n_sh - n_common) AS jaccard
+    FROM inter
+    JOIN sz_b sb ON sb.doc_id = batch_id
+    JOIN sz_c sc ON sc.doc_id = corpus_id
+    WHERE n_common * 1.0 / (sb.n_sh + sc.n_sh - n_common) >= 0.8
+    """,
+)
+def x_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: a new ingest batch (every doc_id % 10
+    document re-crawled with a suffix, under a fresh id) probed against
+    the EXISTING corpus — the daily shape of production dedup, where
+    re-running the full corpus self-join every day would be a 100 TB
+    shuffle for a GB of new data.
+
+    Plan: the corpus signature table is computed once (in production:
+    maintained incrementally, stored bucketed on the band keys); the
+    batch's band rows broadcast into the corpus bands
+    (operators/textops.py::minhash_probe_pairs — the corpus is never
+    shuffled for candidates), then the verify stage joins the corpus
+    signatures ONCE on corpus_id and broadcasts the batch's shingle
+    sets. Total corpus cost per batch: one band-table map-side join +
+    one keyed join on the candidate ids — both linear, both
+    batch-size-bounded. Jaccard is int/int division, exact in both
+    engines; recall loss is (1-J)^8 per true pair as in q33.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_SUFFIX)).alias("text"),
+    )
+    corpus_sig = minhash_signature_table(
+        shingle_table(d, n=5), n_tables=8, hash_shingles=True
+    )
+    batch_sig = minhash_signature_table(
+        shingle_table(batch, n=5), n_tables=8, hash_shingles=True
+    ).persist()
+    cand = minhash_probe_pairs(batch_sig, corpus_sig, n_tables=8)
+    sb = batch_sig.select(
+        F.col("doc_id").alias("batch_id"), F.col("shingles").alias("sh_b")
+    )
+    sc = corpus_sig.select(
+        F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_c")
+    )
+    n_common = F.size(F.array_intersect("sh_b", "sh_c")).cast("bigint")
+    jac = n_common * 1.0 / (
+        F.size("sh_b").cast("bigint") + F.size("sh_c").cast("bigint") - n_common
+    )
+    return (
+        cand.join(sc, "corpus_id")
+        .join(F.broadcast(sb), "batch_id")
+        .select("batch_id", "corpus_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
     )

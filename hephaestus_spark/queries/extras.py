@@ -356,11 +356,31 @@ def x_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape (local-supplier volume): a 6-table star-plus-fact
-    pipeline. nation/region broadcast (tiny dims); the local-supplier
-    constraint c_nationkey = s_nationkey rides the supplier join as an
-    extra conjunct, not a separate shuffle. The date filter pushes to
-    the orders scan, pruning before the first join."""
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    pipeline. The region membership (r_name = 'ASIA') is pushed INTO
+    both customer and supplier before any fact join — the constraint
+    c_nationkey = s_nationkey ∧ s_nationkey ∈ ASIA implies both sides
+    are ASIA, so pre-filtering via the broadcast nation⨝region dim cuts
+    ~|other regions|/|regions| of every downstream join's traffic
+    (Catalyst cannot derive this itself: the implication crosses the
+    equi-conjunct). The local-supplier constraint then rides the
+    supplier join as an extra conjunct, not a separate shuffle; the
+    date filter pushes to the orders scan."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    asia = n.join(F.broadcast(r), n.n_regionkey == F.col("r_regionkey")).select(
+        "n_nationkey", "n_name"
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(asia.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+    )
     o = (
         _t(spark, sf_dir, "orders")
         .filter(
@@ -372,10 +392,8 @@ def x_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
-        "r_regionkey"
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey").join(
+        F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey")
     )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
@@ -385,8 +403,6 @@ def x_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             (li.l_suppkey == s.s_suppkey)
             & (F.col("c_nationkey") == s.s_nationkey),
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
             sum_money(
