@@ -48,6 +48,7 @@ def load_all() -> None:
         similarity,
         extras,
         tpch,
+        training,
     )
 
     # The driver's CORRECTNESS sweep records only the first 50 registered
