@@ -812,19 +812,24 @@ def x_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     log form. Overflow bound: tf*S*N < 2^63 holds to N ≈ 9e12/tf docs;
     a 1e10-doc corpus with tf ≤ 1e3 would drop S to 1e3.
 
-    Scale shape: tf is one (doc, token) hash-agg; df RE-AGGREGATES the
-    tf output (no second corpus pass); the df join shuffles on token —
-    skewed for stopwords, which is exactly what AQE skew-join splits —
-    and the 1-row doc count broadcasts via crossJoin. The top-5 window
-    partitions by doc_id: millions of tiny partitions, no global sort.
+    Scale shape: tf is one (doc, token) hash-agg; df rides a
+    whole-partition COUNT WINDOW over token on the tf output — a
+    groupBy-then-join-back spelling re-scanned and re-aggregated the
+    corpus (column pruning made the two tf subtrees non-identical, so
+    even runtime ReuseExchange could not dedupe them; asserted in
+    test_plans.py), while the window is one shuffle of the (doc,
+    token, tf) rows and nothing else. Stopword keys make that shuffle
+    skewed — the same skew the join had — and the whole-partition
+    window state is a single count. The 1-row doc count broadcasts
+    via crossJoin. The top-5 window partitions by doc_id: millions of
+    tiny partitions, no global sort.
     """
     d = load_table(spark, sf_dir, "documents")
     n = d.agg(F.count("*").alias("n_docs"))
     tok = d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("token").agg(F.count("*").alias("df"))
     scored = (
-        tf.join(df, "token")
+        tf.withColumn("df", F.count("*").over(W.partitionBy("token")))
         .crossJoin(F.broadcast(n))
         .withColumn("weight", F.expr("div(tf * 1000000 * n_docs, df)"))
     )

@@ -282,3 +282,46 @@ def test_tpch_completions_stay_jvm_and_join_safely(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_df_is_single_corpus_pass(spark, sf_dir):
+    """df must ride a count window over the tf rows (no second corpus
+    scan — a groupBy+join-back spelling re-scanned AND re-shingled the
+    corpus, and runtime ReuseExchange could not dedupe the pruned
+    subtrees): the plan reads documents for tf and for the 1-row doc
+    count only — 2 distinct scans (x2 formatted listings), one Window
+    over token, no Python."""
+    plan = plan_of(spark, sf_dir, "x_tfidf_keywords")
+    assert plan.count("Scan parquet") <= 4
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_dedup_broadcasts_batch_not_corpus(spark, sf_dir):
+    """The batch side must broadcast into the corpus bands and the
+    batch shingles into the verify join — the corpus is never on the
+    build side of a broadcast."""
+    plan = plan_of(spark, sf_dir, "x_incremental_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["x_pack_sequences", "x_negative_sampling", "x_zorder_key"]
+)
+def test_training_and_layout_ops_stay_jvm(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_window_is_sharded(spark, sf_dir):
+    """The packing window must partition by shard — a global (empty
+    partition-by) running sum would serialize the corpus through one
+    task."""
+    plan = plan_of(spark, sf_dir, "x_pack_sequences")
+    assert "Window" in plan
+    import re as _re
+    wline = next(l for l in plan.splitlines() if "partitionBy" in l.lower() or "windowspecdefinition(shard" in l.lower() or "Arguments" in l and "shard" in l)
+    assert "shard" in wline
