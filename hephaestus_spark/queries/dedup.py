@@ -553,9 +553,7 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # r5: incremental dedup — a new batch probed against the existing corpus
 # --------------------------------------------------------------------------
-@query(
-    "x_incremental_dedup",
-    oracle=f"""
+_INCREMENTAL_DEDUP_SQL = f"""
     WITH corpus AS (SELECT doc_id, text FROM documents),
     batch AS (
       SELECT doc_id + 3000000 AS doc_id, text || '{_SUFFIX}' AS text
@@ -589,8 +587,10 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sz_b sb ON sb.doc_id = batch_id
     JOIN sz_c sc ON sc.doc_id = corpus_id
     WHERE n_common * 1.0 / (sb.n_sh + sc.n_sh - n_common) >= 0.8
-    """,
-)
+    """
+
+
+@query("x_incremental_dedup", oracle=_INCREMENTAL_DEDUP_SQL)
 def x_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dedup: a new ingest batch (every doc_id % 10
     document re-crawled with a suffix, under a fresh id) probed against
@@ -637,3 +637,66 @@ def x_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("batch_id", "corpus_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
+
+
+@query(
+    "x_stream_incremental_dedup",
+    # Full delivery + a static corpus index make the streamed union
+    # equal the one-shot batch probe, so the oracle is the same SQL as
+    # x_incremental_dedup (each batch doc's candidates and Jaccard
+    # depend only on (doc, corpus), never on co-batched docs).
+    oracle=_INCREMENTAL_DEDUP_SQL
+)
+def x_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest dedup loop as it actually runs in production:
+    documents arrive as ordered micro-batches (3 arrival days here) and
+    each micro-batch is probed against the STATIC corpus signature
+    index inside ``foreachBatch`` — full batch-plan expressiveness
+    (multi-stage agg + broadcast probe + verify join) that Structured
+    Streaming's incremental planner cannot express stream-side, with
+    exactly-once per batch via the checkpointed batch id
+    (streaming/replay.py::replay_foreach_batch).
+
+    Scale shape per micro-batch: identical to x_incremental_dedup —
+    the batch's band rows broadcast into the corpus bands, verify joins
+    the corpus signatures once on the candidate ids; the corpus index
+    is computed once per stream (in production: a maintained table),
+    never per batch. Because each document's verdict depends only on
+    (doc, corpus), the micro-batched union is bit-identical to the
+    one-shot batch result — asserted by sharing its oracle.
+    """
+    from hephaestus_spark.streaming.replay import replay_foreach_batch
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_SUFFIX)).alias("text"),
+        (F.col("doc_id") % 3).cast("int").alias("arrival_day"),
+    )
+    corpus_sig = minhash_signature_table(
+        shingle_table(d, n=5), n_tables=8, hash_shingles=True
+    ).persist()
+    sc = corpus_sig.select(
+        F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_c")
+    )
+
+    def probe(batch_df: DataFrame) -> DataFrame:
+        batch_sig = minhash_signature_table(
+            shingle_table(batch_df, n=5), n_tables=8, hash_shingles=True
+        ).persist()
+        cand = minhash_probe_pairs(batch_sig, corpus_sig, n_tables=8)
+        sb = batch_sig.select(
+            F.col("doc_id").alias("batch_id"), F.col("shingles").alias("sh_b")
+        )
+        n_common = F.size(F.array_intersect("sh_b", "sh_c")).cast("bigint")
+        jac = n_common * 1.0 / (
+            F.size("sh_b").cast("bigint") + F.size("sh_c").cast("bigint") - n_common
+        )
+        return (
+            cand.join(sc, "corpus_id")
+            .join(F.broadcast(sb), "batch_id")
+            .select("batch_id", "corpus_id", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.8)
+        )
+
+    return replay_foreach_batch(spark, batch, "arrival_day", probe)

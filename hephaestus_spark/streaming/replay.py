@@ -98,3 +98,65 @@ def replay_streaming(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
+
+
+def replay_foreach_batch(
+    spark: SparkSession,
+    batches: DataFrame,
+    arrival_col: str,
+    batch_transform: Callable[[DataFrame], DataFrame],
+) -> DataFrame:
+    """Replay ``batches`` as ordered micro-batches through a
+    ``foreachBatch`` sink: each micro-batch runs ``batch_transform`` as
+    a PLAIN BATCH plan (joins against static tables, multi-stage aggs —
+    anything Structured Streaming's incremental planner would reject)
+    and appends its result to a parquet accumulator, which is returned
+    re-read.
+
+    This is the production shape for per-batch enrichment against
+    static/slowly-changing reference data (e.g. probing a day's ingest
+    against the corpus dedup index): exactly-once per micro-batch via
+    the checkpointed batch id, full batch-DataFrame expressiveness, no
+    stream-side state."""
+    work = tempfile.mkdtemp(prefix="hs_replay_fb_")
+    stream_dir = os.path.join(work, "stream")
+    out_dir = os.path.join(work, "out")
+    os.makedirs(stream_dir)
+    try:
+        keys = [
+            r[0]
+            for r in batches.select(arrival_col).distinct().orderBy(arrival_col).collect()
+        ]
+        schema = batches.drop(arrival_col).schema
+        base = 1_700_000_000
+        for i, key in enumerate(keys):
+            slice_dir = os.path.join(work, f"slice_{i}")
+            (
+                batches.filter(batches[arrival_col] == key)
+                .drop(arrival_col)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(slice_dir)
+            )
+            part = next(f for f in os.listdir(slice_dir) if f.endswith(".parquet"))
+            dst = os.path.join(stream_dir, f"{i:05d}.parquet")
+            shutil.move(os.path.join(slice_dir, part), dst)
+            os.utime(dst, (base + i, base + i))
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+
+        def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+            batch_transform(batch_df).write.mode("append").parquet(out_dir)
+
+        q = stream.writeStream.foreachBatch(_sink).start()
+        q.processAllAvailable()
+        q.stop()
+        out = spark.read.parquet(out_dir)
+        pdf = out.toPandas()
+        return spark.createDataFrame(pdf, schema=out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
