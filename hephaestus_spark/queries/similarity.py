@@ -381,3 +381,55 @@ def x_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rn"
     )
+
+
+@query("x_semantic_dedup")  # rows-only: k-means is iterative (invariants in test_semantic_dedup.py)
+def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    space with k-means, then find near-duplicate pairs ONLY within each
+    cluster — the standard way to bound pairwise comparison cost on a
+    billion-vector corpus (Abbas et al. 2023-style pipeline, built from
+    public building blocks).
+
+    Scale shape: centroids broadcast (k x dim floats on the driver — the
+    only driver state, by design of operators/kmeans.py); assignment is
+    scan-side; the pairwise stage self-joins ON cluster_id, so the
+    fan-out is sum over clusters of |cluster|^2, controlled by k (pick
+    k ~ n/1e4 so clusters stay ~1e4 and each cluster's block fits one
+    task; a skew-capped variant would reuse the band-bucket cap
+    discipline). Exact duplicates always co-cluster (identical vectors
+    get identical distances and the deterministic tiebreak), so recall
+    on true duplicates is 1 — unlike LSH banding there is no
+    probabilistic miss channel for exact copies; near-pairs split
+    across a cluster boundary are the accepted SemDeDup trade.
+
+    Rows-only by design (the oracle cannot replay Lloyd iterations);
+    tests/test_semantic_dedup.py asserts the invariants instead:
+    every synthesized duplicate pair is found, the output equals
+    brute-force cosine pairs restricted to co-clustered ids, and the
+    result is deterministic across sessions.
+    """
+    from hephaestus_spark.operators.kmeans import lloyd_kmeans
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = e.union(dup).repartition(spark.sparkContext.defaultParallelism)
+    assigned, _cent, _obj = lloyd_kmeans(corpus, k=8, n_iter=3)
+    with_vec = assigned.select("vec_id", "cluster_id").join(corpus, "vec_id")
+    a = with_vec.alias("a")
+    b = with_vec.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster_id") == F.col("b.cluster_id"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.cluster_id").alias("cluster_id"),
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        sim.cosine("a.embedding", "b.embedding").alias("cos64"),
+    )
+    return pairs.filter(F.col("cos64") >= 0.99).select(
+        "cluster_id", "id_a", "id_b", F.round(F.col("cos64"), 4).alias("cos_sim")
+    )
