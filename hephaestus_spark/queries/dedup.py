@@ -175,11 +175,11 @@ def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale. Pure built-ins: explode + narrow-int agg + bit ops.
 
     The implementation (operators/textops.py simhash_signatures) packs
-    4 bit-counters per 64-bit sum as 16-bit lanes — 16 long sums
-    instead of 64, the r4 10x bench win — and (r5) deterministically
-    truncates at 65,535 tokens/doc so the lanes can NEVER overflow
-    (test_simhash.py asserts packed == unpacked per-bit reference on a
-    70k-token doc)."""
+    3 bit-counters per 64-bit sum as 21-bit lanes — 22 long sums
+    instead of 64, the r4 10x bench win — exact to 2,097,151 tokens/doc
+    with deterministic prefix truncation beyond (r5 overflow guard;
+    test_simhash.py asserts packed == unpacked per-bit reference on a
+    70k-token doc and prefix semantics at the cap)."""
     d = load_table(spark, sf_dir, "documents")
     out = simhash_signatures(d).drop("n_tok")
     return out.select(
@@ -700,3 +700,64 @@ def x_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return replay_foreach_batch(spark, batch, "arrival_day", probe)
+
+
+@query("x_simhash_pairs")  # rows-only: xxhash64 signatures are engine-specific
+def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: banded Hamming-distance join over the
+    64-bit signatures — completing the simhash pipeline (x_simhash
+    emits the signatures; this finds the pairs).
+
+    The pigeonhole guarantee makes this EXACT, not probabilistic: a
+    pair at Hamming distance <= 3 differs in at most 3 of the 4
+    16-bit bands, so at least one band matches and the pair is a
+    candidate with recall exactly 1 (tests/test_simhash_pairs.py
+    asserts band-join output == brute-force all-pairs Hamming). The
+    residual filter is one bit_count(xor) per candidate.
+
+    Scale shape: 4 band equi-joins expressed as one exploded (band,
+    key) self-join — fan-out bounded by band-bucket size exactly like
+    the minhash path (reuse the cap discipline for degenerate
+    boilerplate corpora); signatures ride through the band rows so the
+    verify needs NO extra join against the signature table."""
+    corpus = _near_corpus(spark, sf_dir)
+    sig = simhash_signatures(corpus).select("doc_id", "simhash")
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"(simhash >> {16 * i}) & 65535").alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.expr("bit_count(sim_a ^ sim_b)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
