@@ -18,7 +18,7 @@ from hephaestus_spark.operators.curation import (
     hash_sample,
     weighted_sample_topk,
 )
-from hephaestus_spark.functions.money import sum_money
+from hephaestus_spark.functions.money import scaled_long, sum_money
 from hephaestus_spark.registry import query
 from hephaestus_spark.sources import load_table
 
@@ -1236,4 +1236,78 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = edges.agg(F.count("*").alias("n_edges"))
     return tri.agg(F.count("*").cast("bigint").alias("n_triangles")).crossJoin(
         F.broadcast(n_edges.select(F.col("n_edges").cast("bigint").alias("n_edges")))
+    )
+
+
+@query(
+    "x_outlier_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), stats AS (
+      SELECT o_custkey, o_orderkey, cents,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(cents) OVER w AS BIGINT) AS s1,
+             CAST(sum(cents * cents) OVER w AS BIGINT) AS s2
+      FROM c
+      WINDOW w AS (PARTITION BY o_custkey)
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(cents AS DOUBLE) / 100.0 AS totalprice,
+           round(CAST(cents * n - s1 AS DOUBLE)
+                 / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)), 4) AS z
+    FROM stats
+    WHERE n >= 5 AND n * s2 - s1 * s1 > 0
+      AND abs(CAST(cents * n - s1 AS DOUBLE)
+              / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) > 2.0
+    """,
+)
+def x_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group statistical outliers (orders priced > 2 sigma from the
+    customer's mean) — the anomaly-detection shape of a data-quality
+    pipeline, computed from EXACT integer sufficient statistics.
+
+    The ulp discipline: mean and stddev as doubles are the classic
+    cross-engine boundary trap (accumulation order changes the last
+    bit, the threshold flips a row). Instead, n, sum(cents), and
+    sum(cents^2) stay in int64 — order-independent, overflow-safe to
+    ~1e5 rows/group at 1e5 magnitudes — and the algebraic identity
+    z = (c*n - s1) / sqrt(n*s2 - s1^2) evaluates as exactly TWO IEEE
+    ops (sqrt, divide) on identical integer-derived operands in both
+    engines: bit-identical z, stable threshold. Zero-variance and
+    tiny groups are excluded by exact integer predicates.
+
+    Scale shape: one whole-partition window over the group key — a
+    single shuffle, two longs + a count of state per group, no second
+    pass, no join-back."""
+    from pyspark.sql.window import Window as _W
+
+    c = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        scaled_long(F.col("o_totalprice")).alias("cents"),
+    )
+    w = _W.partitionBy("o_custkey")
+    stats = (
+        c.withColumn("n", F.count("*").over(w))
+        .withColumn("s1", F.sum("cents").over(w))
+        .withColumn("s2", F.sum(F.col("cents") * F.col("cents")).over(w))
+    )
+    num = (F.col("cents") * F.col("n") - F.col("s1")).cast("double")
+    den = F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+    z = num / den
+    return (
+        stats.filter(
+            (F.col("n") >= 5)
+            & (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1") > 0)
+        )
+        .filter(F.abs(z) > 2.0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            (F.col("cents").cast("double") / 100.0).alias("totalprice"),
+            F.round(z, 4).alias("z"),
+        )
     )
