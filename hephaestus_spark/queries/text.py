@@ -839,3 +839,26 @@ def x_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "token", "tf", "df", "weight")
     )
+
+
+@query("x_multimodal_histogram")  # rows-only: numpy feature path (invariants tested)
+def x_multimodal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free multimodal content features: 16-bin byte histogram +
+    byte entropy per payload, vectorized numpy inside Arrow batches
+    (operators/multimodal.py::byte_histogram_features). This is the
+    pre-decode triage layer of a multimodal pipeline — corrupt-file
+    detection, format drift, histogram-signature near-dup blocking —
+    and unlike the decode stub it is fully REAL in this environment.
+    Map-side only: no shuffle anywhere. Invariants (hist sums to
+    byte_len, entropy bounds, agreement with a pure-Python reference)
+    are asserted in tests/test_multimodal_hist.py."""
+    from hephaestus_spark.operators.multimodal import (
+        byte_histogram_features,
+        synthesize_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = synthesize_media(d)
+    return byte_histogram_features(media).select(
+        "doc_id", "media_type", "byte_len", F.round("byte_entropy", 6).alias("byte_entropy"), "hist"
+    )
