@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from hephaestus_spark.operators import bridge, cleaning, dimension, merge
 from hephaestus_spark.registry import query
@@ -252,4 +253,67 @@ def q25_validation_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleaning.phone_valid(F.col("phone")).alias("phone_valid"),
         cleaning.repaired_email(F.col("id"), F.col("email")).alias("repaired_email"),
         cleaning.cleaned_phone(F.col("phone")).alias("cleaned_phone"),
+    )
+
+
+# --------------------------------------------------------------------------
+# r5: SCD-2 history build (validity intervals from a change feed)
+# --------------------------------------------------------------------------
+@query(
+    "x_scd2_history",
+    oracle="""
+    WITH feed AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type AS state,
+             event_id
+      FROM events
+    ), ordered AS (
+      SELECT user_id, ts, state, event_id,
+             lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+      FROM feed
+    ), changes AS (
+      SELECT user_id, ts, state, event_id
+      FROM ordered
+      WHERE prev_state IS NULL OR state <> prev_state
+    )
+    SELECT user_id, state,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+             AS is_current
+    FROM changes
+    """,
+)
+def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history build: turn a change feed into validity-interval
+    dimension rows — the OTHER slowly-changing-dimension discipline
+    (q23 is SCD-1 overwrite; this keeps full history with
+    valid_from/valid_to/is_current). Consecutive identical states
+    collapse first (lag() change detection), then intervals chain via
+    lead() — two windows over the SAME (user_id, ts) partitioning, so
+    Spark plans ONE shuffle + one sort shared by both.
+
+    At 100 TB the feed is partitioned by key: both windows are
+    per-key linear scans; no join, no state table probe — the set-wise
+    replacement for the reference's per-row history upserts. Ties on
+    ts break by event_id in BOTH engines, so interval chaining is
+    deterministic."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_type").alias("state"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_state", F.lag("state").over(w))
+        .filter(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+        .drop("prev_state")
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
     )
