@@ -530,3 +530,84 @@ def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         "week_offset",
     ).agg(F.count("*").cast("bigint").alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# r5: multi-granularity rollup (continuous-aggregate chain)
+# --------------------------------------------------------------------------
+@query(
+    "x_multi_granularity_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), daily AS (
+      SELECT event_type, date_trunc('day', h) AS d,
+             CAST(sum(n) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
+      FROM hourly GROUP BY 1, 2
+    ), monthly AS (
+      SELECT event_type, date_trunc('month', d) AS m,
+             CAST(sum(n) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT 'hour'  AS grain, event_type, h AS bucket, n, CAST(cents AS DOUBLE)/100.0 AS sum_value FROM hourly
+    UNION ALL
+    SELECT 'day',   event_type, d, n, CAST(cents AS DOUBLE)/100.0 FROM daily
+    UNION ALL
+    SELECT 'month', event_type, m, n, CAST(cents AS DOUBLE)/100.0 FROM monthly
+    """,
+)
+def x_multi_granularity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate chain: hour -> day ->
+    month rollups where each coarser grain RE-AGGREGATES the finer
+    one's partials — the fact table is scanned exactly once, and the
+    day/month stages shuffle |hourly| / |daily| rows, not |events|.
+    This works because (count, scaled-long sum) are decomposable
+    aggregates — the same property that makes the hourly table a valid
+    streaming materialization (each micro-batch merges into it, and
+    coarser grains refresh from it, never from the raw stream).
+
+    Exactness: integer cents at every level — re-aggregation of
+    partials is bit-identical to direct aggregation, which the shared
+    union output proves against the oracle's equivalent CTE chain."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias(
+                "cents"
+            ),
+        )
+    )
+    daily = (
+        hourly.groupBy(
+            "event_type", F.date_trunc("day", "bucket").alias("bucket")
+        )
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+    monthly = (
+        daily.groupBy(
+            "event_type", F.date_trunc("month", "bucket").alias("bucket")
+        )
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+
+    def out(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "event_type",
+            "bucket",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("cents").cast("double") / 100.0).alias("sum_value"),
+        )
+
+    return out(hourly, "hour").unionByName(out(daily, "day")).unionByName(
+        out(monthly, "month")
+    )
