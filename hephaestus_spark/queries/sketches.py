@@ -86,3 +86,245 @@ def q26_sketch_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         _within(F.col("approx_parts"), F.col("exact_parts")).alias("parts_within_5pct"),
         _within(F.col("p50"), F.col("p50e")).alias("p50_within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom from-scratch sketches (r5): unlike q26's built-ins, these are
+# implemented from first principles over an ENGINE-INDEPENDENT arithmetic
+# hash (the 31-bit-split multiplicative mix from operators/curation.py),
+# so the sketch registers — and therefore the ESTIMATES — are bit-identical
+# in Spark and DuckDB and the driver hash-checks the estimate itself, not
+# just a tolerance boolean. That is the strongest check a sketch can have.
+
+_HLL_P = 9                      # 2^9 = 512 registers
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.7197831133217303  # 0.7213 / (1 + 1.079/m), m=512
+_HLL_WBITS = 32 - _HLL_P        # rank domain: trailing zeros of a 23-bit word
+
+
+def _mix32_sql(key: str) -> str:
+    """DuckDB spelling of the engine-independent 32-bit mixed hash."""
+    return (
+        f"((((({key} & 2147483647) * 2654435761"
+        f" + (({key} >> 31) & 2147483647) * 40503) % 4294967296)"
+        f" + 4294967296) % 4294967296)"
+    )
+
+
+def _mix32_col(k: Column, mul_lo: int = 2654435761, mul_hi: int = 40503) -> Column:
+    low = k.bitwiseAND(F.lit(2147483647))
+    high = F.shiftright(k, 31).bitwiseAND(F.lit(2147483647))
+    return F.pmod(low * F.lit(mul_lo) + high * F.lit(mul_hi), F.lit(4294967296))
+
+
+@query(
+    "x_hll_custom",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderpriority AS grp,
+             {_mix32_sql('o_custkey')} AS mx
+      FROM orders
+    ), b AS (
+      SELECT grp, mx & {_HLL_M - 1} AS bucket, mx >> {_HLL_P} AS w FROM h
+    ), r AS (
+      SELECT grp, bucket,
+             max(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                      ELSE bit_count((w & -w) - 1) + 1 END) AS m
+      FROM b GROUP BY grp, bucket
+    ), s AS (
+      SELECT grp,
+             sum(1.0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE)) AS s_present,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM r GROUP BY grp
+    ), e AS (
+      SELECT grp, {_HLL_M} - nb AS v,
+             CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}
+               / (s_present + ({_HLL_M} - nb)) AS e_raw
+      FROM s
+    ), est AS (
+      SELECT grp,
+             CASE WHEN v > 0 AND e_raw <= CAST({2.5 * _HLL_M} AS DOUBLE)
+                  THEN CAST({_HLL_M} AS DOUBLE) * ln(CAST({_HLL_M} AS DOUBLE) / v)
+                  ELSE e_raw END AS estimate
+      FROM e
+    ), ex AS (
+      SELECT o_orderpriority AS grp,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders GROUP BY grp
+    )
+    SELECT ex.grp AS o_orderpriority, ex.exact_distinct,
+           round(est.estimate, 6) AS hll_estimate,
+           abs(est.estimate - ex.exact_distinct) <= 0.1 * ex.exact_distinct
+             AS within_10pct
+    FROM ex JOIN est ON ex.grp = est.grp
+    """,
+)
+def x_hll_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog (p=9, 512 registers) per order priority,
+    hash-checked on the ESTIMATE itself.
+
+    Why the estimate is engine-exact (not just tolerance-close):
+
+    - the register input is the arithmetic 32-bit mix (no engine hash),
+      bucket = low 9 bits, rank = trailing zeros of the 23-bit remainder
+      + 1 via ``bit_count((w & -w) - 1)`` — pure int64 ops both engines
+      define identically;
+    - registers are a ``max`` per (group, bucket): order-free;
+    - the harmonic denominator sums terms ``2^-M`` (M <= 24), each an
+      exact multiple of 2^-24 with the total < 2^10 — every partial sum
+      fits in 34 significand bits, so double addition never rounds and
+      the sum is order-independent and exact;
+    - the estimate is then a handful of IEEE ops (and, in the
+      linear-counting branch, one ln) on identical doubles.
+
+    Mergeability at 100 TB: a register table is (group, bucket, max) —
+    partial maxes combine associatively across partitions/days, and the
+    shuffle carries <= 512 rows per group regardless of input size. The
+    exact-distinct companion (a full distinct shuffle of the key) exists
+    only for the audit."""
+    o = load_table(spark, sf_dir, "orders")
+    h = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        _mix32_col(F.col("o_custkey")).alias("mx"),
+    )
+    b = h.select(
+        "grp",
+        F.col("mx").bitwiseAND(F.lit(_HLL_M - 1)).alias("bucket"),
+        F.shiftright(F.col("mx"), _HLL_P).alias("w"),
+    )
+    rank = (
+        F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1))
+        .otherwise(F.bit_count((F.col("w").bitwiseAND(-F.col("w"))) - 1) + 1)
+    )
+    regs = b.withColumn("rank", rank).groupBy("grp", "bucket").agg(
+        F.max("rank").alias("m")
+    )
+    s = regs.groupBy("grp").agg(
+        F.sum(1.0 / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)")).alias(
+            "s_present"
+        ),
+        F.count("*").cast("bigint").alias("nb"),
+    )
+    v = F.lit(_HLL_M) - F.col("nb")
+    e_raw = F.lit(_HLL_ALPHA) * F.lit(_HLL_M * _HLL_M) / (F.col("s_present") + v)
+    est = s.select(
+        "grp",
+        F.when(
+            (v > 0) & (e_raw <= F.lit(2.5 * _HLL_M)),
+            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v),
+        )
+        .otherwise(e_raw)
+        .alias("estimate"),
+    )
+    ex = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("exact_distinct")
+    )
+    return ex.join(est, "grp").select(
+        F.col("grp").alias("o_orderpriority"),
+        "exact_distinct",
+        F.round("estimate", 6).alias("hll_estimate"),
+        (
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            <= 0.1 * F.col("exact_distinct")
+        ).alias("within_10pct"),
+    )
+
+
+# Count-min sketch geometry: d=3 independent hash rows, w=256 cells.
+# Multiplier pairs (lo, hi) per row; products stay under 2^63 (31-bit
+# low half x <2^32 multiplier), so int64 arithmetic never overflows in
+# either engine (DuckDB checks; Spark ANSI would too).
+_CMS_MULTS = [(2654435761, 40503), (2246822519, 52529), (3266489917, 60037)]
+_CMS_W = 256
+
+
+def _cms_cell_sql(key: str, d: int) -> str:
+    lo, hi = _CMS_MULTS[d]
+    return (
+        f"(((((({key} & 2147483647) * {lo}"
+        f" + (({key} >> 31) & 2147483647) * {hi}) % 4294967296)"
+        f" + 4294967296) % 4294967296) & {_CMS_W - 1})"
+    )
+
+
+def _cms_cell_col(k: Column, d: int) -> Column:
+    lo, hi = _CMS_MULTS[d]
+    return _mix32_col(k, lo, hi).bitwiseAND(F.lit(_CMS_W - 1))
+
+
+def _cms_oracle() -> str:
+    pairs = "\n      UNION ALL ".join(
+        f"SELECT {d} AS d, {_cms_cell_sql('l_partkey', d)} AS cell FROM lineitem"
+        for d in range(len(_CMS_MULTS))
+    )
+    probe = "\n      UNION ALL ".join(
+        f"SELECT k, {d} AS d, {_cms_cell_sql('k', d)} AS cell FROM keys"
+        for d in range(len(_CMS_MULTS))
+    )
+    return f"""
+    WITH pairs AS (
+      {pairs}
+    ), cms AS (
+      SELECT d, cell, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY d, cell
+    ), keys AS (
+      SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM lineitem GROUP BY l_partkey
+    ), probe AS (
+      {probe}
+    ), est AS (
+      SELECT p.k, min(c.c) AS cms_est
+      FROM probe p JOIN cms c USING (d, cell) GROUP BY p.k
+    )
+    SELECT keys.k AS l_partkey, keys.exact_cnt, est.cms_est,
+           est.cms_est >= keys.exact_cnt AS never_underestimates
+    FROM keys JOIN est ON est.k = keys.k
+    ORDER BY keys.exact_cnt DESC, l_partkey ASC
+    LIMIT 10
+    """
+
+
+@query("x_cms_custom", oracle=_cms_oracle())
+def x_cms_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch count-min sketch (d=3, w=256) over l_partkey,
+    hash-checked on the estimates for the top-10 heaviest keys.
+
+    All-integer end to end (cell indices from the engine-independent
+    mix, counts, min-of-counts), so the oracle matches bit-for-bit —
+    plus the structural guarantee ``cms_est >= exact_cnt`` emitted as a
+    column the hash check pins to TRUE.
+
+    100 TB shape: the sketch itself is d*w = 768 cells no matter the
+    input — the build is one map-side-combined groupBy over (d, cell)
+    whose shuffle carries at most 768 rows per partition, and the probe
+    side joins against the BROADCAST cell table (plan below hints it
+    explicitly), so estimating any number of keys never shuffles the
+    corpus. The exact-count companion exists only for the audit."""
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
+    nd = len(_CMS_MULTS)
+    pair_arr = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), _cms_cell_col(F.col("k"), d).alias("cell"))
+            for d in range(nd)
+        ]
+    )
+    pairs = li.select(F.explode(pair_arr).alias("p")).select("p.d", "p.cell")
+    cms = pairs.groupBy("d", "cell").agg(F.count("*").cast("bigint").alias("c"))
+    keys = li.groupBy("k").agg(F.count("*").cast("bigint").alias("exact_cnt"))
+    probe = keys.select(
+        "k", "exact_cnt", F.explode(pair_arr).alias("p")
+    ).select("k", "exact_cnt", "p.d", "p.cell")
+    est = (
+        probe.join(F.broadcast(cms), ["d", "cell"])
+        .groupBy("k", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        est.orderBy(F.col("exact_cnt").desc(), F.col("k").asc())
+        .limit(10)
+        .select(
+            F.col("k").alias("l_partkey"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("never_underestimates"),
+        )
+    )
