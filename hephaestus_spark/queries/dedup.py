@@ -761,3 +761,76 @@ def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
     )
+
+
+@query(
+    "x_substring_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text), '[^a-z ]',
+               ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), w AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(toks[i : i + 9], ' ')) AS wkey
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(toks) - 9, 1))) AS i
+      )
+    ), d AS (
+      SELECT wkey FROM w GROUP BY wkey HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(d.wkey) AS BIGINT) AS n_dup_windows,
+           CAST(count(d.wkey) AS DOUBLE) / count(*) AS dup_fraction
+    FROM w LEFT JOIN d USING (wkey)
+    GROUP BY w.doc_id
+    """,
+)
+def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup signal (the Lee et al. 2022
+    "Deduplicating Training Data" ExactSubstr shape): every 10-token
+    rolling window is content-hashed, windows occurring in >= 2 distinct
+    docs are duplicated spans, and each doc reports its duplicated-window
+    fraction — the signal a curation pass thresholds to drop or trim
+    boilerplate-heavy documents. Distinct from q33 (doc-level Jaccard):
+    this catches a verbatim paragraph shared by otherwise-different docs.
+
+    Scale shape: windows are generated scan-side (sequence/slice — no
+    shuffle), keyed by md5 so the duplicated-window detection is ONE
+    uniform-key groupBy; the join back to docs is on the same key (no
+    second shuffle of the corpus rows — AQE reuses the hash layout), and
+    the per-doc rollup keys on doc_id. Window width 10 fits this
+    corpus's 10-token minimum; production would run 50-token windows
+    after a length gate, same plan. All counts int-exact; dup_fraction
+    is one int/int IEEE divide."""
+    from hephaestus_spark.operators.textops import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", tokens("text").alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, greatest(size(_toks) - 9, 1)),"
+                        " i -> concat_ws(' ', slice(_toks, i, 10)))"
+                    )
+                )
+            ).alias("win"),
+        )
+        .select("doc_id", F.md5("win").alias("wkey"))
+    )
+    dup = sh.groupBy("wkey").agg(
+        F.count_distinct("doc_id").alias("nd")
+    ).filter(F.col("nd") >= 2).select("wkey")
+    return (
+        sh.join(dup.withColumn("_dup", F.lit(1)), "wkey", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.count("_dup").cast("bigint").alias("n_dup_windows"),
+            (F.count("_dup").cast("double") / F.count("*")).alias("dup_fraction"),
+        )
+    )

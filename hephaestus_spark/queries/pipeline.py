@@ -317,3 +317,62 @@ def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w2).alias("valid_to"),
         F.lead("ts").over(w2).isNull().alias("is_current"),
     )
+
+
+@query(
+    "x_cdc_apply",
+    oracle="""
+    WITH feed AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus, o_totalprice,
+             CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+             CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_changes
+      FROM orders
+    )
+    SELECT o_custkey, o_orderstatus AS last_status,
+           o_totalprice AS last_price, o_orderdate AS last_ts, n_changes
+    FROM feed WHERE rn = 1 AND op = 'U'
+    """,
+)
+def x_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC op-log apply (Debezium / Delta ``APPLY CHANGES INTO`` shape):
+    orders replayed as a change feed keyed by customer — status 'P'
+    maps to a DELETE op, everything else to an UPSERT — and the final
+    table state is the LAST op per key (keys whose last op is a delete
+    vanish). Complements q23 (SCD-1 two-table diff: no op column, no
+    deletes) and q30 (last-per-group: no tombstone semantics).
+
+    One window shuffle on the key computes last-op selection AND the
+    per-key change count (same partitioning ⇒ Spark shares the
+    Exchange+Sort). At 100 TB the feed apply is a single keyed pass —
+    never a per-key driver loop — and ties break on (ts, o_orderkey)
+    identically in both engines, so the surviving row is deterministic
+    even with equal timestamps.
+
+    Reference parity: this is the set-wise form of the reference's
+    row-at-a-time upsert/delete statement chain
+    (internal/repository/task.go:81-123 upsert; bridge delete+insert)
+    lifted to op-log semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    wk = W.partitionBy("o_custkey")
+    feed = o.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.when(F.col("o_orderstatus") == "P", "D").otherwise("U").alias("op"),
+        F.row_number()
+        .over(wk.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc()))
+        .alias("rn"),
+        F.count("*").over(wk).cast("bigint").alias("n_changes"),
+    )
+    return feed.filter((F.col("rn") == 1) & (F.col("op") == "U")).select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("last_status"),
+        F.col("o_totalprice").alias("last_price"),
+        F.col("o_orderdate").alias("last_ts"),
+        "n_changes",
+    )
