@@ -862,3 +862,330 @@ def x_multimodal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_histogram_features(media).select(
         "doc_id", "media_type", "byte_len", F.round("byte_entropy", 6).alias("byte_entropy"), "hist"
     )
+
+
+@query(
+    "x_bm25_search",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t
+    ), st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(len(toks)) AS BIGINT) AS sumdl
+      FROM t
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+      WHERE term IN ('spark', 'window', 'merge')
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), sc AS (
+      SELECT tf.doc_id,
+             ln(CAST(1 AS DOUBLE)
+                + (st.n - df.df + CAST(0.5 AS DOUBLE))
+                  / (df.df + CAST(0.5 AS DOUBLE)))
+             * ((tf.tf * CAST(2.2 AS DOUBLE))
+                / (tf.tf + CAST(1.2 AS DOUBLE)
+                   * (CAST(0.25 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE)
+                        * (dl.dl / (CAST(st.sumdl AS DOUBLE) / st.n))))) AS s
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           list_sum(list_sort(list(s))) AS bm25
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def x_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text retrieval (k1=1.2, b=0.75, Lucene idf) for a fixed
+    3-term query, top-20 docs — the classic quality-retrieval primitive
+    a curation stack uses for targeted corpus probes.
+
+    Plan: tokenize scan-side, filter to the query terms BEFORE any
+    shuffle (the corpus never shuffles unmatched tokens), one (doc,
+    term) agg for tf, a 3-row df table and a 1-row corpus-stats table
+    both broadcast back. At 100 TB the per-term posting extraction is
+    the same scan + tiny-agg shape; only matched postings move.
+
+    Cross-engine float discipline: every literal is spelled as DOUBLE
+    in both engines (a bare 2.2 in DuckDB is DECIMAL(2,1) — its exact
+    arithmetic would diverge from Spark's double path); per-(doc,term)
+    scores are identical IEEE trees on identical int inputs, and the
+    per-doc sum folds the SORTED score list in both engines (the
+    x_token_entropy pinned-order pattern), so the emitted double is
+    bit-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    qterms = ["spark", "window", "merge"]
+    t = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    dl = t.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    st = t.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.size("toks")).cast("bigint").alias("sumdl"),
+    )
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(qterms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    avgdl = F.col("sumdl").cast("double") / F.col("n")
+    idf = F.log(
+        F.lit(1.0).cast("double")
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    s = idf * (
+        (F.col("tf") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / avgdl))
+        )
+    )
+    sc = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", s.alias("s"))
+    )
+    agg = sc.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.expr(
+            "aggregate(sort_array(collect_list(s)), CAST(0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        ).alias("bm25"),
+    )
+    return agg.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(20)
+
+
+@query(
+    "x_mix_temperature",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, {_TOKENS_DUCK} AS toks FROM documents
+    ), s AS (
+      SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source
+    ), p AS (
+      SELECT source, n_tokens,
+             pow(n_tokens, CAST(0.7 AS DOUBLE)) AS pw
+      FROM s
+    ), tot AS (
+      SELECT list_sum(list_sort(list(pw))) AS z FROM p
+    )
+    SELECT source, n_tokens,
+           pw / z AS weight,
+           (CAST(1000000 AS DOUBLE) * (pw / z)) / n_tokens AS epochs_at_1m
+    FROM p CROSS JOIN tot
+    """,
+)
+def x_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based training-mix weights (the multilingual/
+    multi-source sampling rule from mBERT/XLM-R and most pretraining
+    mixes): per-source sampling weight ∝ tokens^τ with τ=0.7 —
+    upweighting small sources without letting the largest dominate —
+    plus the implied epochs-per-source at a 1M-token budget (epochs > 1
+    ⇒ the source repeats; the over-repetition signal mix designers
+    watch).
+
+    Plan: one keyed agg for per-source token counts (map-side combined),
+    then the 20-row weight table is driver-free arithmetic: the
+    normalizer folds the SORTED pow list (x_token_entropy pinned-order
+    pattern) in both engines, and weight/epochs are single IEEE
+    divides on identical operands. At 100 TB the heavy side is the one
+    token-count scan; the mix math is O(#sources) regardless of data
+    size."""
+    d = load_table(spark, sf_dir, "documents")
+    s = (
+        d.select("source", F.size(F.expr(_TOKENS)).alias("ntok"))
+        .groupBy("source")
+        .agg(F.sum("ntok").cast("bigint").alias("n_tokens"))
+    )
+    p = s.select(
+        "source", "n_tokens", F.pow(F.col("n_tokens"), F.lit(0.7)).alias("pw")
+    )
+    tot = p.agg(
+        F.expr(
+            "aggregate(sort_array(collect_list(pw)), CAST(0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        ).alias("z")
+    )
+    return p.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        (F.col("pw") / F.col("z")).alias("weight"),
+        (
+            (F.lit(1000000.0) * (F.col("pw") / F.col("z"))) / F.col("n_tokens")
+        ).alias("epochs_at_1m"),
+    )
+
+
+@query(
+    "x_dsir_weights",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKENS_DUCK} AS toks FROM documents
+    ), occ AS (
+      SELECT doc_id, source, unnest(toks) AS term FROM t
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM occ
+    ), tgt AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c FROM occ
+      WHERE source = 'src0' GROUP BY term
+    ), ntgt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM occ WHERE source = 'src0'
+    ), raw AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c FROM occ
+      WHERE source <> 'src0' GROUP BY term
+    ), nraw AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM occ WHERE source <> 'src0'
+    ), ratio AS (
+      SELECT o.doc_id,
+             ln((COALESCE(tgt.c, 0) + CAST(1 AS DOUBLE)) / (ntgt.n + vocab.v))
+             - ln((COALESCE(raw.c, 0) + CAST(1 AS DOUBLE)) / (nraw.n + vocab.v))
+               AS r
+      FROM occ o
+      LEFT JOIN tgt ON o.term = tgt.term
+      LEFT JOIN raw ON o.term = raw.term
+      CROSS JOIN ntgt CROSS JOIN nraw CROSS JOIN vocab
+      WHERE o.source <> 'src0'
+    ), agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             list_sum(list_sort(list(r))) AS log_weight
+      FROM ratio GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, log_weight
+    FROM agg ORDER BY log_weight DESC, doc_id ASC LIMIT 20
+    """,
+)
+def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): treat source
+    'src0' as the high-quality target distribution, every other source
+    as the raw pool, fit add-1-smoothed unigram LMs to both, and score
+    each pool doc by its log importance weight
+    sum_t [ln p_target(t) - ln p_raw(t)] — the ranking a DSIR pass
+    resamples from. Emits the top-20 most target-like pool docs.
+
+    Plan: term counts are two tiny keyed aggs over one tokenized scan;
+    the target/raw probability tables (|vocab| rows — hashed buckets in
+    production, same shape) BROADCAST back onto the token stream, so
+    scoring 100 TB of pool docs is scan + per-doc agg, no corpus
+    shuffle. Float discipline: per-occurrence log-ratios are identical
+    IEEE trees (counts + literal smoothing, all divides on identical
+    operands), and the per-doc sum folds the SORTED ratio list in both
+    engines (pinned-order pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select("doc_id", "source", F.explode(F.expr(_TOKENS)).alias("term"))
+    tgt_occ = occ.filter(F.col("source") == "src0")
+    raw_occ = occ.filter(F.col("source") != "src0")
+    vocab = occ.agg(F.count_distinct("term").cast("bigint").alias("v"))
+    tgt = tgt_occ.groupBy("term").agg(F.count("*").cast("bigint").alias("ct"))
+    ntgt = tgt_occ.agg(F.count("*").cast("bigint").alias("nt"))
+    raw = raw_occ.groupBy("term").agg(F.count("*").cast("bigint").alias("cr"))
+    nraw = raw_occ.agg(F.count("*").cast("bigint").alias("nr"))
+    r = (
+        F.log(
+            (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+            / (F.col("nt") + F.col("v"))
+        )
+        - F.log(
+            (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1.0))
+            / (F.col("nr") + F.col("v"))
+        )
+    )
+    ratio = (
+        raw_occ.join(F.broadcast(tgt), "term", "left")
+        .join(F.broadcast(raw), "term", "left")
+        .crossJoin(F.broadcast(ntgt))
+        .crossJoin(F.broadcast(nraw))
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", r.alias("r"))
+    )
+    agg = ratio.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "aggregate(sort_array(collect_list(r)), CAST(0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        ).alias("log_weight"),
+    )
+    return agg.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc()).limit(20)
+
+
+@query(
+    "x_pmi_cooccurrence",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
+    ), bg AS (
+      SELECT toks[i] AS a, toks[i + 1] AS b
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - 1)) AS i
+      )
+    ), cab AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b
+    ), tot AS (
+      SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM cab
+    ), ca AS (
+      SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a
+    ), cb AS (
+      SELECT b, CAST(sum(c_ab) AS BIGINT) AS c_b FROM cab GROUP BY b
+    )
+    SELECT cab.a, cab.b, cab.c_ab,
+           ln((CAST(tot.n AS DOUBLE) * cab.c_ab)
+              / (CAST(ca.c_a AS DOUBLE) * cb.c_b)) AS pmi
+    FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot
+    WHERE cab.c_ab >= 5
+    ORDER BY pmi DESC, cab.a ASC, cab.b ASC
+    LIMIT 20
+    """,
+)
+def x_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram PMI phrase detection (the word2vec-phrases / collocation
+    primitive): PMI(a,b) = ln(N * c_ab / (c_a * c_b)) over adjacent
+    token pairs, min count 5, top-20 — the op that finds multi-word
+    expressions worth merging into single tokens before training.
+
+    Plan: bigrams are generated scan-side (sequence over the token
+    array, no shuffle), one (a,b) groupBy produces the pair counts, and
+    the marginals RE-AGGREGATE the pair table (|pairs| rows, far
+    smaller than the corpus) rather than re-scanning the corpus; the
+    total is a 1-row broadcast. Marginals computed from the pair table
+    are exactly the bigram-position marginals, so the identity
+    sum(c_ab over b) = c_a holds by construction. Floats: one ln per
+    surviving pair on identical int-derived doubles — the two divides
+    are spelled with identical association in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = (
+        d.select(F.expr(_TOKENS).alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS a, toks[i] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    cab = bg.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("c_ab"))
+    tot = cab.agg(F.sum("c_ab").cast("bigint").alias("n"))
+    ca = cab.groupBy("a").agg(F.sum("c_ab").cast("bigint").alias("c_a"))
+    cb = cab.groupBy("b").agg(F.sum("c_ab").cast("bigint").alias("c_b"))
+    pmi = F.log(
+        (F.col("n").cast("double") * F.col("c_ab"))
+        / (F.col("c_a").cast("double") * F.col("c_b"))
+    )
+    return (
+        cab.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("a", "b", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(20)
+    )
