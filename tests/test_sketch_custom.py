@@ -1,0 +1,94 @@
+"""Invariants for the from-scratch sketches (x_hll_custom, x_cms_custom)
+beyond the oracle hash-match: structural guarantees that must hold on
+ANY data, checked on the full key population (the registered queries
+only emit the top-10 / per-group views).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hephaestus_spark.queries.sketches import (
+    _CMS_MULTS,
+    _CMS_W,
+    _HLL_M,
+    _cms_cell_col,
+    _mix32_col,
+)
+from hephaestus_spark.sources import load_table
+
+
+def test_cms_never_underestimates_any_key(spark, sf_dir):
+    """CMS estimate >= exact for EVERY key, not just the emitted top-10
+    (the one-sided error bound is the sketch's defining contract)."""
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
+    pair_arr = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), _cms_cell_col(F.col("k"), d).alias("cell"))
+            for d in range(len(_CMS_MULTS))
+        ]
+    )
+    pairs = li.select(F.explode(pair_arr).alias("p")).select("p.d", "p.cell")
+    cms = pairs.groupBy("d", "cell").agg(F.count("*").alias("c"))
+    assert cms.count() <= len(_CMS_MULTS) * _CMS_W  # sketch size is bounded
+    keys = li.groupBy("k").agg(F.count("*").alias("exact"))
+    probe = keys.select("k", "exact", F.explode(pair_arr).alias("p")).select(
+        "k", "exact", "p.d", "p.cell"
+    )
+    est = (
+        probe.join(F.broadcast(cms), ["d", "cell"])
+        .groupBy("k", "exact")
+        .agg(F.min("c").alias("est"))
+    )
+    bad = est.filter(F.col("est") < F.col("exact")).count()
+    assert bad == 0
+
+
+def test_hll_registers_bounded_and_estimate_sane(spark, sf_dir):
+    """Register table is <= m rows per group (the mergeable state bound)
+    and the single-group estimate lands within 3 classical sigma
+    (1.04/sqrt(m)) of the exact distinct count."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = _mix32_col(F.col("o_custkey"))
+    b = o.select(
+        mx.bitwiseAND(F.lit(_HLL_M - 1)).alias("bucket"),
+        F.shiftright(mx, 9).alias("w"),
+    )
+    rank = (
+        F.when(F.col("w") == 0, F.lit(24))
+        .otherwise(F.bit_count((F.col("w").bitwiseAND(-F.col("w"))) - 1) + 1)
+    )
+    regs = b.withColumn("r", rank).groupBy("bucket").agg(F.max("r").alias("m"))
+    n_regs = regs.count()
+    assert n_regs <= _HLL_M
+    # rank domain: 1..24 by construction
+    mm = regs.agg(F.min("m"), F.max("m")).collect()[0]
+    assert 1 <= mm[0] and mm[1] <= 24
+
+    from hephaestus_spark.registry import QUERIES
+
+    rows = QUERIES["x_hll_custom"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        exact, est = r["exact_distinct"], r["hll_estimate"]
+        assert abs(est - exact) <= 3 * (1.04 / (_HLL_M ** 0.5)) * exact + 3
+
+
+def test_mix32_domain_and_determinism(spark):
+    """The engine-independent mix stays in [0, 2^32) over extreme int64
+    keys (incl. negatives — the pmod guard) and is stable across
+    partitionings."""
+    keys = [0, 1, -1, 2**62, -(2**62), 2**31, -(2**31), 123456789]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out1 = {
+        r["k"]: r["mx"]
+        for r in df.select("k", _mix32_col(F.col("k")).alias("mx")).collect()
+    }
+    out2 = {
+        r["k"]: r["mx"]
+        for r in df.repartition(7)
+        .select("k", _mix32_col(F.col("k")).alias("mx"))
+        .collect()
+    }
+    assert out1 == out2
+    assert all(0 <= v < 2**32 for v in out1.values())
