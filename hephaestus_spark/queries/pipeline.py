@@ -319,9 +319,7 @@ def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x_cdc_apply",
-    oracle="""
+_CDC_APPLY_SQL = """
     WITH feed AS (
       SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus, o_totalprice,
              CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
@@ -334,8 +332,10 @@ def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderstatus AS last_status,
            o_totalprice AS last_price, o_orderdate AS last_ts, n_changes
     FROM feed WHERE rn = 1 AND op = 'U'
-    """,
-)
+    """
+
+
+@query("x_cdc_apply", oracle=_CDC_APPLY_SQL)
 def x_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC op-log apply (Debezium / Delta ``APPLY CHANGES INTO`` shape):
     orders replayed as a change feed keyed by customer — status 'P'
@@ -370,6 +370,81 @@ def x_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(wk).cast("bigint").alias("n_changes"),
     )
     return feed.filter((F.col("rn") == 1) & (F.col("op") == "U")).select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("last_status"),
+        F.col("o_totalprice").alias("last_price"),
+        F.col("o_orderdate").alias("last_ts"),
+        "n_changes",
+    )
+
+
+@query(
+    # Full delivery + order-respecting batch boundaries make the
+    # streamed two-level compaction equal the one-shot batch apply, so
+    # the oracle is shared with x_cdc_apply (last-op-wins is
+    # associative over (ts, orderkey)-max; per-key counts sum).
+    "x_stream_cdc_apply",
+    oracle=_CDC_APPLY_SQL,
+)
+def x_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC apply as it runs in production streaming: changes arrive
+    as ordered micro-batches (one per order-year here) and each batch
+    PRE-COMPACTS inside ``foreachBatch`` — one surviving (last-op) row
+    per key per batch plus that batch's change count — appending to a
+    log-structured accumulator; a final GLOBAL compaction merges the
+    per-batch winners. This is the sorted-run + compaction shape every
+    streaming upsert table (Delta/Hudi/Paimon-style) uses: per-batch
+    work is bounded by the batch, the accumulator carries keys x
+    batches rows (not the raw feed), and the merge is associative —
+    max over (ts, orderkey) picks the winner-of-winners and counts
+    sum — so the result is bit-identical to the one-shot batch apply
+    (asserted by sharing its oracle).
+
+    Delete semantics survive compaction: tombstones are kept through
+    BOTH levels and only filtered at the end, so a later batch's 'U'
+    can't be shadowed by an earlier 'D' (or vice versa)."""
+    from hephaestus_spark.streaming.replay import replay_foreach_batch
+
+    o = load_table(spark, sf_dir, "orders")
+    feed = o.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.when(F.col("o_orderstatus") == "P", "D").otherwise("U").alias("op"),
+        F.year("o_orderdate").alias("arrival"),
+    )
+
+    def pre_compact(batch_df: DataFrame) -> DataFrame:
+        wk = W.partitionBy("o_custkey")
+        return (
+            batch_df.withColumn(
+                "rn",
+                F.row_number().over(
+                    wk.orderBy(
+                        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+                    )
+                ),
+            )
+            .withColumn("batch_changes", F.count("*").over(wk).cast("bigint"))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    runs = replay_foreach_batch(spark, feed, "arrival", pre_compact)
+    wk = W.partitionBy("o_custkey")
+    final = (
+        runs.withColumn(
+            "rn",
+            F.row_number().over(
+                wk.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+            ),
+        )
+        .withColumn("n_changes", F.sum("batch_changes").over(wk).cast("bigint"))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+    )
+    return final.select(
         "o_custkey",
         F.col("o_orderstatus").alias("last_status"),
         F.col("o_totalprice").alias("last_price"),

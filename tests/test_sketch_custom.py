@@ -92,3 +92,34 @@ def test_mix32_domain_and_determinism(spark):
     }
     assert out1 == out2
     assert all(0 <= v < 2**32 for v in out1.values())
+
+
+def test_hll_registers_merge_associatively(spark, sf_dir):
+    """The 100 TB contract: per-partition partial registers max-merge to
+    exactly the registers of the whole dataset (so sketches can be
+    built per file/day and combined without touching raw data again)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def regs(df):
+        mx = _mix32_col(F.col("o_custkey"))
+        b = df.select(
+            mx.bitwiseAND(F.lit(_HLL_M - 1)).alias("bucket"),
+            F.shiftright(mx, 9).alias("w"),
+        )
+        rank = (
+            F.when(F.col("w") == 0, F.lit(24))
+            .otherwise(F.bit_count((F.col("w").bitwiseAND(-F.col("w"))) - 1) + 1)
+        )
+        return b.withColumn("r", rank).groupBy("bucket").agg(F.max("r").alias("m"))
+
+    whole = {(r["bucket"], r["m"]) for r in regs(o).collect()}
+    half_a = regs(o.filter(F.col("o_orderkey") % 2 == 0))
+    half_b = regs(o.filter(F.col("o_orderkey") % 2 == 1))
+    merged = {
+        (r["bucket"], r["m"])
+        for r in half_a.unionAll(half_b)
+        .groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+        .collect()
+    }
+    assert merged == whole
