@@ -1311,3 +1311,175 @@ def x_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@query(
+    "x_resample_ffill",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value, ts, event_id FROM events
+    ), daily AS (
+      SELECT user_id, day, value FROM (
+        SELECT user_id, day, value,
+               row_number() OVER (PARTITION BY user_id, day
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e
+      ) WHERE rn = 1
+    ), b AS (
+      SELECT user_id, min(day) AS start FROM e GROUP BY user_id
+    ), g AS (
+      SELECT max(day) AS gend FROM e
+    ), grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(start AS TIMESTAMP),
+                                         CAST(gend AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM b CROSS JOIN g
+    ), j AS (
+      SELECT grid.user_id, grid.day, daily.value
+      FROM grid LEFT JOIN daily USING (user_id, day)
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+           value IS NOT NULL AS is_observed
+    FROM j
+    """,
+)
+def x_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to a daily grid with forward-fill (LOCF):
+    each user's sparse event stream becomes a dense day-by-day series
+    from their first observation to the corpus end, carrying the last
+    observed value across gaps — the standard feature-engineering
+    primitive for ML-ready longitudinal data (and the gap-fill half of
+    the timescale-style rollup family, complementing
+    x_multi_granularity_rollup).
+
+    Plan: per-(user, day) last-event compaction (ONE window pass with a
+    deterministic (ts, event_id) tiebreak), a per-user day spine built
+    scan-side via sequence/explode (rows = users x days — never a
+    cartesian against events), a left join on (user, day), and the
+    forward-fill as last_value(IGNORE NULLS) over the SAME user
+    partitioning — Spark reuses one Exchange for compaction, join and
+    fill. Values are source-exact doubles; the day is emitted as a
+    string (DATE wire-format stability across engines)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value", "ts", "event_id"
+    )
+    from pyspark.sql.window import Window as W
+
+    daily = (
+        e.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "day").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    b = e.groupBy("user_id").agg(F.min("day").alias("start"))
+    g = e.agg(F.max("day").alias("gend"))
+    grid = b.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("start"), F.col("gend"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.last("value", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("value").isNotNull().alias("is_observed"),
+    )
+
+
+@query(
+    "x_ewma",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value, ts, event_id FROM events
+    ), daily AS (
+      SELECT user_id, day, value FROM (
+        SELECT user_id, day, value,
+               row_number() OVER (PARTITION BY user_id, day
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e
+      ) WHERE rn = 1
+    ), fr AS (
+      SELECT user_id, day,
+             list(value) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS xs
+      FROM daily
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           list_sum(list_transform(xs, (x, i) ->
+             x / CAST(CAST(1 AS BIGINT) << (len(xs) - i) AS DOUBLE)))
+           / (CAST(2 AS DOUBLE)
+              - CAST(1 AS DOUBLE)
+                / CAST(CAST(1 AS BIGINT) << (len(xs) - 1) AS DOUBLE)) AS ewma,
+           CAST(len(xs) AS BIGINT) AS n_obs
+    FROM fr
+    """,
+)
+def x_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2, trailing
+    10-observation window, weights renormalized over the present
+    observations) per user's daily series — the smoothing companion to
+    x_resample_ffill for ML feature engineering on event streams.
+
+    Exactness argument (why this hash-matches despite being a float
+    recurrence): each term is value / 2^k — an exponent-only scaling
+    that never rounds — the weight normalizer 2 - 2^-(L-1) is an exact
+    power-of-two sum, the numerator folds the FRAME-ORDERED window list
+    left-to-right in both engines (order pinned by the window's ORDER
+    BY day, unique per user after compaction), and the final divide is
+    one IEEE op on identical operands. DuckDB's 1-based lambda index
+    maps to Spark's 0-based via (len - i) == (size - 1 - i_spark).
+
+    Plan: the per-(user, day) compaction window and the EWMA frame
+    window share the user_id partitioning — one Exchange, two sorted
+    passes. At 100 TB this is the canonical keyed-series shape: state
+    per row is the bounded 10-element frame, no unbounded running
+    state, no driver loop."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value", "ts", "event_id"
+    )
+    daily = (
+        e.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "day").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    w10 = W.partitionBy("user_id").orderBy("day").rowsBetween(-9, 0)
+    fr = daily.withColumn("xs", F.collect_list("value").over(w10))
+    ewma = F.expr(
+        "aggregate(transform(xs, (x, i) ->"
+        " x / CAST(shiftleft(CAST(1 AS BIGINT), size(xs) - 1 - i) AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (a, v) -> a + v)"
+        " / (CAST(2 AS DOUBLE) - CAST(1 AS DOUBLE)"
+        "    / CAST(shiftleft(CAST(1 AS BIGINT), size(xs) - 1) AS DOUBLE))"
+    )
+    return fr.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        ewma.alias("ewma"),
+        F.size("xs").cast("bigint").alias("n_obs"),
+    )
