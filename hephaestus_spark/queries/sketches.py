@@ -328,3 +328,139 @@ def x_cms_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") >= F.col("exact_cnt")).alias("never_underestimates"),
         )
     )
+
+
+@query(
+    "x_hll_sliding_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day,
+             {_mix32_sql('user_id')} AS mx
+      FROM events
+    ), b AS (
+      SELECT day, mx & {_HLL_M - 1} AS bucket, mx >> {_HLL_P} AS w FROM h
+    ), dayreg AS (
+      SELECT day, bucket,
+             max(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                      ELSE bit_count((w & -w) - 1) + 1 END) AS m
+      FROM b GROUP BY day, bucket
+    ), days AS (
+      SELECT DISTINCT day FROM h
+    ), merged AS (
+      SELECT d.day, r.bucket, max(r.m) AS m
+      FROM days d
+      JOIN dayreg r
+        ON r.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day, r.bucket
+    ), s AS (
+      SELECT day,
+             sum(1.0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE)) AS s_present,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM merged GROUP BY day
+    ), e AS (
+      SELECT day, {_HLL_M} - nb AS v,
+             CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}
+               / (s_present + ({_HLL_M} - nb)) AS e_raw
+      FROM s
+    ), est AS (
+      SELECT day,
+             CASE WHEN v > 0 AND e_raw <= CAST({2.5 * _HLL_M} AS DOUBLE)
+                  THEN CAST({_HLL_M} AS DOUBLE) * ln(CAST({_HLL_M} AS DOUBLE) / v)
+                  ELSE e_raw END AS estimate
+      FROM e
+    ), ex AS (
+      SELECT d.day, CAST(count(DISTINCT ev.user_id) AS BIGINT) AS exact_distinct
+      FROM days d
+      JOIN (SELECT CAST(ts AS DATE) AS day, user_id FROM events) ev
+        ON ev.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT strftime(ex.day, '%Y-%m-%d') AS day, ex.exact_distinct,
+           round(est.estimate, 6) AS hll_estimate,
+           abs(est.estimate - ex.exact_distinct) <= 0.15 * ex.exact_distinct
+             AS within_15pct
+    FROM ex JOIN est ON ex.day = est.day
+    """,
+)
+def x_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window cardinality via sketch ROLLUP: 7-day distinct
+    users per day, computed by max-merging the per-DAY HyperLogLog
+    registers across the window — the textbook streaming-analytics
+    problem where exact sliding distinct counts force either a rescan
+    per window or O(window) state per key.
+
+    Scale contrast (why this is the 100 TB plan): the exact companion
+    re-touches every event row once per window it falls into (7x read
+    amplification here; at 100 TB that is the difference between one
+    pass and seven). The sketch path reads the raw data ONCE into
+    day-partitioned registers — <= 512 rows per day regardless of
+    volume — and every downstream window merge runs on registers, never
+    on data. The day x 6-day-back register join is bounded at
+    days x 512 rows, and estimates reuse x_hll_custom's
+    exact-by-construction harmonic sum, so the ESTIMATE hash-matches
+    the oracle. Register max-merge associativity is proven in
+    tests/test_sketch_custom.py."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.select(
+        F.to_date("ts").alias("day"), _mix32_col(F.col("user_id")).alias("mx")
+    )
+    b = h.select(
+        "day",
+        F.col("mx").bitwiseAND(F.lit(_HLL_M - 1)).alias("bucket"),
+        F.shiftright(F.col("mx"), _HLL_P).alias("w"),
+    )
+    rank = (
+        F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1))
+        .otherwise(F.bit_count((F.col("w").bitwiseAND(-F.col("w"))) - 1) + 1)
+    )
+    dayreg = b.withColumn("rank", rank).groupBy("day", "bucket").agg(
+        F.max("rank").alias("m")
+    )
+    days = h.select("day").distinct()
+    merged = (
+        days.alias("d")
+        .join(
+            dayreg.alias("r"),
+            F.col("r.day").between(
+                F.date_sub(F.col("d.day"), 6), F.col("d.day")
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("r.bucket").alias("bucket"))
+        .agg(F.max("r.m").alias("m"))
+    )
+    s = merged.groupBy("day").agg(
+        F.sum(1.0 / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)")).alias(
+            "s_present"
+        ),
+        F.count("*").cast("bigint").alias("nb"),
+    )
+    v = F.lit(_HLL_M) - F.col("nb")
+    e_raw = F.lit(_HLL_ALPHA) * F.lit(_HLL_M * _HLL_M) / (F.col("s_present") + v)
+    est = s.select(
+        "day",
+        F.when(
+            (v > 0) & (e_raw <= F.lit(2.5 * _HLL_M)),
+            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v),
+        )
+        .otherwise(e_raw)
+        .alias("estimate"),
+    )
+    ev = e.select(F.to_date("ts").alias("day"), "user_id")
+    ex = (
+        days.alias("d")
+        .join(
+            ev.alias("v"),
+            F.col("v.day").between(F.date_sub(F.col("d.day"), 6), F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("v.user_id").cast("bigint").alias("exact_distinct"))
+    )
+    return ex.join(est, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "exact_distinct",
+        F.round("estimate", 6).alias("hll_estimate"),
+        (
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            <= 0.15 * F.col("exact_distinct")
+        ).alias("within_15pct"),
+    )
