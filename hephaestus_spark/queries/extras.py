@@ -399,7 +399,13 @@ def x_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .join(
-            s,
+            # Explicit hint: the supplier dim stays broadcastable after
+            # the ASIA pre-filter, but Catalyst loses the size estimate
+            # across the join and would fall back to a SortMergeJoin —
+            # shuffling the whole fact stream for a tiny build side
+            # (measured 0.9 s vs 0.55 s at sf0.1; the same trap costs a
+            # full fact shuffle at 100 TB).
+            F.broadcast(s),
             (li.l_suppkey == s.s_suppkey)
             & (F.col("c_nationkey") == s.s_nationkey),
         )
