@@ -1489,3 +1489,100 @@ def x_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ewma.alias("ewma"),
         F.size("xs").cast("bigint").alias("n_obs"),
     )
+
+
+@query(
+    "x_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pair AS (
+      SELECT event_type AS src, next_type AS dst,
+             CAST(count(*) AS BIGINT) AS n_pair
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), marg AS (
+      SELECT src, CAST(sum(n_pair) AS BIGINT) AS n_src
+      FROM pair GROUP BY src
+    )
+    SELECT pair.src, pair.dst, pair.n_pair,
+           CAST(pair.n_pair AS DOUBLE) / marg.n_src AS p_transition
+    FROM pair JOIN marg USING (src)
+    """,
+)
+def x_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the path-analysis primitive behind funnel discovery and
+    behavioral clustering): P(next event type | current), estimated
+    from observed consecutive pairs.
+
+    Plan: ONE window shuffle on user_id builds the consecutive pairs
+    (lead over (ts, event_id) — deterministic tiebreak), one tiny
+    (src, dst) agg counts them, and the row-marginals re-aggregate the
+    PAIR table, not the events. |event types|^2 output rows regardless
+    of input size; probabilities are single int/int IEEE divides —
+    int-exact for the hash."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    pair = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count("*").cast("bigint").alias("n_pair"))
+    )
+    marg = pair.groupBy("src").agg(F.sum("n_pair").cast("bigint").alias("n_src"))
+    return pair.join(F.broadcast(marg), "src").select(
+        "src",
+        "dst",
+        "n_pair",
+        (F.col("n_pair").cast("double") / F.col("n_src")).alias("p_transition"),
+    )
+
+
+@query(
+    "x_samples_per_group",
+    oracle="""
+    SELECT lang, doc_id, source, n_chars FROM (
+      SELECT lang, doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (((doc_id & 2147483647) * 2654435761
+                          + ((doc_id >> 31) & 2147483647) * 40503)
+                         % 4294967296 + 4294967296) % 4294967296,
+                        doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    """,
+)
+def x_samples_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sample rows (3 docs per language) — the
+    everyday "show me a few examples from each stratum" inspection
+    query, made REPRODUCIBLE: rows are ranked by the engine-independent
+    mixed hash of their id (not by `rand()` or physical order), so the
+    same samples come back on any engine, partitioning, or day — which
+    is what makes spot-check audits comparable across pipeline runs.
+
+    Plan: one window shuffle on the group key; at scale this is the
+    top-k-per-group shape (rank + filter), never a global sort. The
+    hash tiebreaks on doc_id so ties cannot reorder."""
+    from pyspark.sql.window import Window as W
+    from hephaestus_spark.queries.sketches import _mix32_col
+
+    d = load_table(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(_mix32_col(F.col("doc_id")), F.col("doc_id"))
+    )
+    return (
+        d.select("lang", "doc_id", "source", "n_chars", rn.alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

@@ -464,3 +464,264 @@ def x_hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.15 * F.col("exact_distinct")
         ).alias("within_15pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantiles, the scale way (r5b): exact quantiles WITHOUT sorting raw
+# rows (value-histogram + cumulative counts), and a mergeable
+# HDR-histogram sketch whose buckets are pure integer bit-math — the
+# third member of the sketch trio (HLL cardinality, CMS frequency,
+# HDR quantiles), all engine-deterministic.
+
+_QUANTS = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+
+
+def _exact_rank_cte(val_expr: str = "l_extendedprice") -> str:
+    """Shared oracle CTE: per-flag cents histogram + cumulative counts."""
+    return f"""
+    h AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor({val_expr} * 100 + 0.5) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT flag, c, cnt,
+             sum(cnt) OVER (PARTITION BY flag ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+             sum(cnt) OVER (PARTITION BY flag) AS n
+      FROM h
+    )"""
+
+
+def _rank_expr(q: float) -> str:
+    # rank of the q-quantile under the lower (type-1) definition:
+    # smallest value whose cumulative count reaches ceil(q * n).
+    return f"CAST(ceil({q} * n) AS BIGINT)"
+
+
+@query(
+    "x_exact_quantile_by_rank",
+    oracle=f"""
+    WITH {_exact_rank_cte()}
+    SELECT flag AS l_returnflag,
+           CAST(max(n) AS BIGINT) AS n,
+           {", ".join(
+             f"CAST(min(CASE WHEN cm >= {_rank_expr(q)} THEN c END) AS DOUBLE)"
+             f" / 100.0 AS {name}"
+             for name, q in _QUANTS)}
+    FROM cum GROUP BY flag
+    """,
+)
+def x_exact_quantile_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT type-1 (lower) quantiles with NO raw-row sort and NO
+    per-group list materialization — the count-then-select method
+    x_exact_quantiles' docstring defers to for 100 TB: build the
+    (group, value) histogram (one keyed agg whose output is bounded by
+    the number of DISTINCT values, not rows), take cumulative counts in
+    value order, and the q-quantile is the smallest value whose
+    cumulative count reaches ceil(q*n). Memory per group = distinct
+    values, the shuffle carries histogram cells, and everything is
+    int64 (cents, counts, ranks) until the final /100 — bit-exact on
+    any engine, any partitioning."""
+    from pyspark.sql.window import Window as W
+    from hephaestus_spark.functions.money import scaled_long
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        scaled_long(F.col("l_extendedprice")).alias("c"),
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    cum = h.select(
+        "flag",
+        "c",
+        "cnt",
+        F.sum("cnt")
+        .over(
+            W.partitionBy("flag")
+            .orderBy("c")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cm"),
+        F.sum("cnt").over(W.partitionBy("flag")).alias("n"),
+    )
+    aggs = [F.max("n").cast("bigint").alias("n")]
+    for name, q in _QUANTS:
+        rank = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        aggs.append(
+            (
+                F.min(F.when(F.col("cm") >= rank, F.col("c"))).cast("double")
+                / 100.0
+            ).alias(name)
+        )
+    return cum.groupBy(F.col("flag").alias("l_returnflag")).agg(*aggs)
+
+
+def _hdr_bucket_sql() -> str:
+    """DuckDB lateral-alias chain computing the HDR bucket of cents `c`
+    (floor-log2 via bit smearing + 5 mantissa sub-bits; all int64)."""
+    return """
+             c | (c >> 1) AS s1, s1 | (s1 >> 2) AS s2,
+             s2 | (s2 >> 4) AS s3, s3 | (s3 >> 8) AS s4,
+             s4 | (s4 >> 16) AS s5, s5 | (s5 >> 32) AS s6,
+             CAST(bit_count(s6) AS BIGINT) - 1 AS e,
+             CASE WHEN e < 5 THEN c
+                  ELSE e * 32 + ((c >> (e - 5)) & 31) END AS bucket,
+             CASE WHEN e < 5 THEN c
+                  ELSE (32 + ((c >> (e - 5)) & 31))
+                       * (CAST(1 AS BIGINT) << (e - 5)) END AS lo,
+             CASE WHEN e < 5 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT) << (e - 5) END AS width"""
+
+
+@query(
+    "x_quantile_sketch",
+    oracle=f"""
+    WITH {_exact_rank_cte()}, hb AS (
+      SELECT flag, c, cnt, {_hdr_bucket_sql()}
+      FROM h
+    ), sk AS (
+      SELECT flag, bucket, max(lo) AS lo, max(width) AS width,
+             sum(cnt) AS cnt
+      FROM hb GROUP BY flag, bucket
+    ), scum AS (
+      SELECT flag, bucket, lo, width, cnt,
+             sum(cnt) OVER (PARTITION BY flag ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+             sum(cnt) OVER (PARTITION BY flag) AS n
+      FROM sk
+    ), ex AS (
+      SELECT flag,
+             {", ".join(
+               f"min(CASE WHEN cm >= {_rank_expr(q)} THEN c END) AS x_{name}"
+               for name, q in _QUANTS)}
+      FROM cum GROUP BY flag
+    ), es AS (
+      SELECT flag, CAST(max(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS sketch_cells,
+             {", ".join(
+               f"min(CASE WHEN cm >= {_rank_expr(q)} THEN lo END) AS lo_{name},"
+               f" min(CASE WHEN cm >= {_rank_expr(q)} THEN lo + width END)"
+               f" AS hi_{name}"
+               for name, q in _QUANTS)}
+      FROM scum GROUP BY flag
+    )
+    SELECT es.flag AS l_returnflag, es.n, es.sketch_cells,
+           {", ".join(
+             f"CAST(lo_{name} AS DOUBLE) / 100.0 AS {name}_est,"
+             f" (lo_{name} <= x_{name} AND x_{name} < hi_{name})"
+             f" AS {name}_bracketed"
+             for name, _ in _QUANTS)}
+    FROM es JOIN ex ON es.flag = ex.flag
+    """,
+)
+def x_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram quantile sketch: every value maps to an integer
+    bucket (floor-log2 via 6-step bit smearing + 5 mantissa sub-bits,
+    so bucket width / lower-bound <= 1/32 — a 3.1% relative-error
+    guarantee) and the sketch is the per-bucket count table: bounded at
+    ~32*64 cells per group, MERGEABLE by summing counts (same contract
+    as the HLL registers / CMS cells), and the q-quantile estimate is
+    the lower bound of the bucket holding rank ceil(q*n) under
+    cumulative counts.
+
+    The driver hash-checks the ESTIMATE (pure int64 bit-math, exact in
+    both engines) AND the bracketing guarantee: the true rank value —
+    computed by the exact count-then-select method in the same query —
+    provably lands inside [lo, lo+width) of the selected bucket, and
+    the emitted booleans pin that proof. At 100 TB: one scan into
+    per-partition cell counts, one tiny merge, quantiles at any q
+    without re-touching data — and unlike GK/t-digest the result is
+    independent of merge order, so backfills reproduce exactly."""
+    from pyspark.sql.window import Window as W
+    from hephaestus_spark.functions.money import scaled_long
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        scaled_long(F.col("l_extendedprice")).alias("c"),
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    hb = h
+    prev = "c"
+    for i, sh in enumerate((1, 2, 4, 8, 16, 32), start=1):
+        hb = hb.withColumn(f"s{i}", F.expr(f"{prev} | ({prev} >> {sh})"))
+        prev = f"s{i}"
+    hb = (
+        hb.withColumn("e", F.bit_count(F.col("s6")) - 1)
+        .withColumn(
+            "bucket",
+            F.when(F.col("e") < 5, F.col("c")).otherwise(
+                F.col("e") * 32 + F.expr("(c >> (e - 5)) & 31")
+            ),
+        )
+        .withColumn(
+            "lo",
+            F.when(F.col("e") < 5, F.col("c")).otherwise(
+                F.expr(
+                    "(32 + ((c >> (e - 5)) & 31))"
+                    " * (shiftleft(CAST(1 AS BIGINT), e - 5))"
+                )
+            ),
+        )
+        .withColumn(
+            "width",
+            F.when(F.col("e") < 5, F.lit(1).cast("bigint")).otherwise(
+                F.expr("shiftleft(CAST(1 AS BIGINT), e - 5)")
+            ),
+        )
+    )
+    sk = hb.groupBy("flag", "bucket").agg(
+        F.max("lo").alias("lo"),
+        F.max("width").alias("width"),
+        F.sum("cnt").alias("cnt"),
+    )
+    wf = W.partitionBy("flag")
+    scum = sk.select(
+        "flag",
+        "bucket",
+        "lo",
+        "width",
+        "cnt",
+        F.sum("cnt")
+        .over(wf.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cm"),
+        F.sum("cnt").over(wf).alias("n"),
+    )
+    cum = h.select(
+        "flag",
+        "c",
+        F.sum("cnt")
+        .over(wf.orderBy("c").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cm"),
+        F.sum("cnt").over(wf).alias("n"),
+    )
+    ex_aggs, es_aggs = [], [
+        F.max("n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("sketch_cells"),
+    ]
+    for name, q in _QUANTS:
+        rank_s = F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+        ex_aggs.append(
+            F.min(F.when(F.col("cm") >= rank_s, F.col("c"))).alias(f"x_{name}")
+        )
+        es_aggs.append(
+            F.min(F.when(F.col("cm") >= rank_s, F.col("lo"))).alias(f"lo_{name}")
+        )
+        es_aggs.append(
+            F.min(
+                F.when(F.col("cm") >= rank_s, F.col("lo") + F.col("width"))
+            ).alias(f"hi_{name}")
+        )
+    ex = cum.groupBy("flag").agg(*ex_aggs)
+    es = scum.groupBy("flag").agg(*es_aggs)
+    out_cols = [F.col("flag").alias("l_returnflag"), "n", "sketch_cells"]
+    for name, _ in _QUANTS:
+        out_cols.append(
+            (F.col(f"lo_{name}").cast("double") / 100.0).alias(f"{name}_est")
+        )
+        out_cols.append(
+            (
+                (F.col(f"lo_{name}") <= F.col(f"x_{name}"))
+                & (F.col(f"x_{name}") < F.col(f"hi_{name}"))
+            ).alias(f"{name}_bracketed")
+        )
+    return es.join(ex, "flag").select(*out_cols)
