@@ -834,3 +834,96 @@ def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("_dup").cast("double") / F.count("*")).alias("dup_fraction"),
         )
     )
+
+
+@query(
+    "x_containment",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text), '[^a-z ]',
+               ' ', 'g'), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), ex AS (
+      SELECT doc_id + 5000000 AS eid, toks[1:15] AS toks
+      FROM t WHERE doc_id % 7 = 0
+    ), sa AS (
+      SELECT DISTINCT eid, md5(array_to_string(toks[i : i + 4], ' ')) AS wkey
+      FROM ex, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - 4)) AS i
+      )
+    ), sb AS (
+      SELECT DISTINCT doc_id AS did,
+             md5(array_to_string(toks[i : i + 4], ' ')) AS wkey
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - 4)) AS i
+      )
+    ), na AS (
+      SELECT eid, CAST(count(*) AS BIGINT) AS n_a FROM sa GROUP BY eid
+    ), pair AS (
+      SELECT sa.eid, sb.did, CAST(count(*) AS BIGINT) AS shared
+      FROM sa JOIN sb USING (wkey)
+      GROUP BY sa.eid, sb.did
+    )
+    SELECT pair.eid, pair.did, pair.shared, na.n_a,
+           CAST(pair.shared AS DOUBLE) / na.n_a AS containment
+    FROM pair JOIN na USING (eid)
+    WHERE pair.shared * 5 >= na.n_a * 4
+    """,
+)
+def x_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection (|A ∩ B| / |A| over 5-token
+    shingle sets): finds docs that CONTAIN an excerpt — quotes, mirrored
+    paragraphs, boilerplate inclusions — which symmetric Jaccard (q33)
+    misses when the containing doc is much larger. Excerpts here are
+    the first 15 tokens of every 7th doc (built identically in both
+    engines); each excerpt reports the docs covering >= 80% of its
+    shingles, source doc included at containment 1.
+
+    The 80% gate is an integer cross-multiply (shared*5 >= n_a*4) so no
+    boundary pair can flip on a double; the emitted containment is one
+    int/int divide. Plan: two scan-side shingle tables, one uniform-key
+    equi-join on the md5 shingle hash, pair counts + a tiny per-excerpt
+    size table broadcast back. At 100 TB the full shingle join is
+    replaced by q33's banded-minhash candidates with THIS exact
+    containment as the verify stage — same verify math, bounded
+    candidates."""
+    from hephaestus_spark.operators.textops import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    ex = t.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 5000000).alias("eid"),
+        F.slice("toks", 1, 15).alias("toks"),
+    )
+
+    def shingles(df, id_out, id_in):
+        return df.select(
+            F.col(id_in).alias(id_out),
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, greatest(size(toks) - 4, 1)),"
+                        " i -> md5(concat_ws(' ', slice(toks, i, 5))))"
+                    )
+                )
+            ).alias("wkey"),
+        ).distinct()
+
+    sa = shingles(ex, "eid", "eid")
+    sb = shingles(t, "did", "doc_id")
+    na = sa.groupBy("eid").agg(F.count("*").cast("bigint").alias("n_a"))
+    pair = sa.join(sb, "wkey").groupBy("eid", "did").agg(
+        F.count("*").cast("bigint").alias("shared")
+    )
+    return (
+        pair.join(F.broadcast(na), "eid")
+        .filter(F.col("shared") * 5 >= F.col("n_a") * 4)
+        .select(
+            "eid",
+            "did",
+            "shared",
+            "n_a",
+            (F.col("shared").cast("double") / F.col("n_a")).alias("containment"),
+        )
+    )

@@ -433,3 +433,85 @@ def x_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cos64") >= 0.99).select(
         "cluster_id", "id_a", "id_b", F.round(F.col("cos64"), 4).alias("cos_sim")
     )
+
+
+@query(
+    "x_quantized_centroids",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, label, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) / scale)
+                                 AS INTEGER)) END AS qvec
+      FROM s
+    ), comp AS (
+      SELECT label, i - 1 AS pos,
+             CAST(floor((CAST(qvec[i] AS DOUBLE) * scale) * 1000000 + 0.5)
+                  AS BIGINT) AS micro
+      FROM q, LATERAL (
+        SELECT unnest(generate_series(1, len(qvec))) AS i
+      )
+    )
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           CAST(count(*) AS BIGINT) AS n,
+           (CAST(sum(micro) AS DOUBLE) / 1000000) / count(*) AS centroid
+    FROM comp GROUP BY label, pos
+    """,
+)
+def x_quantized_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class centroids over int8-quantized embeddings with
+    EXACT aggregation: each dequantized component (code * scale) is
+    converted scan-side to fixed micro-units (the functions/money.py
+    scaled-long pattern applied to vectors), so the per-(label, dim)
+    sums are order-independent int64 adds and the centroid hash-matches
+    — no float-accumulation drift no matter how many partitions merge.
+    This is the embedding-table analytics shape (class prototypes,
+    drift monitoring, nearest-centroid routing for IVF) done at
+    warehouse exactness.
+
+    Plan: quantize + posexplode are scan-side; ONE (label, pos) keyed
+    agg — 10 labels x 64 dims = 640 shuffle cells regardless of corpus
+    size. Quantization error (<= scale/2 per element) and the 1e-6
+    fixed-point grid are the documented approximations; the AGGREGATION
+    adds zero error."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    scale = (
+        F.array_max(F.expr("transform(embedding, x -> abs(CAST(x AS DOUBLE)))"))
+        / 127
+    ).alias("scale")
+    s = e.select("vec_id", "label", "embedding", scale)
+    qvec = F.when(
+        F.col("scale") == 0, F.expr("transform(embedding, x -> 0)")
+    ).otherwise(
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT))"
+        )
+    )
+    q = s.select("label", "scale", qvec.alias("qvec"))
+    comp = q.select(
+        "label",
+        F.posexplode("qvec").alias("pos", "code"),
+        "scale",
+    ).select(
+        "label",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.floor((F.col("code").cast("double") * F.col("scale")) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("micro"),
+    )
+    return comp.groupBy("label", "pos").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (
+            (F.sum("micro").cast("double") / 1000000) / F.count("*")
+        ).alias("centroid"),
+    )

@@ -1189,3 +1189,92 @@ def x_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
         .limit(20)
     )
+
+
+@query(
+    "x_lm_perplexity",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+      FROM t, LATERAL (
+        SELECT unnest(generate_series(1, len(toks) - 1)) AS i
+      )
+    ), cab AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b
+    ), ca AS (
+      SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT x) AS BIGINT) AS v
+      FROM (SELECT unnest(toks) AS x FROM t)
+    ), lp AS (
+      SELECT bg.doc_id,
+             ln((cab.c_ab + CAST(1 AS DOUBLE)) / (ca.c_a + vocab.v)) AS lnp
+      FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN vocab
+    ), agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+             list_sum(list_sort(list(lnp))) AS ll
+      FROM lp GROUP BY doc_id
+    )
+    SELECT doc_id, n_pairs,
+           exp(-(ll / n_pairs)) AS perplexity
+    FROM agg ORDER BY perplexity DESC, doc_id ASC LIMIT 20
+    """,
+)
+def x_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filtering: per-doc perplexity under an
+    add-1-smoothed bigram LM fit on the corpus itself — the top-20
+    highest-perplexity (most out-of-distribution) docs are what a
+    curation pass inspects or drops. Complements x_dsir_weights (which
+    contrasts two corpora; this scores against one).
+
+    Plan: bigram counts are one (a,b) agg over a scan-side pair
+    explode; the conditional-probability tables broadcast back onto the
+    per-doc pair stream (in production the LM tables are hashed/pruned
+    — same broadcast shape), so scoring never shuffles the corpus.
+    Float discipline: per-pair ln on identical int-derived doubles,
+    per-doc sum folds the SORTED list, then exp of one identical
+    double; ordering ties break on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = (
+        d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] AS a, toks[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.a", "p.b")
+    )
+    cab = bg.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("c_ab"))
+    ca = cab.groupBy("a").agg(F.sum("c_ab").cast("bigint").alias("c_a"))
+    vocab = (
+        d.select(F.explode(F.expr(_TOKENS)).alias("x"))
+        .agg(F.count_distinct("x").cast("bigint").alias("v"))
+    )
+    lnp = F.log(
+        (F.col("c_ab") + F.lit(1.0)) / (F.col("c_a") + F.col("v"))
+    )
+    lp = (
+        bg.join(F.broadcast(cab), ["a", "b"])
+        .join(F.broadcast(ca), "a")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lnp.alias("lnp"))
+    )
+    agg = lp.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "aggregate(sort_array(collect_list(lnp)), CAST(0 AS DOUBLE),"
+            " (acc, x) -> acc + x)"
+        ).alias("ll"),
+    )
+    out = agg.select(
+        "doc_id",
+        "n_pairs",
+        F.exp(-(F.col("ll") / F.col("n_pairs"))).alias("perplexity"),
+    )
+    return out.orderBy(F.col("perplexity").desc(), F.col("doc_id").asc()).limit(20)

@@ -325,3 +325,41 @@ def test_pack_sequences_window_is_sharded(spark, sf_dir):
     import re as _re
     wline = next(l for l in plan.splitlines() if "partitionBy" in l.lower() or "windowspecdefinition(shard" in l.lower() or "Arguments" in l and "shard" in l)
     assert "shard" in wline
+
+
+def test_tpch_q5_supplier_dim_broadcasts_after_prefilter(spark, sf_dir):
+    """r5b regression guard: the ASIA-pre-filtered supplier dim must
+    stay a broadcast build side — without the explicit hint Catalyst
+    loses the size estimate across the pre-filter join and falls back
+    to a SortMergeJoin that shuffles the whole fact stream."""
+    plan = plan_of(spark, sf_dir, "x_tpch_q5")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_new_sketch_and_sample_queries_stay_jvm(spark, sf_dir):
+    """No Python UDFs in any r5b operator's hot path."""
+    for name in (
+        "x_hll_custom",
+        "x_cms_custom",
+        "x_hll_sliding_distinct",
+        "x_quantile_sketch",
+        "x_exact_quantile_by_rank",
+        "x_cdc_apply",
+        "x_substring_dedup",
+        "x_bm25_search",
+        "x_dsir_weights",
+        "x_pmi_cooccurrence",
+        "x_mix_temperature",
+        "x_resample_ffill",
+        "x_ewma",
+        "x_markov_transitions",
+        "x_samples_per_group",
+        "x_quantized_centroids",
+        "x_lm_perplexity",
+        "x_containment",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
