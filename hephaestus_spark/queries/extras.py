@@ -1586,3 +1586,64 @@ def x_samples_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@query(
+    "x_sampled_sum_estimate",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             (((o_orderkey & 2147483647) * 2654435761
+               + ((o_orderkey >> 31) & 2147483647) * 40503)
+              % 4294967296 + 4294967296) % 4294967296 < 429496729 AS in_sample
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS DOUBLE) / 100.0 AS exact_sum,
+           CAST(10 * sum(CASE WHEN in_sample THEN cents ELSE 0 END)
+                AS DOUBLE) / 100.0 AS est_sum,
+           CAST(abs(10 * sum(CASE WHEN in_sample THEN cents ELSE 0 END)
+                    - sum(cents)) AS DOUBLE)
+             / sum(cents) AS rel_err
+    FROM s GROUP BY o_orderpriority
+    """,
+)
+def x_sampled_sum_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing (AQP) by deterministic sampling:
+    estimate per-group revenue from the 10% hash sample
+    (operators/curation.py's engine-independent predicate — the same
+    rows on any engine/partitioning/day) scaled by 1/f, next to the
+    exact value and the realized relative error. This is the
+    interactive-dashboard trade: at 100 TB the sampled scan reads ~10%
+    of the data (the sample predicate is a scan-side filter — with the
+    sample materialized as its own table it becomes a 10x-smaller
+    scan), and because the sample is deterministic the estimate is
+    REPRODUCIBLE — two analysts get the same approximate number, which
+    ad-hoc `TABLESAMPLE` cannot promise.
+
+    Everything is integer until the final divides: cents sums, the x10
+    scale-up (integer multiply), and |est - exact| are int64; rel_err
+    and the dollar outputs are single IEEE divides on identical
+    operands — the whole row hash-matches, including the error
+    column."""
+    from hephaestus_spark.operators.curation import hash_sample_pred
+    from hephaestus_spark.functions.money import scaled_long
+
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        "o_orderpriority",
+        scaled_long(F.col("o_totalprice")).alias("cents"),
+        hash_sample_pred("o_orderkey", 0.1).alias("in_sample"),
+    )
+    est_cents = 10 * F.sum(F.when(F.col("in_sample"), F.col("cents")).otherwise(0))
+    exact_cents = F.sum("cents")
+    return s.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (exact_cents.cast("double") / 100.0).alias("exact_sum"),
+        (est_cents.cast("double") / 100.0).alias("est_sum"),
+        (
+            F.abs(est_cents - exact_cents).cast("double") / exact_cents
+        ).alias("rel_err"),
+    )

@@ -117,9 +117,7 @@ def _mix32_col(k: Column, mul_lo: int = 2654435761, mul_hi: int = 40503) -> Colu
     return F.pmod(low * F.lit(mul_lo) + high * F.lit(mul_hi), F.lit(4294967296))
 
 
-@query(
-    "x_hll_custom",
-    oracle=f"""
+_HLL_CUSTOM_SQL = f"""
     WITH h AS (
       SELECT o_orderpriority AS grp,
              {_mix32_sql('o_custkey')} AS mx
@@ -157,8 +155,10 @@ def _mix32_col(k: Column, mul_lo: int = 2654435761, mul_hi: int = 40503) -> Colu
            abs(est.estimate - ex.exact_distinct) <= 0.1 * ex.exact_distinct
              AS within_10pct
     FROM ex JOIN est ON ex.grp = est.grp
-    """,
-)
+    """
+
+
+@query("x_hll_custom", oracle=_HLL_CUSTOM_SQL)
 def x_hll_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """From-scratch HyperLogLog (p=9, 512 registers) per order priority,
     hash-checked on the ESTIMATE itself.
@@ -725,3 +725,84 @@ def x_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"{name}_bracketed")
         )
     return es.join(ex, "flag").select(*out_cols)
+
+
+@query(
+    # Register max-merge is associative and batch-boundary independent
+    # (proven in tests/test_sketch_custom.py), so the streamed register
+    # table — and therefore the estimate — is bit-identical to the
+    # one-shot batch sketch: the oracle is SHARED with x_hll_custom.
+    "x_stream_hll_distinct",
+    oracle=_HLL_CUSTOM_SQL,
+)
+def x_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct-count sketch as it runs in streaming production:
+    orders arrive as ordered micro-batches (one per order-year) and
+    each batch emits only its (group, bucket, max-rank) HLL registers
+    inside ``foreachBatch`` — <= 512 rows per group per batch, the
+    log-structured accumulator never sees raw keys — and the final
+    merge is one max per (group, bucket) over the accumulated partial
+    registers. This is the third shared-oracle streaming/batch
+    equivalence proof in the suite (after x_stream_incremental_dedup
+    and x_stream_cdc_apply): merge associativity makes the streamed
+    estimate bit-identical to x_hll_custom's one-shot estimate, and
+    the shared oracle pins it.
+
+    At 100 TB this is the maintained-sketch pattern: the daily job
+    appends a bounded register delta; ANY window of days can later be
+    estimated from register maxes without re-reading raw data."""
+    from hephaestus_spark.streaming.replay import replay_foreach_batch
+
+    o = load_table(spark, sf_dir, "orders")
+    feed = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        "o_custkey",
+        F.year("o_orderdate").alias("arrival"),
+    )
+
+    def batch_registers(batch_df: DataFrame) -> DataFrame:
+        mx = _mix32_col(F.col("o_custkey"))
+        b = batch_df.select(
+            "grp",
+            mx.bitwiseAND(F.lit(_HLL_M - 1)).alias("bucket"),
+            F.shiftright(mx, _HLL_P).alias("w"),
+        )
+        rank = (
+            F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1))
+            .otherwise(F.bit_count((F.col("w").bitwiseAND(-F.col("w"))) - 1) + 1)
+        )
+        return b.withColumn("rank", rank).groupBy("grp", "bucket").agg(
+            F.max("rank").alias("m")
+        )
+
+    runs = replay_foreach_batch(spark, feed, "arrival", batch_registers)
+    regs = runs.groupBy("grp", "bucket").agg(F.max("m").alias("m"))
+    s = regs.groupBy("grp").agg(
+        F.sum(1.0 / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)")).alias(
+            "s_present"
+        ),
+        F.count("*").cast("bigint").alias("nb"),
+    )
+    v = F.lit(_HLL_M) - F.col("nb")
+    e_raw = F.lit(_HLL_ALPHA) * F.lit(_HLL_M * _HLL_M) / (F.col("s_present") + v)
+    est = s.select(
+        "grp",
+        F.when(
+            (v > 0) & (e_raw <= F.lit(2.5 * _HLL_M)),
+            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v),
+        )
+        .otherwise(e_raw)
+        .alias("estimate"),
+    )
+    ex = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("exact_distinct")
+    )
+    return ex.join(est, "grp").select(
+        F.col("grp").alias("o_orderpriority"),
+        "exact_distinct",
+        F.round("estimate", 6).alias("hll_estimate"),
+        (
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            <= 0.1 * F.col("exact_distinct")
+        ).alias("within_10pct"),
+    )
