@@ -1647,3 +1647,89 @@ def x_sampled_sum_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est_cents - exact_cents).cast("double") / exact_cents
         ).alias("rel_err"),
     )
+
+
+@query(
+    "x_attribution_last_touch",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, 1 AS tag, event_id, event_type,
+             CAST(NULL AS BIGINT) AS cents
+      FROM events
+      UNION ALL
+      -- orders predate the 2024-01 event month in the synthetic data;
+      -- remap each order onto a deterministic day at noon so the
+      -- attribution window genuinely interleaves purchases and events
+      SELECT o_custkey AS user_id,
+             TIMESTAMP '2024-01-01 12:00:00'
+               + (o_orderkey % 30) * INTERVAL 1 DAY AS ts,
+             2 AS tag,
+             CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS VARCHAR),
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), w AS (
+      SELECT user_id, tag, cents,
+             last_value(event_type IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS touch_type
+      FROM u
+    )
+    SELECT coalesce(touch_type, 'untouched') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+    FROM w WHERE tag = 2
+    GROUP BY 1
+    """,
+)
+def x_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: every order is credited to the
+    user's most recent event BEFORE the order time, and revenue rolls
+    up per touching event type ('untouched' when no event precedes).
+    The canonical marketing-analytics op, built as a composition of the
+    as-of machinery (x_asof_join's union-merge plan — ONE shuffle on
+    user_id, linear in |events|+|orders|, no pairwise candidate
+    blow-up) with a cents-exact rollup. Orders sort after same-instant
+    events (tag ordering), so a touch at the exact order timestamp
+    still gets credit — deterministically in both engines."""
+    from pyspark.sql.window import Window as W
+    from hephaestus_spark.functions.money import scaled_long
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.lit(1).alias("tag"),
+        "event_id",
+        "event_type",
+        F.lit(None).cast("bigint").alias("cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.expr(
+            "timestampadd(DAY, CAST(o_orderkey % 30 AS INT),"
+            " TIMESTAMP '2024-01-01 12:00:00')"
+        ).alias("ts"),
+        F.lit(2).alias("tag"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        scaled_long(F.col("o_totalprice")).alias("cents"),
+    )
+    u = e.unionByName(o)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    touched = u.withColumn(
+        "touch_type", F.last("event_type", ignorenulls=True).over(w)
+    )
+    return (
+        touched.filter(F.col("tag") == 2)
+        .groupBy(
+            F.coalesce(F.col("touch_type"), F.lit("untouched")).alias("touch_type")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+        )
+    )
