@@ -806,3 +806,96 @@ def x_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.1 * F.col("exact_distinct")
         ).alias("within_10pct"),
     )
+
+
+@query(
+    "x_winsorize",
+    oracle=f"""
+    WITH {_exact_rank_cte()}, qs AS (
+      SELECT flag,
+             min(CASE WHEN cm >= CAST(ceil(0.01 * n) AS BIGINT) THEN c END)
+               AS p01c,
+             min(CASE WHEN cm >= CAST(ceil(0.99 * n) AS BIGINT) THEN c END)
+               AS p99c
+      FROM cum GROUP BY flag
+    ), rows_ AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+    )
+    SELECT rows_.flag AS l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN c < p01c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(sum(CASE WHEN c > p99c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           (CAST(sum(least(greatest(c, p01c), p99c)) AS DOUBLE) / 100.0)
+             / count(*) AS winsorized_mean
+    FROM rows_ JOIN qs ON rows_.flag = qs.flag
+    GROUP BY rows_.flag
+    """,
+)
+def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p01/p99-clipped) per-group statistics — the robust
+    preprocessing step that stops a handful of outliers from dominating
+    means and downstream normalization. The clip thresholds come from
+    the rank-exact quantile machinery (x_exact_quantile_by_rank: cents
+    histogram + cumulative counts, no raw sort), broadcast back as a
+    3-row table; clipping is a scan-side clamp and the winsorized mean
+    accumulates clamped CENTS — order-independent int64 adds, so the
+    emitted mean hash-matches. Two passes over the fact (threshold
+    derivation + clamp-aggregate), the unavoidable minimum for exact
+    quantile clipping; at 100 TB pass one shrinks to the distinct-value
+    histogram and pass two is the plain scan it replaces."""
+    from pyspark.sql.window import Window as W
+    from hephaestus_spark.functions.money import scaled_long
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        scaled_long(F.col("l_extendedprice")).alias("c"),
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    wf = W.partitionBy("flag")
+    cum = h.select(
+        "flag",
+        "c",
+        F.sum("cnt")
+        .over(wf.orderBy("c").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cm"),
+        F.sum("cnt").over(wf).alias("n"),
+    )
+    qs = cum.groupBy("flag").agg(
+        F.min(
+            F.when(
+                F.col("cm") >= F.ceil(F.lit(0.01) * F.col("n")).cast("bigint"),
+                F.col("c"),
+            )
+        ).alias("p01c"),
+        F.min(
+            F.when(
+                F.col("cm") >= F.ceil(F.lit(0.99) * F.col("n")).cast("bigint"),
+                F.col("c"),
+            )
+        ).alias("p99c"),
+    )
+    rows = li.select(
+        F.col("l_returnflag").alias("flag"),
+        scaled_long(F.col("l_extendedprice")).alias("c"),
+    )
+    clamped = F.least(F.greatest(F.col("c"), F.col("p01c")), F.col("p99c"))
+    return (
+        rows.join(F.broadcast(qs), "flag")
+        .groupBy(F.col("flag").alias("l_returnflag"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("c") < F.col("p01c"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("c") > F.col("p99c"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            (
+                (F.sum(clamped).cast("double") / 100.0) / F.count("*")
+            ).alias("winsorized_mean"),
+        )
+    )
