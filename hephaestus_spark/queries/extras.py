@@ -1733,3 +1733,89 @@ def x_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents").cast("double") / 100.0).alias("revenue"),
         )
     )
+
+
+@query(
+    "x_trend_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+             CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS HUGEINT) AS syy
+      FROM daily GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CASE WHEN n < 2 OR n * sxx - sx * sx = 0
+                  OR n * syy - CAST(sy AS HUGEINT) * sy = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - CAST(sy AS HUGEINT) * sy
+                                   AS DOUBLE))
+           END AS trend_corr
+    FROM stats
+    """,
+)
+def x_trend_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trend detection: Pearson correlation between day index
+    and daily activity value — the monitoring primitive that flags
+    users (or sources, or feeds) whose volume is systematically rising
+    or falling, without eyeballing time series.
+
+    Exactness: daily values go to fixed micro-units scan-side, so ALL
+    sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact integer
+    sums — order-independent — and the correlation is a handful of IEEE
+    ops on identical integer-derived operands (the x_outlier_zscore
+    discipline applied to two variables). Σy² needs >64 bits at this
+    value scale: Spark promotes through DECIMAL(38,0), DuckDB through
+    HUGEINT — both exact integer arithmetic, both convert the SAME
+    integer to double at the end. Degenerate series (n<2 or zero
+    variance) emit NULL in both engines.
+
+    Plan: one (user, day) keyed agg, one user-keyed agg. At 100 TB both
+    shuffles are uniform-key; state per user is six numbers."""
+    from hephaestus_spark.queries.sketches import _mix32_col  # noqa: F401
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000000 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    stats = daily.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        # y^2 overflows int64 at micro-unit scale: accumulate exactly as
+        # DECIMAL(38,0) (Spark's 128-bit integer path; DuckDB: HUGEINT).
+        F.sum(
+            F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)")
+        ).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = (
+        F.col("n").cast("decimal(38,0)") * F.col("syy")
+        - F.col("sy").cast("decimal(38,0)") * F.col("sy").cast("decimal(38,0)")
+    )
+    corr = F.when(
+        (F.col("n") < 2) | (varx == 0) | (vary == F.lit(0).cast("decimal(38,0)")),
+        F.lit(None).cast("double"),
+    ).otherwise(
+        num.cast("double") / F.sqrt(varx.cast("double") * vary.cast("double"))
+    )
+    return stats.select("user_id", "n", corr.alias("trend_corr"))
