@@ -18,7 +18,7 @@ from hephaestus_spark.operators.curation import (
     hash_sample,
     weighted_sample_topk,
 )
-from hephaestus_spark.functions.money import scaled_long, sum_money
+from hephaestus_spark.functions.money import scaled_long, sum_money, sum_scaled
 from hephaestus_spark.registry import query
 from hephaestus_spark.sources import load_table
 
@@ -990,16 +990,18 @@ def x_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.join(p, li.l_partkey == p.p_partkey).select(
         (F.col("p_type") == "PROMO").alias("is_promo"), cents.alias("c4")
     )
+    # One global group over a multi-month lineitem slice: at the 100 TB
+    # design point (~4e10 rows x ~1e9 scaled) a single int64 accumulator
+    # wraps, so both sums use the 3-lane split (functions/money.py).
+    promo = F.when(F.col("is_promo"), F.col("c4")).otherwise(F.lit(0).cast("bigint"))
     agg = joined.agg(
-        F.sum(F.when(F.col("is_promo"), F.col("c4")).otherwise(0)).alias("promo_c"),
-        F.sum("c4").alias("total_c"),
+        sum_scaled(promo, bits=42).alias("promo_d"),
+        sum_scaled(F.col("c4"), bits=42).alias("total_d"),
     )
     return agg.select(
-        (
-            F.col("promo_c").cast("double") / F.col("total_c").cast("double") * 100.0
-        ).alias("promo_pct"),
-        (F.col("promo_c").cast("double") / 10000.0).alias("promo_revenue"),
-        (F.col("total_c").cast("double") / 10000.0).alias("total_revenue"),
+        (F.col("promo_d") / F.col("total_d") * 100.0).alias("promo_pct"),
+        (F.col("promo_d") / 10000.0).alias("promo_revenue"),
+        (F.col("total_d") / 10000.0).alias("total_revenue"),
     )
 
 
@@ -1730,7 +1732,10 @@ def x_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
-            (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+            # touch_type has a handful of groups over ALL orders — the
+            # 100 TB group size sits within ~20% of int64's cap, so use
+            # the overflow-proof 3-lane sum (functions/money.py).
+            (sum_scaled(F.col("cents"), bits=42) / 100.0).alias("revenue"),
         )
     )
 

@@ -13,9 +13,11 @@ optimizer shape (what makes it hard) while re-targeting predicates at
 the columns that exist; the adaptation is documented per query.
 
 Exactness discipline (functions/money.py): every money sum accumulates
-scaled longs in both engines, and every threshold against an average or
-a fraction of a total is an integer cross-multiply — no boundary row
-can flip on a last-ulp double difference (the r2 q34 failure class).
+scaled longs in both engines (lane-split where the 100 TB group size
+could wrap int64 — r6), and every threshold against an average or a
+fraction of a total is either an integer cross-multiply or an
+identical-operand double compare — no boundary row can flip on a
+last-ulp double difference (the r2 q34 failure class).
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hephaestus_spark.functions.money import scaled_long, sum_money
+from hephaestus_spark.functions.money import scaled_long, sum_money, sum_scaled
 from hephaestus_spark.registry import query
 from hephaestus_spark.sources import load_table
 
@@ -269,12 +271,17 @@ def x_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation",
         )
     )
+    # Per-year groups over the full joined fact: ~8.6e10 rows/group at
+    # 100 TB — a plain int64 4dp accumulator wraps ~10x over, so both
+    # sums use the overflow-proof 3-lane split (functions/money.py);
+    # below 2^53 totals the ratio is bit-identical to the oracle's
+    # hugeint-sum form.
+    nvol = F.when(F.col("nation") == "NATION_3", F.col("vol")).otherwise(
+        F.lit(0).cast("bigint")
+    )
     return an.groupBy("o_year").agg(
-        (
-            F.sum(F.when(F.col("nation") == "NATION_3", F.col("vol")).otherwise(0)).cast("double")
-            / F.sum("vol").cast("double")
-        ).alias("mkt_share"),
-        (F.sum("vol").cast("double") / 10000.0).alias("total_volume"),
+        (sum_scaled(nvol, bits=42) / sum_scaled(F.col("vol"), bits=42)).alias("mkt_share"),
+        (sum_scaled(F.col("vol"), bits=42) / 10000.0).alias("total_volume"),
     )
 
 
@@ -337,7 +344,9 @@ def x_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rev - cost).alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg((F.sum("amount").cast("double") / 10000.0).alias("sum_profit"))
+        # nation x year is ~175 groups over all of lineitem — only 2.7x
+        # int64 headroom at 100 TB, so lane-split the sum.
+        .agg((sum_scaled(F.col("amount"), bits=42) / 10000.0).alias("sum_profit"))
     )
 
 
@@ -352,12 +361,13 @@ def x_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AND n.n_name IN ('NATION_1', 'NATION_2')
       GROUP BY 1
     ), total AS (
-      SELECT sum(value_c) AS total_c, count(*) AS n_parts FROM per_part
+      SELECT CAST(sum(value_c) AS DOUBLE) AS total_d, count(*) AS n_parts
+      FROM per_part
     )
     SELECT p.l_partkey AS partkey,
            CAST(p.value_c AS DOUBLE) / 10000.0 AS value
     FROM per_part p, total t
-    WHERE p.value_c * t.n_parts > 2 * t.total_c
+    WHERE CAST(p.value_c AS DOUBLE) * CAST(t.n_parts AS DOUBLE) > 2.0 * t.total_d
     ORDER BY p.value_c DESC, p.l_partkey
     """,
 )
@@ -374,9 +384,12 @@ def x_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the grand total re-aggregates the per-part result
     (|parts| rows), NOT the fact table — one fact scan total — and
-    crossJoin-broadcasts one row back. The threshold is the integer
-    cross-multiply value_c * n_parts > 2 * total_c: no double
-    fraction, no boundary flips.
+    crossJoin-broadcasts one row back. The threshold compares
+    value_c * n_parts against 2 * total in double with the identical
+    operand sequence in both engines: below 2^53 (every test SF) the
+    operands are exact and the comparison bit-identical, while the
+    int64 cross-multiply it replaced would wrap at the 100 TB design
+    point (value_c ~3e12 x n_parts ~2e8).
     """
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
@@ -400,12 +413,22 @@ def x_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_c")
         )
     )
+    # The grand total sums 4dp cents over EVERY part — the one group
+    # whose size is the whole fact table, so it gets the 3-lane
+    # overflow-proof sum; the threshold compare moves to double with
+    # the identical operand sequence in the oracle (below 2^53 both
+    # sides compare the exact same bits, so no boundary flips; an int64
+    # cross-multiply would itself wrap at 100 TB).
     total = per_part.agg(
-        F.sum("value_c").alias("total_c"), F.count("*").alias("n_parts")
+        sum_scaled(F.col("value_c")).alias("total_d"),
+        F.count("*").alias("n_parts"),
     )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("value_c") * F.col("n_parts") > 2 * F.col("total_c"))
+        .filter(
+            F.col("value_c").cast("double") * F.col("n_parts").cast("double")
+            > F.lit(2.0) * F.col("total_d")
+        )
         .select(
             F.col("l_partkey").alias("partkey"),
             (F.col("value_c").cast("double") / 10000.0).alias("value"),
@@ -625,7 +648,9 @@ def x_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cnt", F.count("*").over(w))
         .filter(F.col("qty") * 5 * F.col("cnt") < F.col("sq"))
         .agg(
-            (F.sum("cents").cast("double") / 100.0 / 7.0).alias("avg_yearly"),
+            # single global group — lane-split the final sum so a 100 TB
+            # qualifying set cannot wrap int64 (functions/money.py).
+            (sum_scaled(F.col("cents"), bits=42) / 100.0 / 7.0).alias("avg_yearly"),
             F.count("*").cast("bigint").alias("n_items"),
         )
     )
