@@ -169,6 +169,10 @@ class JdbcMergeTarget:
     # reference's row-at-a-time writes are the N+1 anti-pattern; at sink
     # scale the statement count must be O(rows/batch_size), not O(rows))
     batch_size: int = 1000
+    # sink-side write parallelism: None = leave the batch's partitioning
+    # (delete_insert still co-locates by key); 1 = single-writer engines
+    # (DuckDB holds one write lock per file — the mirror-test path).
+    partitions: int | None = None
 
     def merge_batch(self, spark: SparkSession, staged: DataFrame) -> dict[str, int]:
         extra = list(self.insert_only_cols or [])
@@ -239,7 +243,9 @@ class JdbcMergeTarget:
         for c in missing:
             staged = staged.withColumn(c, F.lit(None))
         staged = staged.select(key, *cols, *extra)
-        if delete_insert:
+        if self.partitions is not None:
+            staged = staged.repartition(self.partitions, F.col(key))
+        elif delete_insert:
             # All bridge rows of a key MUST live in one partition (one
             # connection/transaction): with rows of a key spread across
             # partitions, partition A's DELETE can land after partition
