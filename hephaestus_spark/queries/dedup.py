@@ -105,10 +105,19 @@ def q33_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket_cap=10000 (r4) insures the worst case: a bucket of b
     near-identical docs costs b^2 candidate pairs, so buckets beyond
     the cap are excluded (minhash_hot_buckets logs what a cap drops —
-    never silent). The cap cannot fire on the driver's test corpora
-    (far fewer than 10k docs share any min-hash there), so the oracle
-    — which models no cap — is unchanged; the skew mechanics are
-    asserted separately in tests/test_lsh_cap.py."""
+    never silent). pre_exclude_hot=True is the DEFAULT posture for
+    corpus-scale near-dedup (r6): at 100 TB a degenerate
+    boilerplate/empty-doc bucket of millions of rows is the norm, not
+    the edge, and excluding hot (t, v) keys with a map-side-combined
+    count BEFORE the collect_list agg bounds the transient agg state
+    that the post-filter alone would not
+    (operators/textops.py:minhash_candidate_pairs). Output is
+    IDENTICAL either way — asserted by
+    tests/test_lsh_cap.py::test_minhash_cap_pre_exclude_hot_equivalent
+    and on a genuinely skewed corpus by
+    tests/test_scale_trend.py. The cap cannot fire on the driver's
+    test corpora (far fewer than 10k docs share any min-hash there),
+    so the oracle — which models no cap — is unchanged."""
     corpus = _near_corpus(spark, sf_dir)
     # One scan -> one shuffle: exact shingle sets AND the 8-table
     # min-hash signature come out of the same aggregation. Persisted:
@@ -118,7 +127,9 @@ def q33_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signature_table(
         shingle_table(corpus, n=5), n_tables=8, hash_shingles=True
     ).persist()
-    cand = minhash_candidate_pairs(sig, n_tables=8, bucket_cap=10_000)
+    cand = minhash_candidate_pairs(
+        sig, n_tables=8, bucket_cap=10_000, pre_exclude_hot=True
+    )
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
@@ -461,7 +472,9 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signature_table(
         shingle_table(kept1, n=5), n_tables=8, hash_shingles=True
     ).persist()
-    cand = minhash_candidate_pairs(sig, n_tables=8, bucket_cap=10_000)
+    cand = minhash_candidate_pairs(
+        sig, n_tables=8, bucket_cap=10_000, pre_exclude_hot=True
+    )
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
