@@ -54,10 +54,42 @@ HEADLINE = [
 ]
 
 
+def _shuffle_totals(spark) -> tuple[int, int, int] | None:
+    """Cumulative (shuffle write, shuffle read, disk spill) bytes over
+    all completed stages, via the status REST API. Differences around a
+    query run are that query's measured shuffle volume — the evidence
+    behind every 'one shuffle' claim in the plan docstrings. Returns
+    None when the UI is unavailable."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    try:  # drain pending listener events so completed stages are visible
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(2000)
+    except Exception:
+        pass
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete", timeout=5
+        ) as resp:
+            stages = _json.load(resp)
+    except Exception:
+        return None
+    return (
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+        sum(s.get("diskBytesSpilled", 0) for s in stages),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")
     spark = get_session("hephaestus-bench")
 
     # Warm the JVM/codegen once with a trivial action so per-query times
@@ -74,14 +106,25 @@ def main() -> None:
     # run still exercises cold plan compilation for every query.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    shuffles: dict[str, dict[str, int]] = {}
     for name in names:
         samples = []
-        for _ in range(runs):
+        before = None
+        for i in range(runs):
             df = QUERIES[name](spark, sf_dir)
+            if i == runs - 1:  # shuffle volume is plan-determined —
+                before = _shuffle_totals(spark)  # one run's delta suffices
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        after = _shuffle_totals(spark)
+        if before is not None and after is not None:
+            shuffles[name] = {
+                "shuffle_write_bytes": after[0] - before[0],
+                "shuffle_read_bytes": after[1] - before[1],
+                "disk_spill_bytes": after[2] - before[2],
+            }
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -90,11 +133,60 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if shuffles:
+        out["shuffle"] = shuffles
     regressions = _regressions_vs_best(timings, sf)
     if regressions:  # bench hygiene: flag >1.5x vs best prior round
         out["regressions"] = regressions
+    if not extra:
+        sf1 = _sf1_section(spark, timings, sf)
+        if sf1:
+            out["sf1"] = sf1
     print(json.dumps(out))
     spark.stop()
+
+
+# Scale-trend evidence (VERDICT r6 item 3): when the 10x key-shifted
+# replica set exists (hephaestus_spark/scalegen.py — cached in /tmp,
+# built by tests/test_scale_trend.py or `python -m
+# hephaestus_spark.scalegen`), time a heavy-query subset there once and
+# report the sf1/sf0.1 ratio per query. ~Linear ratios (~data growth)
+# are healthy; a quadratic plan would read ~100x.
+SF1_SUBSET = [
+    "q03_join_inner",
+    "q09_agg_tpch_q1",
+    "q12_window_rank",
+    "q31_top_tokens",
+    "q32_exact_dedup",
+    "q33_near_dedup_jaccard",
+    "q34_cosine_topk",
+    "x_tpch_q5",
+    "x_simhash",
+]
+
+
+def _sf1_section(spark, timings: dict[str, float], sf: float) -> dict | None:
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/hephaestus_sf1")
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "0":
+        return None
+    if not os.path.exists(os.path.join(sf1_dir, "_DONE")):
+        return None
+    t1: dict[str, float] = {}
+    for name in SF1_SUBSET:
+        if name not in QUERIES:
+            continue
+        df = QUERIES[name](spark, sf1_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        t1[name] = round(time.perf_counter() - t0, 3)
+    section: dict = {"dir": sf1_dir, "queries": t1}
+    if sf == 0.1:  # the replica base — ratios are meaningful
+        section["x_vs_sf0.1"] = {
+            q: round(t / timings[q], 1)
+            for q, t in t1.items()
+            if timings.get(q)
+        }
+    return section
 
 
 def _regressions_vs_best(

@@ -57,7 +57,11 @@ def get_session(app_name: str = "hephaestus_spark", cpus: int | None = None) -> 
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        .config("spark.ui.enabled", "false")
+        # UI off for tests (startup cost, port churn); bench.py turns it
+        # on (SPARK_GRAFT_UI=true) to read per-stage shuffle/spill bytes
+        # from the status REST API — measured scale evidence in BENCH.
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.ui.retainedStages", "5000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in RUNTIME_CONFS.items():
