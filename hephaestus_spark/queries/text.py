@@ -341,21 +341,74 @@ def x_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synthesize_media(d).select("doc_id", "media_type", "byte_len", "sha")
 
 
-@query("x_multimodal_features")  # rows-only: decode stub, no SQL equivalent
+@query(
+    "x_multimodal_features",
+    oracle="""
+    SELECT doc_id, 'audio/wav' AS media_type,
+           CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CAST(1 + (doc_id // 2) % 2 AS INT) AS n_channels,
+           CAST(8000 + (doc_id % 5) * 2000 AS INT) AS sample_rate,
+           CAST(50 + n_chars % 200 AS INT) AS n_frames,
+           CAST((50 + n_chars % 200) * 1000
+                // (8000 + (doc_id % 5) * 2000) AS BIGINT) AS duration_ms,
+           CAST((50 + n_chars % 200) * (1 + (doc_id // 2) % 2) * 2
+                AS BIGINT) AS payload_bytes
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'image/bmp',
+           CAST(8 + doc_id % 32 AS INT), CAST(4 + n_chars % 32 AS INT),
+           NULL, NULL, NULL, NULL,
+           CAST((((8 + doc_id % 32) * 3 + 3) // 4) * 4
+                * (4 + n_chars % 32) AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
 def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode/feature-extract plumbing over binary payloads
-    (deterministic fake codec; real codecs not in this container)."""
+    """REAL stdlib decode over binary payloads (r6 upgrade from the
+    rows-only fake-codec stub): even docs become genuine RIFF/WAVE
+    containers, odd docs genuine 24-bpp BMPs — both synthesized with a
+    hand-rolled struct writer and decoded by an INDEPENDENT parser (the
+    stdlib ``wave`` module / header struct-unpack), Arrow-batched via
+    mapInPandas (operators/multimodal.py). The oracle states every
+    decoded field as arithmetic over the documents table, so a header
+    layout or endianness bug on either side breaks the hash. The
+    NotImplementedError stub remains for compressed codecs (PNG/MP4 —
+    libraries absent). Scale shape: pure map-side, no shuffle."""
     from hephaestus_spark.operators.multimodal import (
-        decode_and_featurize,
-        synthesize_media,
+        decode_bmp_features,
+        decode_wav_features,
+        synthesize_bmp_media,
+        synthesize_wav_media,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    feats = decode_and_featurize(synthesize_media(d), deterministic_fake=True)
-    return feats.select(
-        "doc_id", "media_type", "byte_len", "width", "height",
-        F.element_at("feature", 1).alias("f0"),
+    wav = decode_wav_features(
+        synthesize_wav_media(d.filter(F.col("doc_id") % 2 == 0))
+    ).select(
+        "doc_id",
+        F.lit("audio/wav").alias("media_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        "n_channels",
+        "sample_rate",
+        "n_frames",
+        "duration_ms",
+        F.col("pcm_bytes").alias("payload_bytes"),
     )
+    bmp = decode_bmp_features(
+        synthesize_bmp_media(d.filter(F.col("doc_id") % 2 == 1))
+    ).select(
+        "doc_id",
+        F.lit("image/bmp").alias("media_type"),
+        "width",
+        "height",
+        F.lit(None).cast("int").alias("n_channels"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("int").alias("n_frames"),
+        F.lit(None).cast("bigint").alias("duration_ms"),
+        F.col("pixel_bytes").alias("payload_bytes"),
+    )
+    return wav.unionByName(bmp)
 
 
 # PII scrub: the test corpus is synthetic prose with no PII, so both
