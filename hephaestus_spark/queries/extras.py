@@ -1824,3 +1824,171 @@ def x_trend_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.cast("double") / F.sqrt(varx.cast("double") * vary.cast("double"))
     )
     return stats.select("user_id", "n", corr.alias("trend_corr"))
+
+
+@query(
+    "x_attribution_position",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, 1 AS tag, event_id, event_type,
+             CAST(NULL AS BIGINT) AS okey, CAST(NULL AS BIGINT) AS cents
+      FROM events
+      UNION ALL
+      SELECT o_custkey AS user_id,
+             TIMESTAMP '2024-01-01 12:00:00'
+               + (o_orderkey % 30) * INTERVAL 1 DAY AS ts,
+             2 AS tag,
+             CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS VARCHAR),
+             o_orderkey AS okey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), nxt AS (
+      SELECT user_id, tag, event_id, event_type, ts,
+             -- okey tiebreaks two same-instant orders of one user:
+             -- without it the "next order" pick is engine-dependent
+             -- (caught by the sf1 gate, tests/test_scale_trend.py)
+             first_value(okey IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, tag, event_id, okey
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS okey,
+             first_value(cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, tag, event_id, okey
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS ocents
+      FROM u
+    ), touches AS (
+      SELECT event_type, okey, ocents,
+             row_number() OVER (PARTITION BY okey ORDER BY ts, event_id) AS pos,
+             count(*) OVER (PARTITION BY okey) AS m
+      FROM nxt WHERE tag = 1 AND okey IS NOT NULL
+    ), credited AS (
+      SELECT event_type, okey,
+             CASE
+               WHEN m = 1 THEN ocents
+               WHEN m = 2 AND pos = 1 THEN ocents // 2
+               WHEN m = 2 THEN ocents - ocents // 2
+               WHEN pos = 1 THEN (ocents * 2) // 5
+               WHEN pos = m THEN (ocents * 2) // 5
+               WHEN pos = m - 1 THEN
+                 (ocents - 2 * ((ocents * 2) // 5))
+                 - (m - 3) * ((ocents - 2 * ((ocents * 2) // 5)) // (m - 2))
+               ELSE (ocents - 2 * ((ocents * 2) // 5)) // (m - 2)
+             END AS credit
+      FROM touches
+    ), attributed AS (
+      SELECT event_type AS touch_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(credit) AS DOUBLE) / 100.0 AS credited_revenue
+      FROM credited GROUP BY 1
+    ), untouched AS (
+      SELECT 'untouched' AS touch_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS credited_revenue
+      FROM orders WHERE o_orderkey NOT IN (
+        SELECT okey FROM touches WHERE okey IS NOT NULL)
+    )
+    SELECT * FROM attributed
+    UNION ALL
+    SELECT * FROM untouched WHERE n > 0
+    """,
+)
+def x_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution:
+    every event between a user's previous order and their next order
+    shares that next order's revenue — 40% to the first touch, 40% to
+    the last, 20% split across the middles. Complements
+    x_attribution_last_touch, which gives the whole credit to one
+    event.
+
+    Exactness: credit splits are pure integer arithmetic on cents with
+    an explicit remainder rule (m=1 takes all; m=2 splits floor/rest;
+    m>=3 gives floor(0.4c) to the ends and the second-to-last middle
+    absorbs the division remainder), so per-order credits sum to the
+    order's cents EXACTLY — conservation asserted in
+    tests/test_operators.py — and every engine computes identical
+    int64s; no double fractions anywhere until the final /100.
+
+    Scale shape: the same union-merge as the as-of family — ONE
+    shuffle on user_id for the next-order windows, then windows keyed
+    by order (uniform keys, bounded by per-order touch counts), then a
+    tiny per-type agg; linear in |events| + |orders|, no pairwise
+    event-x-order join."""
+    from pyspark.sql.window import Window as W
+    from hephaestus_spark.functions.money import scaled_long
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.lit(1).alias("tag"),
+        "event_id",
+        "event_type",
+        F.lit(None).cast("bigint").alias("okey"),
+        F.lit(None).cast("bigint").alias("cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.expr(
+            "timestampadd(DAY, CAST(o_orderkey % 30 AS INT),"
+            " TIMESTAMP '2024-01-01 12:00:00')"
+        ).alias("ts"),
+        F.lit(2).alias("tag"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("o_orderkey").alias("okey"),
+        scaled_long(F.col("o_totalprice")).alias("cents"),
+    )
+    u = e.unionByName(o)
+    # okey tiebreak: see the oracle comment — same-instant orders of a
+    # user must pick the same "next order" in both engines
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id", "okey")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    nxt = u.select(
+        "tag",
+        "event_type",
+        "ts",
+        "event_id",
+        F.first("okey", ignorenulls=True).over(wf).alias("okey"),
+        F.first("cents", ignorenulls=True).over(wf).alias("ocents"),
+    )
+    wt = W.partitionBy("okey").orderBy("ts", "event_id")
+    touches = (
+        nxt.filter((F.col("tag") == 1) & F.col("okey").isNotNull())
+        .withColumn("pos", F.row_number().over(wt))
+        .withColumn("m", F.count("*").over(W.partitionBy("okey")))
+    )
+    c, m, pos = F.col("ocents"), F.col("m"), F.col("pos")
+    end_credit = F.expr("(ocents * 2) div 5")
+    mid_total = c - 2 * end_credit
+    mid_each = F.expr("(ocents - 2 * ((ocents * 2) div 5)) div (m - 2)")
+    credit = (
+        F.when(m == 1, c)
+        .when((m == 2) & (pos == 1), F.expr("ocents div 2"))
+        .when(m == 2, c - F.expr("ocents div 2"))
+        .when(pos == 1, end_credit)
+        .when(pos == m, end_credit)
+        .when(pos == m - 1, mid_total - (m - 3) * mid_each)
+        .otherwise(mid_each)
+    )
+    attributed = (
+        touches.select(F.col("event_type").alias("touch_type"), credit.alias("credit"))
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            # few touch_type groups over ALL events -> lane-split sum
+            # (functions/money.py); credit < 2^42 by construction
+            (sum_scaled(F.col("credit"), bits=42) / 100.0).alias("credited_revenue"),
+        )
+    )
+    touched_keys = touches.select("okey").distinct()
+    untouched = (
+        o.join(touched_keys, o.okey == touched_keys.okey, "left_anti")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            (sum_scaled(F.col("cents"), bits=42) / 100.0).alias("credited_revenue"),
+        )
+        .select(F.lit("untouched").alias("touch_type"), "n", "credited_revenue")
+        .filter(F.col("n") > 0)
+    )
+    return attributed.unionByName(untouched)

@@ -899,3 +899,186 @@ def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_mean"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x_hll_set_algebra — sketch SET OPERATIONS (r6): union by register
+# merge, intersection by inclusion-exclusion. The operational question
+# at 100 TB is rarely "how many distinct in this table" but "how much
+# do these two cohorts overlap" — computable from two 512-row register
+# tables without ever co-shuffling the raw keys.
+# --------------------------------------------------------------------------
+
+_HLL_EST_SQL = f"""
+      SELECT grp,
+             CASE WHEN ({_HLL_M} - nb) > 0
+                       AND CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}
+                           / (s_present + ({_HLL_M} - nb))
+                           <= CAST({2.5 * _HLL_M} AS DOUBLE)
+                  THEN CAST({_HLL_M} AS DOUBLE)
+                       * ln(CAST({_HLL_M} AS DOUBLE) / ({_HLL_M} - nb))
+                  ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}
+                       / (s_present + ({_HLL_M} - nb)) END AS estimate
+      FROM s
+"""
+
+_HLL_SET_SQL = f"""
+    WITH cohorts AS (
+      SELECT 'A' AS grp, o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT 'B' AS grp, o_custkey AS k FROM orders WHERE o_orderpriority = '2-HIGH'
+    ), b AS (
+      SELECT grp, {_mix32_sql('k')} & {_HLL_M - 1} AS bucket,
+             {_mix32_sql('k')} >> {_HLL_P} AS w
+      FROM cohorts
+    ), r AS (
+      SELECT grp, bucket,
+             max(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
+                      ELSE bit_count((w & -w) - 1) + 1 END) AS m
+      FROM b GROUP BY grp, bucket
+    ), r_all AS (
+      SELECT * FROM r
+      UNION ALL
+      SELECT 'U' AS grp, bucket, max(m) AS m FROM r GROUP BY bucket
+    ), s AS (
+      SELECT grp,
+             sum(1.0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE)) AS s_present,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM r_all GROUP BY grp
+    ), est AS (
+      {_HLL_EST_SQL}
+    ), wide AS (
+      SELECT max(CASE WHEN grp = 'A' THEN estimate END) AS ea,
+             max(CASE WHEN grp = 'B' THEN estimate END) AS eb,
+             max(CASE WHEN grp = 'U' THEN estimate END) AS eu
+      FROM est
+    ), ex AS (
+      SELECT CAST(count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+                                      THEN o_custkey END) AS BIGINT) AS exact_a,
+             CAST(count(DISTINCT CASE WHEN o_orderpriority = '2-HIGH'
+                                      THEN o_custkey END) AS BIGINT) AS exact_b,
+             CAST(count(DISTINCT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                      THEN o_custkey END) AS BIGINT) AS exact_union
+      FROM orders
+    ), exi AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+      )
+    )
+    SELECT ex.exact_a, ex.exact_b, ex.exact_union, exi.exact_intersection,
+           round(w.ea, 6) AS hll_a, round(w.eb, 6) AS hll_b,
+           round(w.eu, 6) AS hll_union,
+           round(w.ea + w.eb - w.eu, 6) AS hll_intersection,
+           abs(w.eu - ex.exact_union) <= 0.1 * ex.exact_union AS union_within_10pct
+    FROM wide w, ex, exi
+"""
+
+
+@query("x_hll_set_algebra", oracle=_HLL_SET_SQL)
+def x_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra over two customer cohorts (urgent-order vs
+    high-order customers): the UNION sketch is a pure register merge
+    (max per bucket — associative, so cohort sketches built on
+    different days/partitions combine without touching raw keys), and
+    the INTERSECTION estimate is inclusion-exclusion over three
+    estimates. All four estimates are hash-checked against the oracle
+    (the x_hll_custom engine-exactness argument: arithmetic 32-bit mix,
+    order-free register maxes, never-rounding harmonic sum of 2^-m
+    terms, then identical IEEE ops); the exact set sizes ride along as
+    the audit.
+
+    Scale shape: each cohort's register table is <= 512 rows no matter
+    the input; union/estimate stages touch registers only. The exact
+    companion (full distinct + INTERSECT shuffles) exists only for the
+    audit. Inclusion-exclusion error compounds (~1.04%/sqrt(m) per
+    term), which is why the tolerance flag gates the union, while the
+    intersection estimate is reported for the hash check."""
+    o = load_table(spark, sf_dir, "orders")
+    cohorts = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.lit("A").alias("grp"), F.col("o_custkey").alias("k"))
+        .unionByName(
+            o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+                F.lit("B").alias("grp"), F.col("o_custkey").alias("k")
+            )
+        )
+    )
+    mx = _mix32_col(F.col("k"))
+    b = cohorts.select(
+        "grp",
+        mx.bitwiseAND(F.lit(_HLL_M - 1)).alias("bucket"),
+        F.shiftright(mx, _HLL_P).alias("w"),
+    )
+    rank = (
+        F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1))
+        .otherwise(F.bit_count((F.col("w").bitwiseAND(-F.col("w"))) - 1) + 1)
+    )
+    r = b.withColumn("m", rank).groupBy("grp", "bucket").agg(F.max("m").alias("m"))
+    r_union = (
+        r.groupBy("bucket").agg(F.max("m").alias("m")).select(F.lit("U").alias("grp"), "bucket", "m")
+    )
+    r_all = r.unionByName(r_union)
+    s = r_all.groupBy("grp").agg(
+        F.sum(1.0 / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), m) AS DOUBLE)")).alias(
+            "s_present"
+        ),
+        F.count("*").cast("bigint").alias("nb"),
+    )
+    v = F.lit(_HLL_M) - F.col("nb")
+    e_raw = F.lit(_HLL_ALPHA) * F.lit(_HLL_M * _HLL_M) / (F.col("s_present") + v)
+    est = s.select(
+        "grp",
+        F.when(
+            (v > 0) & (e_raw <= F.lit(2.5 * _HLL_M)),
+            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v),
+        )
+        .otherwise(e_raw)
+        .alias("estimate"),
+    )
+    wide = est.groupBy().agg(
+        F.max(F.when(F.col("grp") == "A", F.col("estimate"))).alias("ea"),
+        F.max(F.when(F.col("grp") == "B", F.col("estimate"))).alias("eb"),
+        F.max(F.when(F.col("grp") == "U", F.col("estimate"))).alias("eu"),
+    )
+    ex = o.agg(
+        F.count_distinct(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_custkey"))
+        ).cast("bigint").alias("exact_a"),
+        F.count_distinct(
+            F.when(F.col("o_orderpriority") == "2-HIGH", F.col("o_custkey"))
+        ).cast("bigint").alias("exact_b"),
+        F.count_distinct(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                F.col("o_custkey"),
+            )
+        ).cast("bigint").alias("exact_union"),
+    )
+    ea_set = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    eb_set = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey").distinct()
+    exi = (
+        ea_set.intersect(eb_set)
+        .agg(F.count("*").cast("bigint").alias("exact_intersection"))
+    )
+    return (
+        ex.crossJoin(exi)
+        .crossJoin(wide)
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_intersection",
+            F.round("ea", 6).alias("hll_a"),
+            F.round("eb", 6).alias("hll_b"),
+            F.round("eu", 6).alias("hll_union"),
+            F.round(F.col("ea") + F.col("eb") - F.col("eu"), 6).alias(
+                "hll_intersection"
+            ),
+            (
+                F.abs(F.col("eu") - F.col("exact_union"))
+                <= 0.1 * F.col("exact_union")
+            ).alias("union_within_10pct"),
+        )
+    )

@@ -147,3 +147,43 @@ def test_bridge_shrinking_set(spark):
     )
     out = bridge.rebuild_bridge(tasks_v2, "task_id", "executors")
     assert _rows(out) == [(101, "Executor1")]
+
+
+def test_position_attribution_credit_conservation(spark):
+    """x_attribution_position's integer credit split must conserve the
+    order's cents exactly for EVERY touch count — the property that
+    makes the per-type rollup auditable (queries/extras.py)."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for okey in range(200):
+        cents = rng.randint(1, 10_000_000)
+        m = rng.randint(1, 9)
+        for pos in range(1, m + 1):
+            rows.append((okey, cents, pos, m))
+    df = spark.createDataFrame(rows, "okey long, ocents long, pos int, m int")
+    from pyspark.sql import functions as F
+
+    end_credit = F.expr("(ocents * 2) div 5")
+    mid_total = F.col("ocents") - 2 * end_credit
+    mid_each = F.expr("(ocents - 2 * ((ocents * 2) div 5)) div (m - 2)")
+    credit = (
+        F.when(F.col("m") == 1, F.col("ocents"))
+        .when((F.col("m") == 2) & (F.col("pos") == 1), F.expr("ocents div 2"))
+        .when(F.col("m") == 2, F.col("ocents") - F.expr("ocents div 2"))
+        .when(F.col("pos") == 1, end_credit)
+        .when(F.col("pos") == F.col("m"), end_credit)
+        .when(F.col("pos") == F.col("m") - 1, mid_total - (F.col("m") - 3) * mid_each)
+        .otherwise(mid_each)
+    )
+    per_order = (
+        df.withColumn("credit", credit)
+        .groupBy("okey", "ocents")
+        .agg(F.sum("credit").alias("total"), F.min("credit").alias("mn"))
+        .collect()
+    )
+    assert len(per_order) == 200
+    for r in per_order:
+        assert r["total"] == r["ocents"], (r["okey"], r["total"], r["ocents"])
+        assert r["mn"] >= 0
