@@ -138,6 +138,14 @@ def main() -> None:
     regressions = _regressions_vs_best(timings, sf)
     if regressions:  # bench hygiene: flag >1.5x vs best prior round
         out["regressions"] = regressions
+    med = _vs_best_median(timings, sf)
+    if med is not None:
+        # Ambient-drift separator: the median now/all-time-best ratio
+        # across ALL queries. ~1.0 = machine comparable to the best
+        # round, so any flag above is a genuine plan regression; well
+        # above 1.0 = the whole run is uniformly slower (CPU/cache
+        # state), and only flags far beyond the median indicate plans.
+        out["vs_best_median_ratio"] = med
     if not extra:
         sf1 = _sf1_section(spark, timings, sf)
         if sf1:
@@ -216,6 +224,27 @@ def _regressions_vs_best(
         for q, t in timings.items()
         if q in best and t > best[q] * factor
     }
+
+
+def _vs_best_median(timings: dict[str, float], sf: float) -> float | None:
+    best: dict[str, float] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        rec = rec.get("parsed", rec)
+        if rec.get("sf") != sf:
+            continue
+        for q, t in rec.get("queries", {}).items():
+            if isinstance(t, (int, float)) and t > 0:
+                best[q] = min(best.get(q, t), t)
+    ratios = sorted(t / best[q] for q, t in timings.items() if q in best)
+    if not ratios:
+        return None
+    return round(ratios[len(ratios) // 2], 2)
 
 
 if __name__ == "__main__":

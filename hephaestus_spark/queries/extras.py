@@ -1089,6 +1089,9 @@ def x_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = (
         c.filter(F.col("c_acctbal") > 0.0)
         .agg(
+            # global 2dp sum over CUSTOMERS (~1.5e10 rows x ~1e6 cents
+            # at 100 TB = 1.5e16 — 600x inside int64); lane split not
+            # needed at the fact-free cardinality of this table
             F.sum("cents").alias("total_cents"),
             F.count("*").alias("n_pos"),
         )
@@ -1639,6 +1642,10 @@ def x_sampled_sum_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled_long(F.col("o_totalprice")).alias("cents"),
         hash_sample_pred("o_orderkey", 0.1).alias("in_sample"),
     )
+    # 5 priority groups over orders: ~3e10 rows x ~5e7 cents = 1.5e18
+    # per group at 100 TB (6x inside int64; the x10 scale-up applies to
+    # the 10% sample's sum, same bound) — plain sums hold here, and
+    # ANSI mode fails loudly first if the data model ever changes.
     est_cents = 10 * F.sum(F.when(F.col("in_sample"), F.col("cents")).otherwise(0))
     exact_cents = F.sum("cents")
     return s.groupBy("o_orderpriority").agg(

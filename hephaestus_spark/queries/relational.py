@@ -393,6 +393,8 @@ def q13_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
         (
+            # per-customer frame: int64-safe to ~9e11 rows PER CUSTOMER
+            # at 2dp (~10 orders/customer at any SF) — no lane split
             F.sum(scaled_long(F.col("o_totalprice")))
             .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
             / 100.0

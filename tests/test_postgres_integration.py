@@ -455,6 +455,101 @@ def test_full_task_sync_pipeline_against_postgres(spark, pg_sock, tmp_path):
     ) == "install,repair,audit,survey"
 
 
+_EMP_DDL = """
+DROP TABLE IF EXISTS employees CASCADE;
+CREATE TABLE employees (
+  id bigint PRIMARY KEY, fullname text, shortname text, position text,
+  email text, phone text, updated_at timestamp DEFAULT now());
+"""
+
+
+def test_employee_sync_pipeline_against_postgres(spark, pg_sock, tmp_path):
+    """A11/A12/P1 against real Postgres: insert-if-absent, UPDATE only
+    for genuinely changed rows (unchanged rows keep their updated_at —
+    the blanket-upsert semantic difference), and the feed-fingerprint
+    skip. Final state asserted against a pure-Python replay of the
+    cleaned batches."""
+    import datetime as dt
+
+    from hephaestus_spark.streaming.pipeline import (
+        EMPLOYEE_FEED_SCHEMA,
+        JdbcEmployeeSyncPipeline,
+        clean_employees,
+    )
+
+    _psql(pg_sock, _EMP_DDL)
+    feed = str(tmp_path / "emp-feed")
+    pipe = JdbcEmployeeSyncPipeline(
+        feed_dir=feed,
+        checkpoint_dir=str(tmp_path / "emp-ckpt"),
+        connection_factory=(lambda sock: lambda: _PsqlConnection(sock))(pg_sock),
+    )
+    d1 = dt.date(2024, 4, 1)
+    day1 = [
+        (1, "Ann A", "ann", "eng", "ann@ex.com", "+1 555 0100", d1),
+        (2, "Bob B", "bob", "ops", "broken-email", "(555) 0101", d1),
+        (3, "Cid C", "cid", "eng", "cid@ex.com", None, d1),
+    ]
+    spark.createDataFrame(day1, EMPLOYEE_FEED_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    h1 = pipe.run_available_now(spark)
+    assert h1 == [{"batch_id": 0, "skipped": False, "inserted": 3, "updated": 0}]
+    snap1 = _psql(pg_sock, "SELECT id, updated_at FROM employees ORDER BY id")
+
+    # identical feed content again (new file, same rows) -> P1 skip
+    spark.createDataFrame(day1, EMPLOYEE_FEED_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    h2 = pipe.run_available_now(spark)
+    assert h2 == [{"batch_id": 1, "skipped": True}]
+    assert _psql(pg_sock, "SELECT id, updated_at FROM employees ORDER BY id") == snap1
+
+    # day 2: one changed row, one new row, one byte-identical row
+    d2 = dt.date(2024, 4, 2)
+    day2 = [
+        (1, "Ann A", "ann", "staff eng", "ann@ex.com", "+1 555 0100", d2),  # changed
+        (2, "Bob B", "bob", "ops", "broken-email", "(555) 0101", d2),       # same
+        (4, "Dee D", "dee", "data", "dee@ex.com", "+1 555 0102", d2),       # new
+    ]
+    spark.createDataFrame(day2, EMPLOYEE_FEED_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    h3 = pipe.run_available_now(spark)
+    assert h3 == [{"batch_id": 2, "skipped": False, "inserted": 1, "updated": 1}]
+    # unchanged rows (2, 3) keep their original updated_at; row 1 bumped
+    snap2 = dict(
+        line.split("|") for line in _psql(
+            pg_sock, "SELECT id, updated_at FROM employees ORDER BY id"
+        ).splitlines()
+    )
+    old = dict(line.split("|") for line in snap1.splitlines())
+    assert snap2["2"] == old["2"] and snap2["3"] == old["3"]
+    assert snap2["1"] != old["1"]
+
+    # final state == pure-Python replay of the CLEANED batches
+    expected: dict = {}
+    for rows in (day1, day2):
+        cleaned = clean_employees(
+            spark.createDataFrame(rows, EMPLOYEE_FEED_SCHEMA)
+        ).collect()
+        for r in cleaned:
+            expected[r["id"]] = (
+                r["fullname"], r["shortname"], r["position"],
+                r["email"] or "NULL", r["phone"] or "NULL",
+            )
+    got = {
+        int(line.split("|")[0]): tuple(line.split("|")[1:])
+        for line in _psql(
+            pg_sock,
+            "SELECT id, fullname, shortname, position,"
+            " coalesce(email, 'NULL'), coalesce(phone, 'NULL')"
+            " FROM employees ORDER BY id",
+        ).splitlines()
+    }
+    assert got == expected, (got, expected)
+
+
 def test_upsert_sql_is_postgres_dialect(pg_sock):
     """The exact statement text the sink generates parses on real
     Postgres (PREPARE type-checks without executing)."""
