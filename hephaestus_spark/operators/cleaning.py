@@ -51,3 +51,35 @@ def repaired_email(id_col: Column, email: Column) -> Column:
 def cleaned_phone(phone: Column) -> Column:
     """A7 applied: normalized phone, NULL when invalid."""
     return F.when(phone_valid(phone), phone_stripped(phone))
+
+
+def contact_disposition(email: Column, phone: Column) -> Column:
+    """Routing decision for a contact record (the production
+    data-quality split a sync pipeline makes BEFORE merging):
+
+    - ``clean``       both channels valid as-is;
+    - ``repaired``    exactly one channel invalid — the engine's repair
+                      rules (generated email / NULLed phone) leave a
+                      usable record;
+    - ``quarantined`` BOTH channels invalid: no usable contact at all;
+                      merging would manufacture a record whose every
+                      contact field is synthetic, so it routes to a
+                      quarantine sink for human review instead.
+    """
+    ev, pv = email_valid(email), phone_valid(phone)
+    return (
+        F.when(ev & pv, F.lit("clean"))
+        .when(~ev & ~pv, F.lit("quarantined"))
+        .otherwise(F.lit("repaired"))
+    )
+
+
+def disposition_reason(email: Column, phone: Column) -> Column:
+    """Machine-readable reason code accompanying the disposition."""
+    ev, pv = email_valid(email), phone_valid(phone)
+    return (
+        F.when(ev & pv, F.lit("ok"))
+        .when(~ev & ~pv, F.lit("no_valid_contact"))
+        .when(~ev, F.lit("email_invalid"))
+        .otherwise(F.lit("phone_invalid"))
+    )

@@ -451,3 +451,90 @@ def x_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("last_ts"),
         "n_changes",
     )
+
+
+# --------------------------------------------------------------------------
+# x_quarantine_split — data-quality routing (r6): the production
+# decision in front of every merge — which records are safe to merge
+# as-is, which are merged after repair, and which have NO usable
+# contact channel and go to a quarantine sink for review instead of
+# polluting the snapshot with fully-synthetic values.
+# --------------------------------------------------------------------------
+@query(
+    "x_quarantine_split",
+    oracle="""
+    WITH contacts AS (
+      SELECT c_custkey AS id,
+             CASE c_custkey % 5
+               WHEN 0 THEN ''
+               WHEN 1 THEN '12345'
+               WHEN 2 THEN 'user' || c_custkey || '@example.com'
+               WHEN 3 THEN 'bad@no-tld'
+               ELSE 'USER.' || c_custkey || '@Example.COM' END AS email,
+             CASE c_custkey % 4
+               WHEN 0 THEN '096 123-4567'
+               WHEN 1 THEN '+380501234567'
+               WHEN 2 THEN 'not-a-phone'
+               ELSE '' END AS phone
+      FROM customer
+    ), flagged AS (
+      SELECT id,
+             regexp_matches(email,
+               '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$') AS ev,
+             regexp_matches(regexp_replace(phone, '[ -]', '', 'g'),
+               '^\\+?[0-9]\\d{1,14}$') AS pv
+      FROM contacts
+    ), routed AS (
+      SELECT id,
+             CASE WHEN ev AND pv THEN 'clean'
+                  WHEN NOT ev AND NOT pv THEN 'quarantined'
+                  ELSE 'repaired' END AS disposition,
+             CASE WHEN ev AND pv THEN 'ok'
+                  WHEN NOT ev AND NOT pv THEN 'no_valid_contact'
+                  WHEN NOT ev THEN 'email_invalid'
+                  ELSE 'phone_invalid' END AS reason
+      FROM flagged
+    )
+    SELECT disposition, reason, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
+    FROM routed GROUP BY 1, 2
+    """,
+)
+def x_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way quality routing over the q25 dirty-contact fixture:
+    clean / repaired / quarantined(+reason), rolled up with id ranges.
+    The split itself is two scan-side CASE expressions
+    (operators/cleaning.py::contact_disposition) — at 100 TB this is a
+    zero-shuffle classify followed by a few-group agg, and each branch
+    feeds its own sink (merge / merge-after-repair / quarantine
+    parquet) from ONE pass over the feed."""
+    from hephaestus_spark.operators.cleaning import (
+        contact_disposition,
+        disposition_reason,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    email = (
+        F.when(key % 5 == 0, F.lit(""))
+        .when(key % 5 == 1, F.lit("12345"))
+        .when(key % 5 == 2, F.concat(F.lit("user"), key.cast("string"), F.lit("@example.com")))
+        .when(key % 5 == 3, F.lit("bad@no-tld"))
+        .otherwise(F.concat(F.lit("USER."), key.cast("string"), F.lit("@Example.COM")))
+    )
+    phone = (
+        F.when(key % 4 == 0, F.lit("096 123-4567"))
+        .when(key % 4 == 1, F.lit("+380501234567"))
+        .when(key % 4 == 2, F.lit("not-a-phone"))
+        .otherwise(F.lit(""))
+    )
+    routed = c.select(
+        key.alias("id"),
+        contact_disposition(email, phone).alias("disposition"),
+        disposition_reason(email, phone).alias("reason"),
+    )
+    return routed.groupBy("disposition", "reason").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("id").cast("bigint").alias("min_id"),
+        F.max("id").cast("bigint").alias("max_id"),
+    )

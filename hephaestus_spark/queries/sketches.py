@@ -1082,3 +1082,215 @@ def x_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("union_within_10pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x_hdr_sliding_quantile — sliding-window percentiles by register
+# rollup (r6): the x_hll_sliding_distinct story applied to the HDR
+# histogram — per-day bucket tables, 7-day merges by SUMMING counts,
+# p50/p95 from the merged table. One raw-data pass total; every window
+# merge runs on <= 2048 register rows per day, never on data.
+# --------------------------------------------------------------------------
+
+_HDR_SLIDE_SQL = f"""
+    WITH rows_ AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+    ), dayhist AS (
+      SELECT day, c, CAST(count(*) AS BIGINT) AS cnt FROM rows_ GROUP BY 1, 2
+    ), days AS (
+      SELECT DISTINCT day FROM dayhist
+    ), winhist AS (
+      SELECT d.day, r.c, sum(r.cnt) AS cnt
+      FROM days d JOIN dayhist r
+        ON r.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT day, c, cnt,
+             sum(cnt) OVER (PARTITION BY day ORDER BY c
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+             sum(cnt) OVER (PARTITION BY day) AS n
+      FROM winhist
+    ), exact AS (
+      SELECT day, CAST(max(n) AS BIGINT) AS n,
+             min(CASE WHEN cm >= ceil(0.5 * n) THEN c END) AS p50c,
+             min(CASE WHEN cm >= ceil(0.95 * n) THEN c END) AS p95c
+      FROM cum GROUP BY day
+    ), bucketed AS (
+      SELECT day, cnt,{_hdr_bucket_sql()}
+      FROM dayhist
+    ), dayreg AS (
+      SELECT day, bucket, sum(cnt) AS cnt, max(lo) AS lo, max(width) AS width
+      FROM bucketed GROUP BY 1, 2
+    ), merged AS (
+      SELECT d.day, r.bucket, sum(r.cnt) AS cnt,
+             max(r.lo) AS lo, max(r.width) AS width
+      FROM days d JOIN dayreg r
+        ON r.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY 1, 2
+    ), scum AS (
+      SELECT day, bucket, lo, width,
+             sum(cnt) OVER (PARTITION BY day ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+             sum(cnt) OVER (PARTITION BY day) AS n
+      FROM merged
+    ), est AS (
+      SELECT day,
+             min(CASE WHEN cm >= ceil(0.5 * n) THEN lo END) AS p50lo,
+             min(CASE WHEN cm >= ceil(0.5 * n) THEN width END) AS p50w,
+             min(CASE WHEN cm >= ceil(0.95 * n) THEN lo END) AS p95lo,
+             min(CASE WHEN cm >= ceil(0.95 * n) THEN width END) AS p95w
+      FROM scum GROUP BY day
+    )
+    SELECT strftime(e.day, '%Y-%m-%d') AS day, x.n,
+           CAST(x.p50c AS DOUBLE) / 100.0 AS exact_p50,
+           CAST(e.p50lo AS DOUBLE) / 100.0 AS est_p50,
+           x.p50c >= e.p50lo AND x.p50c < e.p50lo + e.p50w AS p50_bracketed,
+           CAST(x.p95c AS DOUBLE) / 100.0 AS exact_p95,
+           CAST(e.p95lo AS DOUBLE) / 100.0 AS est_p95,
+           x.p95c >= e.p95lo AND x.p95c < e.p95lo + e.p95w AS p95_bracketed
+    FROM est e JOIN exact x ON x.day = e.day
+"""
+
+
+def _hdr_bucketize(df: DataFrame) -> DataFrame:
+    """Attach (e, bucket, lo, width) HDR columns to a frame with an
+    int64 column ``c`` — the same floor-log2 bit smearing as
+    x_quantile_sketch, factored for reuse."""
+    prev = "c"
+    for i, sh in enumerate((1, 2, 4, 8, 16, 32), start=1):
+        df = df.withColumn(f"s{i}", F.expr(f"{prev} | ({prev} >> {sh})"))
+        prev = f"s{i}"
+    return (
+        df.withColumn("e", F.bit_count(F.col("s6")) - 1)
+        .withColumn(
+            "bucket",
+            F.when(F.col("e") < 5, F.col("c")).otherwise(
+                F.col("e") * 32 + F.expr("(c >> (e - 5)) & 31")
+            ),
+        )
+        .withColumn(
+            "lo",
+            F.when(F.col("e") < 5, F.col("c")).otherwise(
+                F.expr(
+                    "(32 + ((c >> (e - 5)) & 31))"
+                    " * (shiftleft(CAST(1 AS BIGINT), e - 5))"
+                )
+            ),
+        )
+        .withColumn(
+            "width",
+            F.when(F.col("e") < 5, F.lit(1).cast("bigint")).otherwise(
+                F.expr("shiftleft(CAST(1 AS BIGINT), e - 5)")
+            ),
+        )
+        .drop("s1", "s2", "s3", "s4", "s5", "s6")
+    )
+
+
+@query("x_hdr_sliding_quantile", oracle=_HDR_SLIDE_SQL)
+def x_hdr_sliding_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day sliding p50/p95 of lineitem price per ship day, computed
+    two ways in one query: EXACT count-then-select over the window's
+    value histogram, and the HDR SKETCH route — per-day bucket tables
+    (<= ~2048 cells/day at any volume) merged across the window by
+    summing counts, quantile = lower bound of the bucket holding the
+    rank. The emitted booleans prove the bracketing guarantee (the
+    exact quantile provably lands inside the selected bucket, width/lo
+    <= 1/32), and everything is int64 bit-math, so the driver
+    hash-checks the ESTIMATES, not a tolerance.
+
+    Scale contrast: the exact path's day x window join amplifies the
+    HISTOGRAM (distinct values/day), already far smaller than rows —
+    but still data-sized in the worst case; the sketch path bounds
+    window-merge input at 2048 rows/day NO MATTER WHAT, the same
+    register-rollup contract as x_hll_sliding_distinct, and counts
+    sum-merge associatively so day tables build once and serve any
+    window length."""
+    from hephaestus_spark.functions.money import scaled_long
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.to_date("l_shipdate").alias("day"),
+        scaled_long(F.col("l_extendedprice")).alias("c"),
+    )
+    dayhist = rows.groupBy("day", "c").agg(F.count("*").cast("bigint").alias("cnt"))
+    days = dayhist.select("day").distinct()
+    winhist = (
+        days.alias("d")
+        .join(
+            dayhist.alias("r"),
+            F.col("r.day").between(F.date_sub(F.col("d.day"), 6), F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("r.c").alias("c"))
+        .agg(F.sum("r.cnt").alias("cnt"))
+    )
+    from pyspark.sql.window import Window as W
+
+    cum = winhist.select(
+        "day",
+        "c",
+        F.sum("cnt")
+        .over(
+            W.partitionBy("day").orderBy("c").rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cm"),
+        F.sum("cnt").over(W.partitionBy("day")).alias("n"),
+    )
+    exact = cum.groupBy("day").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(F.when(F.col("cm") >= F.ceil(F.lit(0.5) * F.col("n")), F.col("c"))).alias("p50c"),
+        F.min(F.when(F.col("cm") >= F.ceil(F.lit(0.95) * F.col("n")), F.col("c"))).alias("p95c"),
+    )
+    dayreg = (
+        _hdr_bucketize(dayhist)
+        .groupBy("day", "bucket")
+        .agg(F.sum("cnt").alias("cnt"), F.max("lo").alias("lo"), F.max("width").alias("width"))
+    )
+    merged = (
+        days.alias("d")
+        .join(
+            dayreg.alias("r"),
+            F.col("r.day").between(F.date_sub(F.col("d.day"), 6), F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("r.bucket").alias("bucket"))
+        .agg(
+            F.sum("r.cnt").alias("cnt"),
+            F.max("r.lo").alias("lo"),
+            F.max("r.width").alias("width"),
+        )
+    )
+    scum = merged.select(
+        "day",
+        "lo",
+        "width",
+        F.sum("cnt")
+        .over(
+            W.partitionBy("day").orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cm"),
+        F.sum("cnt").over(W.partitionBy("day")).alias("n"),
+    )
+    est = scum.groupBy("day").agg(
+        F.min(F.when(F.col("cm") >= F.ceil(F.lit(0.5) * F.col("n")), F.col("lo"))).alias("p50lo"),
+        F.min(F.when(F.col("cm") >= F.ceil(F.lit(0.5) * F.col("n")), F.col("width"))).alias("p50w"),
+        F.min(F.when(F.col("cm") >= F.ceil(F.lit(0.95) * F.col("n")), F.col("lo"))).alias("p95lo"),
+        F.min(F.when(F.col("cm") >= F.ceil(F.lit(0.95) * F.col("n")), F.col("width"))).alias("p95w"),
+    )
+    return est.join(exact, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        (F.col("p50c").cast("double") / 100.0).alias("exact_p50"),
+        (F.col("p50lo").cast("double") / 100.0).alias("est_p50"),
+        (
+            (F.col("p50c") >= F.col("p50lo"))
+            & (F.col("p50c") < F.col("p50lo") + F.col("p50w"))
+        ).alias("p50_bracketed"),
+        (F.col("p95c").cast("double") / 100.0).alias("exact_p95"),
+        (F.col("p95lo").cast("double") / 100.0).alias("est_p95"),
+        (
+            (F.col("p95c") >= F.col("p95lo"))
+            & (F.col("p95c") < F.col("p95lo") + F.col("p95w"))
+        ).alias("p95_bracketed"),
+    )
