@@ -123,3 +123,51 @@ def test_hll_registers_merge_associatively(spark, sf_dir):
         .collect()
     }
     assert merged == whole
+
+
+def _hdr_py(c: int):
+    """Pure-Python mirror of the HDR bucket math (sketches.py)."""
+    s = c
+    for sh in (1, 2, 4, 8, 16, 32):
+        s |= s >> sh
+    e = bin(s & ((1 << 63) - 1)).count("1") - 1
+    if e < 5:
+        return c, c, 1
+    sub = (c >> (e - 5)) & 31
+    return e * 32 + sub, (32 + sub) * (1 << (e - 5)), 1 << (e - 5)
+
+
+def test_hdr_bucket_identity_hypothesis():
+    """For ANY positive int64 the HDR bucket brackets its value with
+    width/lo <= 1/32 (the 3.1%% relative-error guarantee every quantile
+    estimate in x_quantile_sketch / x_hdr_sliding_quantile rests on),
+    and the bucket id is monotone in the value."""
+    from hypothesis import given, settings, strategies as st
+
+    @given(c=st.integers(min_value=1, max_value=2 ** 62))
+    @settings(max_examples=3000, deadline=None)
+    def check(c):
+        bucket, lo, width = _hdr_py(c)
+        assert lo <= c < lo + width
+        assert width == 1 or width * 32 <= lo
+        b2, _, _ = _hdr_py(c + 1)
+        assert b2 >= bucket
+
+    check()
+
+
+def test_hdr_bucket_python_mirror_matches_spark(spark):
+    """The Spark column chain (sketches._hdr_bucketize) and the Python
+    mirror agree on adversarial values — powers of two, off-by-ones,
+    boundary magnitudes."""
+    from hephaestus_spark.queries.sketches import _hdr_bucketize
+
+    vals = [1, 2, 31, 32, 33, 63, 64, 1023, 1024, 1025]
+    vals += [(1 << k) + d for k in range(5, 62, 7) for d in (-1, 0, 1)]
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    got = {
+        r["c"]: (r["bucket"], r["lo"], r["width"])
+        for r in _hdr_bucketize(df).collect()
+    }
+    for v in vals:
+        assert got[v] == _hdr_py(v), v
