@@ -72,7 +72,11 @@ def test_sf1_runtime_trend(spark, sf1_dir):
         _time(spark, name, SF01)  # warm plan + page cache
         base = min(_time(spark, name, SF01) for _ in range(2))
         big = _time(spark, name, sf1_dir)
-        ratios[name] = big / max(base, 1e-3)
+        # floor the base at 0.2 s: sub-0.1 s sf0.1 timings are
+        # scheduler-overhead-dominated and jitter by 2-3x, which fakes
+        # blowups (observed once on q32); a genuinely quadratic plan
+        # still reads >100x against the floored base.
+        ratios[name] = big / max(base, 0.2)
     offenders = {q: round(r, 1) for q, r in ratios.items() if r > MAX_RATIO}
     assert not offenders, f"superlinear blowup at sf1: {offenders} (all: {ratios})"
 
