@@ -1294,3 +1294,81 @@ def x_hdr_sliding_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("p95c") < F.col("p95lo") + F.col("p95w"))
         ).alias("p95_bracketed"),
     )
+
+
+# --------------------------------------------------------------------------
+# x_weighted_quantile — exact WEIGHTED quantiles (r6): "the price below
+# which half the UNITS (not half the rows) were shipped" — the
+# inventory/revenue-weighted statistic dashboards actually want. Same
+# count-then-select discipline as x_exact_quantiles, with cumulative
+# integer WEIGHTS in place of row counts: no sort of raw data, state
+# bounded by distinct values, every comparison integer-exact.
+# --------------------------------------------------------------------------
+
+_WQUANT_SQL = """
+    WITH h AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT flag, c, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY c
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(w) OVER (PARTITION BY flag) AS tw
+      FROM h
+    )
+    SELECT flag AS l_returnflag, CAST(max(tw) AS BIGINT) AS total_units,
+           CAST(min(CASE WHEN cw * 2 >= tw THEN c END) AS DOUBLE) / 100.0
+             AS weighted_median,
+           CAST(min(CASE WHEN cw * 10 >= tw * 9 THEN c END) AS DOUBLE) / 100.0
+             AS weighted_p90
+    FROM cum GROUP BY flag
+"""
+
+
+@query("x_weighted_quantile", oracle=_WQUANT_SQL)
+def x_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price quantiles per return flag: the q-th
+    weighted quantile is the smallest value whose cumulative weight
+    reaches q of the total. Thresholds are integer cross-multiplies
+    (cw*2 >= tw, cw*10 >= 9*tw) — no double fraction can flip a
+    boundary row, and the weighted sums are int64 (quantity is
+    integral; cumulative weight per (flag, value-prefix) bounded by
+    total units ~ 2^45 at 100 TB, well inside int64).
+
+    Scale shape: one (flag, cents) pre-aggregation collapses the fact
+    table to its value histogram (the only thing the quantile needs),
+    then a histogram-sized window — the raw data is never sorted."""
+    from pyspark.sql.window import Window as W
+
+    from hephaestus_spark.functions.money import scaled_long
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        scaled_long(F.col("l_extendedprice")).alias("c"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    cum = h.select(
+        "flag",
+        "c",
+        F.sum("w")
+        .over(
+            W.partitionBy("flag").orderBy("c").rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cw"),
+        F.sum("w").over(W.partitionBy("flag")).alias("tw"),
+    )
+    return cum.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.max("tw").cast("bigint").alias("total_units"),
+        (
+            F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("c"))).cast("double")
+            / 100.0
+        ).alias("weighted_median"),
+        (
+            F.min(
+                F.when(F.col("cw") * 10 >= F.col("tw") * 9, F.col("c"))
+            ).cast("double")
+            / 100.0
+        ).alias("weighted_p90"),
+    )
