@@ -299,6 +299,13 @@ class JdbcEmployeeSyncPipeline:
                 "SELECT id, fullname, shortname, position, email, phone"
                 " FROM employees"
             )
+            # "" -> None: text-protocol shims (psql -tA) cannot
+            # distinguish empty string from NULL; the cleaning stage
+            # never PRODUCES empty strings (repair generates emails,
+            # invalid phones become NULL), so folding the ambiguity
+            # toward NULL is lossless here — worst case a true "" in a
+            # hand-edited row re-updates once, which upsert semantics
+            # absorb.
             rows = [
                 tuple(None if v == "" or v is None else str(v) for v in r)
                 for r in cur.fetchall()
