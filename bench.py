@@ -150,6 +150,9 @@ def main() -> None:
         sf1 = _sf1_section(spark, timings, sf)
         if sf1:
             out["sf1"] = sf1
+        skew = _sf1_skew_section(spark, timings, sf)
+        if skew:
+            out["sf1_skew"] = skew
     print(json.dumps(out))
     spark.stop()
 
@@ -197,6 +200,44 @@ def _sf1_section(spark, timings: dict[str, float], sf: float) -> dict | None:
     return section
 
 
+# Adversarial-skew evidence (VERDICT r6 item 2): when the hot-key
+# replica set exists (scalegen hot_frac=0.3 — built by
+# tests/test_scale_trend.py's skew gate), time the skew-sensitive
+# queries there. The hot customer holds ~30% of all orders, so these
+# runtimes measure AQE skew handling and the decimal sufficient-stats
+# path on a genuinely hot key, not the uniform best case.
+SKEW_SUBSET = [
+    "q03_join_inner",
+    "q05_join_left_count",
+    "q13_window_analytic",
+    "x_outlier_zscore",
+]
+
+
+def _sf1_skew_section(spark, timings: dict[str, float], sf: float) -> dict | None:
+    skew_dir = os.environ.get("SPARK_GRAFT_SKEW_DIR", "/tmp/hephaestus_sf1skew")
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "0":
+        return None
+    if not os.path.exists(os.path.join(skew_dir, "_DONE")):
+        return None
+    t1: dict[str, float] = {}
+    for name in SKEW_SUBSET:
+        if name not in QUERIES:
+            continue
+        df = QUERIES[name](spark, skew_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        t1[name] = round(time.perf_counter() - t0, 3)
+    section: dict = {"dir": skew_dir, "hot_frac": 0.3, "queries": t1}
+    if sf == 0.1:
+        section["x_vs_sf0.1"] = {
+            q: round(t / timings[q], 1)
+            for q, t in t1.items()
+            if timings.get(q)
+        }
+    return section
+
+
 def _regressions_vs_best(
     timings: dict[str, float], sf: float, factor: float = 1.5
 ) -> dict[str, dict[str, float]]:
@@ -213,7 +254,7 @@ def _regressions_vs_best(
         except (OSError, ValueError):
             continue
         # driver records wrap the bench line under "parsed"
-        rec = rec.get("parsed", rec)
+        rec = rec.get("parsed") or rec  # driver wraps; "parsed" may be null
         if rec.get("sf") != sf:
             continue
         for q, t in rec.get("queries", {}).items():
@@ -235,7 +276,7 @@ def _vs_best_median(timings: dict[str, float], sf: float) -> float | None:
                 rec = json.load(f)
         except (OSError, ValueError):
             continue
-        rec = rec.get("parsed", rec)
+        rec = rec.get("parsed") or rec  # driver wraps; "parsed" may be null
         if rec.get("sf") != sf:
             continue
         for q, t in rec.get("queries", {}).items():

@@ -1260,18 +1260,18 @@ def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), stats AS (
       SELECT o_custkey, o_orderkey, cents,
              CAST(count(*) OVER w AS BIGINT) AS n,
-             CAST(sum(cents) OVER w AS BIGINT) AS s1,
-             CAST(sum(cents * cents) OVER w AS BIGINT) AS s2
+             CAST(sum(CAST(cents AS HUGEINT)) OVER w AS HUGEINT) AS s1,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) OVER w AS HUGEINT) AS s2
       FROM c
       WINDOW w AS (PARTITION BY o_custkey)
     )
     SELECT o_custkey, o_orderkey,
            CAST(cents AS DOUBLE) / 100.0 AS totalprice,
-           round(CAST(cents * n - s1 AS DOUBLE)
+           round(CAST(CAST(cents AS HUGEINT) * n - s1 AS DOUBLE)
                  / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)), 4) AS z
     FROM stats
     WHERE n >= 5 AND n * s2 - s1 * s1 > 0
-      AND abs(CAST(cents * n - s1 AS DOUBLE)
+      AND abs(CAST(CAST(cents AS HUGEINT) * n - s1 AS DOUBLE)
               / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) > 2.0
     """,
 )
@@ -1282,17 +1282,35 @@ def x_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The ulp discipline: mean and stddev as doubles are the classic
     cross-engine boundary trap (accumulation order changes the last
-    bit, the threshold flips a row). Instead, n, sum(cents), and
-    sum(cents^2) stay in int64 — order-independent, overflow-safe to
-    ~1e5 rows/group at 1e5 magnitudes — and the algebraic identity
+    bit, the threshold flips a row). Instead, the sufficient statistics
+    are EXACT integers — order-independent — and the algebraic identity
     z = (c*n - s1) / sqrt(n*s2 - s1^2) evaluates as exactly TWO IEEE
     ops (sqrt, divide) on identical integer-derived operands in both
     engines: bit-identical z, stable threshold. Zero-variance and
     tiny groups are excluded by exact integer predicates.
 
+    Overflow (VERDICT r6 "what's wrong" #1): cents^2 ~ 1e14-1e15 per
+    row, so int64 s2 silently wraps past ~1e4 rows/group — a single
+    real-world hot account corrupts every z in its group under
+    non-ANSI Spark. s1 and s2 therefore accumulate as DECIMAL(38,0)
+    (Spark's 128-bit integer path; DuckDB mirrors with HUGEINT): the
+    per-row product cents*cents stays int64-exact (< 4e15), only the
+    ACCUMULATION is 128-bit, and n*s2 - s1^2 holds to ~1e10 rows/group
+    at max TPC-H price — beyond any plausible hot key at 100 TB (1e12
+    orders, one customer owning 1%). Both engines convert the same
+    exact integer to double at the end, so z stays bit-identical.
+    The window frames here are ~10 rows (TPC-H orders/customer), so
+    the decimal tax is invisible — unlike q09's scan-wide hot path,
+    which keeps the 2-lane int64 split (functions/money.py).
+    Wrap-proofing pinned by
+    tests/test_money_fuzz.py::test_zscore_decimal_survives_where_naive_int64_wraps
+    and at volume by the skewed-replica oracle gate
+    (tests/test_scale_trend.py — the hot customer there holds ~450k
+    orders, past the naive wrap point).
+
     Scale shape: one whole-partition window over the group key — a
-    single shuffle, two longs + a count of state per group, no second
-    pass, no join-back."""
+    single shuffle, two decimals + a count of state per group, no
+    second pass, no join-back."""
     from pyspark.sql.window import Window as _W
 
     c = _t(spark, sf_dir, "orders").select(
@@ -1301,19 +1319,21 @@ def x_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled_long(F.col("o_totalprice")).alias("cents"),
     )
     w = _W.partitionBy("o_custkey")
+    dec = "decimal(38,0)"
     stats = (
         c.withColumn("n", F.count("*").over(w))
-        .withColumn("s1", F.sum("cents").over(w))
-        .withColumn("s2", F.sum(F.col("cents") * F.col("cents")).over(w))
-    )
-    num = (F.col("cents") * F.col("n") - F.col("s1")).cast("double")
-    den = F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
-    z = num / den
-    return (
-        stats.filter(
-            (F.col("n") >= 5)
-            & (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1") > 0)
+        .withColumn("s1", F.sum(F.col("cents").cast(dec)).over(w))
+        .withColumn(
+            "s2", F.sum((F.col("cents") * F.col("cents")).cast(dec)).over(w)
         )
+    )
+    num = (
+        F.col("cents").cast(dec) * F.col("n").cast(dec) - F.col("s1")
+    ).cast("double")
+    var = F.col("n").cast(dec) * F.col("s2") - F.col("s1") * F.col("s1")
+    z = num / F.sqrt(var.cast("double"))
+    return (
+        stats.filter((F.col("n") >= 5) & (var > 0))
         .filter(F.abs(z) > 2.0)
         .select(
             "o_custkey",

@@ -95,6 +95,40 @@ class EmployeeSyncPipeline:
         q.awaitTermination()
         return sink
 
+    def run_maintenance(self, spark: SparkSession, processing_time: str = "1 second"):
+        """Steady-state mode (A21): the reference's periodic ticker
+        (internal/services/tasks/tasks.go:65-76, interval from
+        internal/config/config.go:30) maps to a ``processingTime``
+        trigger on the SAME pipeline body — each tick discovers newly
+        dropped feed files (each file = one upstream poll), and an
+        unchanged re-poll hash-skips via the P1 fingerprint exactly as
+        in backfill mode. Returns ``(StreamingQuery, MergeSinkJob)``;
+        the query runs until the caller stops it (the ticker never
+        terminates on its own), so tests stop after >= 2 observed
+        ticks (tests/test_streaming_pipeline.py)."""
+        target = ParquetSnapshotTarget(
+            self.snapshot_path, "id", EMPLOYEE_COMPARE_COLS
+        )
+        sink = MergeSinkJob(
+            target=target,
+            fingerprint_cols=["id"] + EMPLOYEE_COMPARE_COLS,
+            watermark=WatermarkTable(self.watermark_path),
+            watermark_date_col="feed_date",
+        )
+        stream = (
+            spark.readStream.schema(EMPLOYEE_FEED_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.feed_dir)
+        )
+        q = (
+            clean_employees(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{self.snapshot_path}.ckpt")
+            .trigger(processingTime=processing_time)
+            .start()
+        )
+        return q, sink
+
 
 TASK_FEED_SCHEMA = T.StructType(
     [
@@ -384,9 +418,12 @@ class JdbcEmployeeSyncPipeline:
 
 # Mutable task columns in DATABASE naming (task.go:86-96): the feed's
 # created_at/closed_at land as creation_date/closing_date.
+# creation_date is NOT here: the reference's UpsertTask puts it in the
+# INSERT list but omits it from the DO UPDATE SET (task.go:84-96) — a
+# re-synced task keeps the creation_date of its FIRST insert. It rides
+# through insert_only_cols instead (see _merge_tasks).
 JDBC_TASK_COLS = [
     "task_type_id",
-    "creation_date",
     "closing_date",
     "description",
     "address",
@@ -494,7 +531,10 @@ class JdbcTaskSyncPipeline:
             connection_factory=self.connection_factory,
             reset_rule=GEOCODE_RESET_RULE.format(t="tasks"),
             placeholder=self.placeholder,
-            insert_only_cols=GEOCODE_COLS,
+            # creation_date: inserted with the row, never plain-updated
+            # (task.go:84-96 keeps the first-insert value on conflict);
+            # geocode cols: inserted NULL, touched only by reset_rule.
+            insert_only_cols=["creation_date"] + GEOCODE_COLS,
             partitions=self.sink_partitions,
         )
         target.merge_batch(spark, staged)
@@ -548,11 +588,18 @@ class JdbcTaskSyncPipeline:
 
     # ---- A18/A19: watermark in scraper_status, reference statement ----
     def advance_watermark(self, day: datetime.date) -> None:
+        # GREATEST keeps the watermark monotone: a micro-batch that
+        # surfaces an OLDER feed file (out-of-order discovery, backfill
+        # replay) must not move last_processed_date backwards — the
+        # reference's catch-up loop only ever walks forward day by day
+        # (tasks.go:147-200), so a regressing watermark would make it
+        # re-scrape days it already completed.
         ph = self.placeholder
         self._exec_many(
             f"INSERT INTO scraper_status (id, last_processed_date)"
             f" VALUES (1, {ph}) ON CONFLICT (id) DO UPDATE SET"
-            f" last_processed_date = EXCLUDED.last_processed_date,"
+            f" last_processed_date = GREATEST("
+            f"scraper_status.last_processed_date, EXCLUDED.last_processed_date),"
             f" updated_at = CURRENT_TIMESTAMP",
             [[day.isoformat()]],
         )

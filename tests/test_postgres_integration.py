@@ -303,6 +303,11 @@ _D1 = _dt.date(2024, 3, 1)
 _D2 = _dt.date(2024, 3, 2)
 _T1 = _dt.datetime(2024, 3, 1, 8, 0, 0)
 _T2 = _dt.datetime(2024, 3, 2, 9, 30, 0)
+# day-2 re-scrapes report a DIFFERENT created_at for existing tasks
+# (source jitter): the reference's UpsertTask keeps the FIRST insert's
+# creation_date (task.go:84-96 omits it from the DO UPDATE SET), so the
+# final state must still show _T1 — ADVICE r6 item 1's regression bait.
+_T1_JITTER = _dt.datetime(2024, 3, 1, 8, 0, 59)
 
 _DAY1 = [
     (1, "repair", _T1, None, "d1", "Addr A", "cust1", "log1",
@@ -314,13 +319,13 @@ _DAY1 = [
 ]
 _DAY2 = [
     # same address -> geocode preserved; executors replaced; closes
-    (1, "repair", _T1, _T2, "d1-upd", "Addr A", "cust1", "log1",
+    (1, "repair", _T1_JITTER, _T2, "d1-upd", "Addr A", "cust1", "log1",
      ["c3"], ["cd"], True, _D2),
     # address change -> geocode reset; EMPTY executors -> bridge cleared
-    (2, "audit", _T1, None, "d2-upd", "Addr B2", "cust2", "log2",
+    (2, "audit", _T1_JITTER, None, "d2-upd", "Addr B2", "cust2", "log2",
      [], [], False, _D2),
     # NULL -> value address transition -> reset fires
-    (3, "repair", _T1, None, "d3-upd", "Addr C", "cust3", "log3",
+    (3, "repair", _T1_JITTER, None, "d3-upd", "Addr C", "cust3", "log3",
      ["x"], ["ab", "ef"], False, _D2),
     # brand-new task; 'zz' is an unknown executor -> NULL bridge row (A16)
     (4, "survey", _T1, None, "d4", "Addr D", "cust4", "log4",
@@ -386,9 +391,15 @@ def test_full_task_sync_pipeline_against_postgres(spark, pg_sock, tmp_path):
                  row_number() OVER (ORDER BY min_fd, type) AS type_id
           FROM (SELECT type, min(feed_date) AS min_fd FROM feed GROUP BY 1)
         ),
+        -- creation_date is insert-only (task.go:84-96): the mirror takes
+        -- it from each task's FIRST feed appearance, not the latest
+        first AS (
+          SELECT id, created_at FROM feed
+          QUALIFY row_number() OVER (PARTITION BY id ORDER BY feed_date ASC) = 1
+        ),
         d1 AS (SELECT id, address AS a1 FROM feed WHERE feed_date = DATE '2024-03-01')
         SELECT l.id AS task_id, t.type_id AS task_type_id,
-               coalesce(CAST(l.created_at AS VARCHAR), 'NULL') AS creation_date,
+               coalesce(CAST(first.created_at AS VARCHAR), 'NULL') AS creation_date,
                coalesce(CAST(l.closed_at AS VARCHAR), 'NULL') AS closing_date,
                l.description,
                coalesce(l.address, 'NULL') AS address,
@@ -409,6 +420,7 @@ def test_full_task_sync_pipeline_against_postgres(spark, pg_sock, tmp_path):
                     ELSE 'geo-x' END AS geocoding_error
         FROM latest l
         JOIN types t ON t.type_name = l.type
+        JOIN first ON first.id = l.id
         LEFT JOIN d1 ON d1.id = l.id
         ORDER BY l.id
     """).fetchall()
@@ -453,6 +465,17 @@ def test_full_task_sync_pipeline_against_postgres(spark, pg_sock, tmp_path):
     assert _psql(
         pg_sock, "SELECT string_agg(type_name, ',' ORDER BY type_id) FROM task_types"
     ) == "install,repair,audit,survey"
+    # re-synced tasks kept their FIRST insert's creation_date even
+    # though day 2 reported _T1_JITTER (ADVICE r6 item 1)
+    assert _psql(
+        pg_sock,
+        "SELECT count(*) FROM tasks WHERE task_id <= 3"
+        f" AND creation_date = '{_T1.isoformat(sep=' ')}'",
+    ) == "3"
+    # watermark monotonicity (ADVICE r6 item 3): replaying an OLD day
+    # must not move last_processed_date backwards
+    pipe.advance_watermark(_D1)
+    assert pipe.last_processed_date() == _D2 + _dt.timedelta(days=1)
 
 
 _EMP_DDL = """
