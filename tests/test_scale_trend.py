@@ -88,11 +88,19 @@ def test_sf1_runtime_trend(spark, sf1_dir):
 # (q33's uncapped ground truth) are excluded by cost, not doubt; their
 # operators are covered by the skew test below.
 SF1_ORACLE_SUBSET = [
+    "q05_join_left_count",
+    "q08_join_range",
     "q09_agg_tpch_q1",
+    "q10_count_distinct",
+    "q11_cube",
     "q11_rollup",
     "q12_window_rank",
+    "q13_window_analytic",
     "q14_window_range_frame",
     "q15_topk",
+    "q20_array_agg",
+    "q23_scd1_merge",
+    "q27_window_sliding",
     "q27_window_tumbling",
     "q30_last_event",
     "q32_exact_dedup",
@@ -126,6 +134,101 @@ def test_oracle_match_at_sf1(spark, sf1_dir, name):
         con.execute(ORACLES[name]).df(),
     )
     assert report["match"], f"{name}@sf1: {report}"
+
+
+# ---------------------------------------------------------------------------
+# Adversarial skew gate (VERDICT r6 item 2): uniform replication keeps
+# per-key group sizes identical to the base, so the trend gate above can
+# never stress AQE skew-join splitting, the salted top-k, or the decimal
+# sufficient-statistics headroom on a genuinely HOT key. hot_frac=0.3
+# routes 30% of all FK values (o_custkey / l_orderkey / events.user_id)
+# onto one existing key: the hot customer holds ~450k orders at the 10x
+# replica scale — past the point where naive int64 sum(cents^2) wraps
+# (x_outlier_zscore's r6 hazard), and a single join/window partition
+# ~3000x the median.
+# ---------------------------------------------------------------------------
+SKEW_DIR = "/tmp/hephaestus_sf1skew"
+SKEW_HOT_FRAC = 0.3
+
+SKEW_TREND_QUERIES = [
+    "q03_join_inner",        # l_orderkey-skewed shuffle join (AQE split)
+    "q05_join_left_count",   # o_custkey-skewed outer join + agg
+    "q13_window_analytic",   # one window partition with ~450k rows
+    "x_outlier_zscore",      # decimal s1/s2 on the hot group
+]
+# q03 excluded from the oracle leg by output size only (6M-row compare);
+# its plan is identical to the uniform-sf1 run, which is oracled.
+SKEW_ORACLE_QUERIES = [
+    "q05_join_left_count",
+    "q13_window_analytic",
+    "x_outlier_zscore",
+]
+
+
+@pytest.fixture(scope="module")
+def sf1_skew_dir(spark):
+    from hephaestus_spark.scalegen import generate
+
+    return generate(
+        spark,
+        base_dir=SF01,
+        out_dir=SKEW_DIR,
+        replicas=10,
+        hot_frac=SKEW_HOT_FRAC,
+    )
+
+
+@pytest.mark.slow
+def test_sf1_skew_runtime_trend(spark, sf1_skew_dir):
+    ratios = {}
+    for name in SKEW_TREND_QUERIES:
+        _time(spark, name, SF01)  # warm plan + page cache
+        base = min(_time(spark, name, SF01) for _ in range(2))
+        big = _time(spark, name, sf1_skew_dir)
+        ratios[name] = big / max(base, 0.2)
+    offenders = {q: round(r, 1) for q, r in ratios.items() if r > MAX_RATIO}
+    assert not offenders, f"skew blowup at sf1: {offenders} (all: {ratios})"
+
+
+@pytest.mark.slow
+def test_skew_generator_actually_skews(spark, sf1_skew_dir):
+    """The hot customer must dominate: ~30% of ALL orders on one key
+    (binomial around 0.3 with n~1.5M — far over any natural group)."""
+    o = spark.read.parquet(f"{sf1_skew_dir}/orders.parquet")
+    total = o.count()
+    top = (
+        o.groupBy("o_custkey").count().orderBy(F.col("count").desc()).first()
+    )
+    assert 0.25 * total < top["count"] < 0.35 * total, top
+    # the hot key exists on the PK side (replica-0 customer)
+    c = spark.read.parquet(f"{sf1_skew_dir}/customer.parquet")
+    assert c.filter(F.col("c_custkey") == top["o_custkey"]).count() == 1
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", SKEW_ORACLE_QUERIES)
+def test_oracle_match_at_sf1_skew(spark, sf1_skew_dir, name):
+    """Correctness ON the skewed data, not just runtime: DuckDB computes
+    ground truth over the same skewed parquet. x_outlier_zscore here is
+    the wrap-proofing at volume — the hot group's s2 is ~2.5e21, past
+    int64, so this hash-match only holds with 128-bit accumulation on
+    both sides."""
+    import duckdb
+
+    from hephaestus_spark.compare import compare_frames
+    from hephaestus_spark.registry import ORACLES, QUERIES
+    from hephaestus_spark.scalegen import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf1_skew_dir}/{t}.parquet/*.parquet'"
+        )
+    report = compare_frames(
+        QUERIES[name](spark, sf1_skew_dir).toPandas(),
+        con.execute(ORACLES[name]).df(),
+    )
+    assert report["match"], f"{name}@sf1skew: {report}"
 
 
 @pytest.mark.slow

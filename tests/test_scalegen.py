@@ -38,6 +38,15 @@ def test_replica_keys_disjoint_and_fk_intact(spark, sf2x):
     # referential integrity: every lineitem still joins its order
     orphans = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").count()
     assert orphans == 0
+    # events.user_id is a custkey FK (ADVICE r6): it must shift in
+    # lockstep with customer keys — every replica's events join their
+    # replica's customers, and replicated customers DO get events
+    e = spark.read.parquet(f"{sf2x}/events.parquet")
+    c = spark.read.parquet(f"{sf2x}/customer.parquet")
+    assert e.join(c, e.user_id == c.c_custkey, "left_anti").count() == 0
+    base_c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    stride = base_c.agg(F.max("c_custkey")).first()[0] + 1
+    assert e.filter(F.col("user_id") >= stride).count() == e.count() / 2
     # per-order group sizes are EXACTLY the base distribution
     base_sizes = (
         spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
