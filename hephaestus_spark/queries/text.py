@@ -372,8 +372,9 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas (operators/multimodal.py). The oracle states every
     decoded field as arithmetic over the documents table, so a header
     layout or endianness bug on either side breaks the hash. The
-    NotImplementedError stub remains for compressed codecs (PNG/MP4 —
-    libraries absent). Scale shape: pure map-side, no shuffle."""
+    NotImplementedError stub remains only for JPEG/MP4 (PNG is now a
+    real decode too — x_multimodal_png_decode). Scale shape: pure
+    map-side, no shuffle."""
     from hephaestus_spark.operators.multimodal import (
         decode_bmp_features,
         decode_wav_features,
@@ -409,6 +410,81 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pixel_bytes").alias("payload_bytes"),
     )
     return wav.unionByName(bmp)
+
+
+@query(
+    "x_multimodal_png_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 + doc_id % 24 AS INT) AS width,
+           CAST(3 + n_chars % 21 AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(2 AS INT) AS color_type,
+           CAST(3 AS INT) AS n_chunks,
+           CAST((4 + doc_id % 24) * 3 * (3 + n_chars % 21) AS BIGINT)
+             AS pixel_bytes,
+           TRUE AS pixels_roundtrip
+    FROM documents
+    """,
+)
+def x_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-format decode (VERDICT r6 item 5): every document
+    becomes a genuine PNG — zlib-deflated IDAT of per-row-filtered RGB
+    scanlines — and is decoded by an INDEPENDENT from-the-spec reader:
+    hand-built CRC-32 chunk verification, a hand-rolled RFC 1950/1951
+    inflate (stored/fixed/dynamic-Huffman blocks, adler32 trailer), and
+    PNG unfiltering (operators/multimodal.py). ``pixels_roundtrip``
+    compares sha256 of the RECOVERED pixels against the sha of the
+    pre-compression bytes recomputed from the text by a separate map op
+    — computed in-query, so the oracle hash pins it TRUE for every doc
+    (the q26 tolerance-boolean pattern). The header fields are stated
+    arithmetically by the oracle. Scale shape: two shuffle-free
+    mapInPandas lanes + one doc_id equi-join (co-partitioned, and
+    broadcastable when the decode side is the big one)."""
+    from hephaestus_spark.operators.multimodal import (
+        decode_png_features,
+        synthesize_png_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    decoded = decode_png_features(synthesize_png_media(d))
+
+    def expected_op(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from hephaestus_spark.operators.multimodal import (
+            _png_params,
+            _png_pixels,
+        )
+
+        for pdf in batches:
+            shas = [
+                hashlib.sha256(
+                    _png_pixels(text, *_png_params(int(doc_id), int(n_chars)))
+                ).hexdigest()
+                for doc_id, text, n_chars in zip(
+                    pdf["doc_id"], pdf["text"], pdf["n_chars"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "expected_sha": shas}
+            )
+
+    expected = d.select("doc_id", "text", "n_chars").mapInPandas(
+        expected_op, schema="doc_id long, expected_sha string"
+    )
+    return decoded.join(expected, "doc_id").select(
+        "doc_id",
+        "width",
+        "height",
+        "bit_depth",
+        "color_type",
+        "n_chunks",
+        "pixel_bytes",
+        (F.col("pixel_sha") == F.col("expected_sha")).alias("pixels_roundtrip"),
+    )
 
 
 # PII scrub: the test corpus is synthetic prose with no PII, so both

@@ -102,3 +102,56 @@ def test_fingerprint_skip_within_run(spark, workdir):
     sink = pipe.run_available_now(spark)
     skipped = [h["skipped"] for h in sink.history]
     assert skipped == [False, True]
+
+
+def test_maintenance_mode_processing_time_ticks(spark, workdir):
+    """A21 steady-state (VERDICT r6 item 4): the reference's periodic
+    ticker (tasks.go:65-76) driven for real — a ``processingTime``
+    trigger that stays up across polls. Tick 1 merges the initial feed;
+    a later tick sees an IDENTICAL re-poll and must hash-skip (P1,
+    employees.go:88-101) inside the same running query; a third poll
+    with a delta merges. The query never self-terminates — the test
+    stops it after observing >= 3 ticks."""
+    import time
+
+    feed = os.path.join(workdir, "feed")
+    os.makedirs(feed)
+    snap = os.path.join(workdir, "snapshot")
+    pipe = EmployeeSyncPipeline(feed, snap, os.path.join(workdir, "wm"))
+
+    _write_feed(spark, feed, ROWS_DAY1, day=1, idx=0)
+    q, sink = pipe.run_maintenance(spark, processing_time="250 milliseconds")
+    try:
+
+        def wait_ticks(n, timeout=60.0):
+            t0 = time.monotonic()
+            while len(sink.history) < n:
+                assert q.isActive, q.exception()
+                assert time.monotonic() - t0 < timeout, (
+                    f"tick {n} never arrived: {sink.history}"
+                )
+                time.sleep(0.1)
+
+        wait_ticks(1)
+        assert sink.history[0]["skipped"] is False
+        out1 = {r["id"]: tuple(r) for r in spark.read.parquet(snap).collect()}
+        assert len(out1) == 4
+
+        # identical content re-polled while the ticker keeps running
+        _write_feed(spark, feed, ROWS_DAY1, day=1, idx=1)
+        wait_ticks(2)
+        assert sink.history[1]["skipped"] is True
+        assert {
+            r["id"]: tuple(r) for r in spark.read.parquet(snap).collect()
+        } == out1
+
+        # a real delta on a later tick still merges
+        _write_feed(spark, feed, ROWS_DAY2, day=2, idx=2)
+        wait_ticks(3)
+        h = sink.history[2]
+        assert h["skipped"] is False and h["insert"] == 1 and h["update"] == 1
+        out3 = {r["id"]: r for r in spark.read.parquet(snap).collect()}
+        assert len(out3) == 5 and out3[2]["fullname"] == "Updated Name"
+        assert q.isActive  # the ticker is still up until WE stop it
+    finally:
+        q.stop()
