@@ -121,6 +121,11 @@ def minhash_hot_buckets(
     )
 
 
+# Max hot-(t,v) keys held driver-side by pre_exclude_hot before falling
+# back to the distributed broadcast anti-join (see rationale in-line).
+_HOT_DRIVER_LIMIT = 1000
+
+
 def minhash_candidate_pairs(
     sig: DataFrame,
     n_tables: int = 16,
@@ -159,13 +164,38 @@ def minhash_candidate_pairs(
     buckets = _minhash_buckets(sig, n_tables, id_col)
     if bucket_cap is not None:
         if pre_exclude_hot:
-            hot = (
+            # The hot set is structurally small: <= rows*n_tables/cap
+            # keys can exceed the cap, and in practice a healthy corpus
+            # has none. Materializing it driver-side (r7) lets the
+            # empty case — the norm — skip the anti-join stage
+            # entirely, and the small case use an inline relation;
+            # both cut ~0.3 s of fixed stage overhead per run at
+            # sf0.1. The driver budget is the k-means-centroid one:
+            # past _HOT_DRIVER_LIMIT keys (a pathologically templated
+            # corpus) the broadcast anti-join path engages instead of
+            # growing driver state. Output is identical on every path
+            # (tests/test_lsh_cap.py).
+            counts = (
                 buckets.groupBy("t", "v")
                 .agg(F.count("*").alias("n"))
                 .filter(F.col("n") > bucket_cap)
                 .select("t", "v")
             )
-            buckets = buckets.join(F.broadcast(hot), ["t", "v"], "left_anti")
+            hot_sample = counts.limit(_HOT_DRIVER_LIMIT + 1).collect()
+            if not hot_sample:
+                pass  # no hot buckets: nothing to exclude
+            elif len(hot_sample) <= _HOT_DRIVER_LIMIT:
+                hot_local = sig.sparkSession.createDataFrame(
+                    [(r["t"], r["v"]) for r in hot_sample],
+                    "t int, v bigint",
+                )
+                buckets = buckets.join(
+                    F.broadcast(hot_local), ["t", "v"], "left_anti"
+                )
+            else:
+                buckets = buckets.join(
+                    F.broadcast(counts), ["t", "v"], "left_anti"
+                )
         bl = (
             buckets.groupBy("t", "v")
             .agg(F.collect_list(id_col).alias("ids"))
