@@ -96,7 +96,9 @@ def decode_and_featurize(media: DataFrame, deterministic_fake: bool = False) -> 
 # unpack) decodes it — a header-layout bug on either side breaks the
 # hash match. PNG joined them in r7 with a hand-rolled inflate (see
 # below); the NotImplementedError stub remains the honest posture only
-# for codecs that genuinely need external libraries (JPEG/MP4).
+# for codecs that genuinely need external libraries. r7 removed JPEG
+# from that list too (operators/jpegcodec.py, from-scratch baseline
+# codec); only the MP4/video container remains stubbed.
 # ---------------------------------------------------------------------------
 
 WAV_DECODE_SCHEMA = (
@@ -322,7 +324,8 @@ def byte_histogram_features(media: DataFrame, bins: int = 16) -> DataFrame:
 # breaks the decode, and the decoded PIXELS are proven by sha256
 # against the pre-compression bytes recomputed from the source text.
 # The NotImplementedError stub now remains only for formats whose
-# codecs genuinely need external libraries (JPEG/MP4).
+# codecs genuinely need external libraries (now only MP4 — JPEG got
+# its own from-scratch codec in r7, operators/jpegcodec.py).
 # ---------------------------------------------------------------------------
 
 PNG_DECODE_SCHEMA = (
@@ -642,4 +645,82 @@ def decode_png_features(media: DataFrame) -> DataFrame:
 
     return media.select("doc_id", "payload").mapInPandas(
         op, schema=PNG_DECODE_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# JPEG (r7): the last image format leaves the stub list. Writer and
+# reader are the from-scratch baseline codec in
+# operators/jpegcodec.py — encoder and decoder are independent halves
+# (decoder builds its Huffman tables from the DHT bytes, not the spec
+# constants), and the LOSSLESS entropy layer is pinned bit-for-bit via
+# the quantized-coefficient blob while the lossy DCT path is bounded.
+# ---------------------------------------------------------------------------
+
+JPEG_DECODE_SCHEMA = (
+    "doc_id long, width int, height int, n_components int,"
+    " jpeg_bytes long, coeff_sha string, pixels binary"
+)
+
+
+def _jpeg_params(doc_id: int, n_chars: int) -> tuple[int, int]:
+    """(width, height) — mirrored in oracle SQL. Kept small (<= 2x2
+    blocks): the pure-Python DCT costs ~8 ms/doc, which the Arrow batch
+    parallelism amortizes at sweep scale."""
+    return 4 + doc_id % 12, 3 + n_chars % 11
+
+
+def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload) with payload = a real baseline JPEG of the
+    text-derived RGB pixels."""
+    from hephaestus_spark.operators.jpegcodec import jpeg_encode
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                w, h = _jpeg_params(int(doc_id), int(n_chars))
+                need = w * h * 3
+                raw = text.encode("utf-8") or b"\x00"
+                pixels = (raw * (need // len(raw) + 1))[:need]
+                payloads.append(jpeg_encode(pixels, w, h))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text", "n_chars").mapInPandas(
+        op, schema="doc_id long, payload binary"
+    )
+
+
+def decode_jpeg_features(media: DataFrame) -> DataFrame:
+    """REAL independent JPEG decode (jpegcodec.jpeg_decode): emits the
+    frame header fields, sha256 of the recovered quantized-coefficient
+    stream (the lossless layer), and the reconstructed RGB pixels."""
+    import hashlib
+
+    from hephaestus_spark.operators.jpegcodec import jpeg_decode
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, nc, rgb, blob = jpeg_decode(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": w,
+                        "height": h,
+                        "n_components": nc,
+                        "jpeg_bytes": len(bytes(payload)),
+                        "coeff_sha": hashlib.sha256(blob).hexdigest(),
+                        "pixels": rgb,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        op, schema=JPEG_DECODE_SCHEMA
     )

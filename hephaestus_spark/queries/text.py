@@ -372,9 +372,10 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas (operators/multimodal.py). The oracle states every
     decoded field as arithmetic over the documents table, so a header
     layout or endianness bug on either side breaks the hash. The
-    NotImplementedError stub remains only for JPEG/MP4 (PNG is now a
-    real decode too — x_multimodal_png_decode). Scale shape: pure
-    map-side, no shuffle."""
+    NotImplementedError stub remains only for MP4 (PNG and JPEG are
+    real decodes too — x_multimodal_png_decode /
+    x_multimodal_jpeg_decode). Scale shape: pure map-side, no
+    shuffle."""
     from hephaestus_spark.operators.multimodal import (
         decode_bmp_features,
         decode_wav_features,
@@ -484,6 +485,112 @@ def x_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunks",
         "pixel_bytes",
         (F.col("pixel_sha") == F.col("expected_sha")).alias("pixels_roundtrip"),
+    )
+
+
+@query(
+    "x_multimodal_jpeg_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 + doc_id % 12 AS INT) AS width,
+           CAST(3 + n_chars % 11 AS INT) AS height,
+           CAST(3 AS INT) AS n_components,
+           TRUE AS coeff_roundtrip,
+           TRUE AS err_bounded
+    FROM documents
+    """,
+)
+def x_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG, both halves from scratch (operators/jpegcodec.py
+    — the image has no codec library to call): every document is
+    encoded to a genuine T.81 baseline JPEG (DCT + Annex-K quant +
+    canonical Huffman + byte stuffing) and decoded by the independent
+    reader (tables rebuilt from the DHT bytes, own bit reader, IDCT).
+
+    Two pinned booleans (the q26 in-query pattern):
+    - ``coeff_roundtrip``: sha256 of the DECODED quantized coefficients
+      equals the sha of coefficients recomputed from the source pixels
+      by a separate forward pass — the entropy layer (zigzag, DC
+      prediction, Huffman, stuffing) is lossless, so TRUE means the
+      bitstream round-trips bit-for-bit.
+    - ``err_bounded``: reconstructed pixels stay within the
+      quantization-loss envelope (max |err| <= 160, mean <= 48 — far
+      under the ~85 mean a scrambled decode produces on this data;
+      exact IDCT/color inversion is separately unit-pinned at qt=1 in
+      tests/test_jpegcodec.py).
+
+    Scale shape: three shuffle-free mapInPandas lanes + one doc_id
+    equi-join feeding a final Arrow compare op."""
+    from hephaestus_spark.operators.multimodal import (
+        decode_jpeg_features,
+        synthesize_jpeg_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    decoded = decode_jpeg_features(synthesize_jpeg_media(d))
+
+    def expected_op(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from hephaestus_spark.operators.jpegcodec import (
+            jpeg_expected_coeff_blob,
+        )
+        from hephaestus_spark.operators.multimodal import _jpeg_params
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                w, h = _jpeg_params(int(doc_id), int(n_chars))
+                need = w * h * 3
+                raw = text.encode("utf-8") or b"\x00"
+                pixels = (raw * (need // len(raw) + 1))[:need]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "exp_coeff_sha": hashlib.sha256(
+                            jpeg_expected_coeff_blob(pixels, w, h)
+                        ).hexdigest(),
+                        "exp_pixels": pixels,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    expected = d.select("doc_id", "text", "n_chars").mapInPandas(
+        expected_op, schema="doc_id long, exp_coeff_sha string, exp_pixels binary"
+    )
+
+    def compare_op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                got, want = bytes(r["pixels"]), bytes(r["exp_pixels"])
+                errs = [abs(a - b) for a, b in zip(got, want)]
+                rows.append(
+                    {
+                        "doc_id": r["doc_id"],
+                        "width": r["width"],
+                        "height": r["height"],
+                        "n_components": r["n_components"],
+                        "coeff_roundtrip": r["coeff_sha"] == r["exp_coeff_sha"],
+                        "err_bounded": len(got) == len(want)
+                        and max(errs) <= 160
+                        and sum(errs) * 1000 <= 48_000 * len(errs),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return decoded.join(expected, "doc_id").mapInPandas(
+        compare_op,
+        schema=(
+            "doc_id long, width int, height int, n_components int,"
+            " coeff_roundtrip boolean, err_bounded boolean"
+        ),
     )
 
 
