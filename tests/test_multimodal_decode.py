@@ -214,3 +214,56 @@ def test_png_unfilter_inverts_all_five_filters():
             filtered.append(v & 0xFF)
         prev = row
     assert _png_unfilter(bytes(filtered), w, h, bpp) == pixels
+
+
+# --------------------------------------------------------------------------
+# MP4 / ISO-BMFF (r7): container-level parse
+# --------------------------------------------------------------------------
+def test_mp4_round_trip_matches_params(spark, sf_dir):
+    from hephaestus_spark.operators.multimodal import (
+        _mp4_params,
+        decode_mp4_features,
+        synthesize_mp4_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(40)
+    meta = {r["doc_id"]: (r["text"], r["n_chars"]) for r in d.collect()}
+    got = {
+        r["doc_id"]: r
+        for r in decode_mp4_features(synthesize_mp4_media(d)).collect()
+    }
+    assert set(got) == set(meta)
+    for doc_id, (text, n_chars) in meta.items():
+        w, h, ts, ns = _mp4_params(doc_id, n_chars)
+        r = got[doc_id]
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["timescale"], r["media_timescale"]) == (ts, ts * 2)
+        assert r["duration_ms"] == ns * 1000
+        assert (r["n_tracks"], r["track_id"], r["handler"]) == (1, 1, "vide")
+        assert r["major_brand"] == "isom"
+        assert r["mdat_bytes"] == len(text.encode("utf-8"))
+
+
+def test_mp4_corrupt_box_fails_loudly(spark, sf_dir):
+    import struct
+
+    from hephaestus_spark.operators.multimodal import (
+        decode_mp4_features,
+        synthesize_mp4_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(1)
+    payload = bytes(synthesize_mp4_media(d).collect()[0]["payload"])
+
+    def bad(df_payload):
+        return spark.createDataFrame(
+            [(1, df_payload)], "doc_id long, payload binary"
+        )
+
+    # oversized box length pointing past the buffer
+    corrupt = struct.pack(">I", len(payload) + 100) + payload[4:]
+    with pytest.raises(Exception, match="bad box size|truncated"):
+        decode_mp4_features(bad(corrupt)).collect()
+    # truncated mid-moov
+    with pytest.raises(Exception, match="bad box size|truncated|missing"):
+        decode_mp4_features(bad(payload[: len(payload) // 3])).collect()
