@@ -191,6 +191,84 @@ class InProcessTransport:
         return list(self.task_types)
 
 
+class SocketGrpcTransport:
+    """gRPC over a REAL TCP socket with NO grpcio (r7): the transport
+    speaks the genuine wire protocol — HTTP/2 framing + HPACK headers +
+    gRPC length-prefixed messages — through the from-the-spec client in
+    sources/http2grpc.py. Envelope encode/decode is the SAME public
+    protobuf codec GrpcTransport uses, so this is the identical poll
+    loop crossing an actual network channel instead of a Python call.
+    (grpcio interop remains untestable in this image — no grpcio peer
+    can exist here — but the 'never crossed a socket' caveat is gone.)"""
+
+    def __init__(self, host: str, port: int):
+        from hephaestus_spark.sources.http2grpc import Http2GrpcClient
+
+        self._client = Http2GrpcClient(host, port)
+
+    def close(self) -> None:
+        self._client.close()
+
+    @staticmethod
+    def _feed(resp_bytes: bytes) -> FeedResponse:
+        d = pc.decode_message(resp_bytes, FEED_RESPONSE_FIELDS)
+        return FeedResponse(d.get("payloads", []), d.get("new_hash", ""))
+
+    def get_employees(self, known_hash: Optional[str]) -> FeedResponse:
+        req = pc.encode_message(
+            {"known_hash": known_hash or ""}, EMPLOYEES_REQUEST_FIELDS
+        )
+        return self._feed(self._client.call(METHOD_EMPLOYEES, req))
+
+    def get_daily_tasks(self, known_hash: Optional[str], date: str) -> FeedResponse:
+        req = pc.encode_message(
+            {"known_hash": known_hash or "", "date": date}, TASKS_REQUEST_FIELDS
+        )
+        return self._feed(self._client.call(METHOD_DAILY_TASKS, req))
+
+    def get_task_types(self) -> list[str]:
+        d = pc.decode_message(
+            self._client.call(METHOD_TASK_TYPES, b""), TYPES_RESPONSE_FIELDS
+        )
+        return d.get("types", [])
+
+
+def serve_transport(transport: FeedTransport):
+    """Expose any FeedTransport as a real gRPC/HTTP-2 socket server
+    (the scraper side of the reference topology). Returns the started
+    Http2GrpcServer; callers stop() it."""
+    from hephaestus_spark.sources.http2grpc import Http2GrpcServer
+
+    def employees(req: bytes) -> bytes:
+        d = pc.decode_message(req, EMPLOYEES_REQUEST_FIELDS)
+        resp = transport.get_employees(d.get("known_hash") or None)
+        return pc.encode_message(
+            {"payloads": resp.payloads, "new_hash": resp.new_hash},
+            FEED_RESPONSE_FIELDS,
+        )
+
+    def tasks(req: bytes) -> bytes:
+        d = pc.decode_message(req, TASKS_REQUEST_FIELDS)
+        resp = transport.get_daily_tasks(d.get("known_hash") or None, d.get("date", ""))
+        return pc.encode_message(
+            {"payloads": resp.payloads, "new_hash": resp.new_hash},
+            FEED_RESPONSE_FIELDS,
+        )
+
+    def types(req: bytes) -> bytes:
+        return pc.encode_message(
+            {"types": transport.get_task_types()}, TYPES_RESPONSE_FIELDS
+        )
+
+    return Http2GrpcServer(
+        {
+            METHOD_EMPLOYEES: employees,
+            METHOD_DAILY_TASKS: tasks,
+            METHOD_TASK_TYPES: types,
+        }
+    ).start()
+
+
 # --------------------------------------------------------------------------
 # poller: transport -> decoded parquet feed files
 # --------------------------------------------------------------------------

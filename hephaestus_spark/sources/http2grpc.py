@@ -1,0 +1,479 @@
+"""gRPC over HTTP/2 on raw sockets, stdlib only — client AND server.
+
+The reference's ingress is a gRPC poll loop
+(/root/reference/internal/client/hermes/client.go:11-35). grpcio is not
+in this image and installs are disallowed (COVERAGE.md "environmental
+blocks"), so since r4 the transport seam has been exercised through an
+in-process fake. This module closes the remaining distance WITHOUT
+grpcio: a from-the-spec implementation of the slice of HTTP/2
+(RFC 7540) + HPACK (RFC 7541) + gRPC framing (the length-prefixed
+message protocol) that unary gRPC needs, speaking over a REAL TCP
+socket. The bytes on the wire are genuine gRPC/HTTP-2 — connection
+preface, SETTINGS exchange, HPACK-coded HEADERS, DATA frames carrying
+5-byte-prefixed protobuf messages, grpc-status trailers — so the
+`SocketGrpcTransport` in sources/grpc_source.py drives the SAME poll
+loop the reference runs, over an actual network channel.
+
+Deliberate subset (documented, spec-legal):
+- unary-unary only (all three reference RPCs are unary);
+- the encoder never Huffman-codes strings (H bit clear is legal); the
+  decoder rejects Huffman-coded input loudly rather than guessing;
+- PRIORITY/PUSH_PROMISE/CONTINUATION are not emitted; CONTINUATION is
+  rejected (our header blocks are far below the 16 KB frame limit);
+- flow control: both sides replenish windows with WINDOW_UPDATE after
+  every DATA frame, so bodies larger than the 65535 initial window
+  stream through in 16 KB frames (exercised in tests).
+
+Interop with a grpcio peer is still untestable here (no such peer can
+exist in this image); what this removes is the "never left one
+process / never crossed a socket" caveat.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+# ---------------------------------------------------------------------------
+# HPACK (RFC 7541)
+# ---------------------------------------------------------------------------
+
+# Appendix A static table, 1-indexed.
+HPACK_STATIC = [
+    (":authority", ""), (":method", "GET"), (":method", "POST"),
+    (":path", "/"), (":path", "/index.html"), (":scheme", "http"),
+    (":scheme", "https"), (":status", "200"), (":status", "204"),
+    (":status", "206"), (":status", "304"), (":status", "400"),
+    (":status", "404"), (":status", "500"), ("accept-charset", ""),
+    ("accept-encoding", "gzip, deflate"), ("accept-language", ""),
+    ("accept-ranges", ""), ("accept", ""), ("access-control-allow-origin", ""),
+    ("age", ""), ("allow", ""), ("authorization", ""), ("cache-control", ""),
+    ("content-disposition", ""), ("content-encoding", ""),
+    ("content-language", ""), ("content-length", ""), ("content-location", ""),
+    ("content-range", ""), ("content-type", ""), ("cookie", ""), ("date", ""),
+    ("etag", ""), ("expect", ""), ("expires", ""), ("from", ""), ("host", ""),
+    ("if-match", ""), ("if-modified-since", ""), ("if-none-match", ""),
+    ("if-range", ""), ("if-unmodified-since", ""), ("last-modified", ""),
+    ("link", ""), ("location", ""), ("max-forwards", ""),
+    ("proxy-authenticate", ""), ("proxy-authorization", ""), ("range", ""),
+    ("referer", ""), ("refresh", ""), ("retry-after", ""), ("server", ""),
+    ("set-cookie", ""), ("strict-transport-security", ""),
+    ("transfer-encoding", ""), ("user-agent", ""), ("vary", ""), ("via", ""),
+    ("www-authenticate", ""),
+]
+_STATIC_PAIR = {pair: i + 1 for i, pair in enumerate(HPACK_STATIC)}
+_STATIC_NAME = {}
+for i, (n, _) in enumerate(HPACK_STATIC):
+    _STATIC_NAME.setdefault(n, i + 1)
+
+
+def _int_encode(value: int, prefix_bits: int, first_byte: int) -> bytes:
+    """RFC 7541 5.1 prefix integer."""
+    limit = (1 << prefix_bits) - 1
+    if value < limit:
+        return bytes([first_byte | value])
+    out = bytearray([first_byte | limit])
+    value -= limit
+    while value >= 128:
+        out.append((value & 0x7F) | 0x80)
+        value >>= 7
+    out.append(value)
+    return bytes(out)
+
+
+def _int_decode(data: bytes, pos: int, prefix_bits: int) -> tuple[int, int]:
+    limit = (1 << prefix_bits) - 1
+    v = data[pos] & limit
+    pos += 1
+    if v < limit:
+        return v, pos
+    shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated HPACK integer")
+        b = data[pos]
+        pos += 1
+        v += (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            return v, pos
+
+
+def _str_encode(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return _int_encode(len(b), 7, 0x00) + b  # H bit clear: raw octets
+
+
+def _str_decode(data: bytes, pos: int) -> tuple[str, int]:
+    huff = data[pos] & 0x80
+    ln, pos = _int_decode(data, pos, 7)
+    if huff:
+        raise ValueError("Huffman-coded HPACK string (encoder subset never emits)")
+    if pos + ln > len(data):
+        raise ValueError("truncated HPACK string")
+    return data[pos:pos + ln].decode("utf-8"), pos + ln
+
+
+class HpackEncoder:
+    """Static-table-only encoder: exact matches use indexed fields,
+    known names use literal-without-indexing with a name index, novel
+    names use literal-without-indexing with a raw name. Never touches
+    the dynamic table — peers need no state to track us."""
+
+    def encode(self, headers: list[tuple[str, str]]) -> bytes:
+        out = bytearray()
+        for name, value in headers:
+            idx = _STATIC_PAIR.get((name, value))
+            if idx:
+                out += _int_encode(idx, 7, 0x80)
+                continue
+            nidx = _STATIC_NAME.get(name)
+            if nidx:
+                out += _int_encode(nidx, 4, 0x00)
+            else:
+                out += b"\x00" + _str_encode(name)
+            out += _str_encode(value)
+        return bytes(out)
+
+
+class HpackDecoder:
+    """Full decoding of the four representations incl. incremental
+    indexing into a dynamic table (a conforming peer may use it even
+    though our encoder does not)."""
+
+    def __init__(self) -> None:
+        self.dynamic: list[tuple[str, str]] = []
+        self.max_size = 4096
+
+    def _lookup(self, idx: int) -> tuple[str, str]:
+        if idx == 0:
+            raise ValueError("HPACK index 0")
+        if idx <= len(HPACK_STATIC):
+            return HPACK_STATIC[idx - 1]
+        d = idx - len(HPACK_STATIC) - 1
+        if d >= len(self.dynamic):
+            raise ValueError(f"HPACK dynamic index {idx} out of range")
+        return self.dynamic[d]
+
+    def decode(self, data: bytes) -> list[tuple[str, str]]:
+        headers: list[tuple[str, str]] = []
+        pos = 0
+        while pos < len(data):
+            b = data[pos]
+            if b & 0x80:  # indexed
+                idx, pos = _int_decode(data, pos, 7)
+                headers.append(self._lookup(idx))
+            elif b & 0x40:  # literal, incremental indexing
+                idx, pos = _int_decode(data, pos, 6)
+                name = self._lookup(idx)[0] if idx else None
+                if name is None:
+                    name, pos = _str_decode(data, pos)
+                value, pos = _str_decode(data, pos)
+                self.dynamic.insert(0, (name, value))
+                headers.append((name, value))
+            elif b & 0x20:  # dynamic table size update
+                _, pos = _int_decode(data, pos, 5)
+            else:  # literal without indexing / never indexed (4-bit prefix)
+                idx, pos = _int_decode(data, pos, 4)
+                name = self._lookup(idx)[0] if idx else None
+                if name is None:
+                    name, pos = _str_decode(data, pos)
+                value, pos = _str_decode(data, pos)
+                headers.append((name, value))
+        return headers
+
+
+# ---------------------------------------------------------------------------
+# HTTP/2 frames (RFC 7540 section 4)
+# ---------------------------------------------------------------------------
+
+PREFACE = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
+F_DATA, F_HEADERS, F_RST, F_SETTINGS, F_PING, F_GOAWAY, F_WINDOW = (
+    0x0, 0x1, 0x3, 0x4, 0x6, 0x7, 0x8,
+)
+FLAG_END_STREAM, FLAG_END_HEADERS, FLAG_ACK = 0x1, 0x4, 0x1
+MAX_FRAME = 16384
+
+
+def _frame(ftype: int, flags: int, stream_id: int, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))[1:]
+        + bytes([ftype, flags])
+        + struct.pack(">I", stream_id & 0x7FFFFFFF)
+        + payload
+    )
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed mid-frame")
+        buf += chunk
+    return bytes(buf)
+
+
+def _read_frame(sock: socket.socket) -> tuple[int, int, int, bytes]:
+    head = _recv_exact(sock, 9)
+    length = int.from_bytes(head[:3], "big")
+    ftype, flags = head[3], head[4]
+    stream_id = struct.unpack(">I", head[5:9])[0] & 0x7FFFFFFF
+    if length > MAX_FRAME:
+        raise ValueError("frame exceeds SETTINGS_MAX_FRAME_SIZE")
+    return ftype, flags, stream_id, _recv_exact(sock, length) if length else b""
+
+
+def _send_data(sock: socket.socket, stream_id: int, body: bytes) -> None:
+    """Body as 16 KB DATA frames, END_STREAM on the last."""
+    if not body:
+        sock.sendall(_frame(F_DATA, FLAG_END_STREAM, stream_id, b""))
+        return
+    for off in range(0, len(body), MAX_FRAME):
+        chunk = body[off:off + MAX_FRAME]
+        last = off + MAX_FRAME >= len(body)
+        sock.sendall(
+            _frame(F_DATA, FLAG_END_STREAM if last else 0, stream_id, chunk)
+        )
+
+
+def grpc_wrap(message: bytes) -> bytes:
+    """gRPC length-prefixed message: compressed flag 0 + u32 length."""
+    return b"\x00" + struct.pack(">I", len(message)) + message
+
+
+def grpc_unwrap(body: bytes) -> bytes:
+    if len(body) < 5:
+        raise ValueError("short gRPC message frame")
+    if body[0] != 0:
+        raise ValueError("compressed gRPC messages unsupported")
+    (ln,) = struct.unpack(">I", body[1:5])
+    if len(body) != 5 + ln:
+        raise ValueError("gRPC length prefix mismatch")
+    return body[5:]
+
+
+# ---------------------------------------------------------------------------
+# client
+# ---------------------------------------------------------------------------
+
+
+class Http2GrpcClient:
+    """Synchronous unary gRPC client on one real TCP connection."""
+
+    def __init__(self, host: str, port: int, authority: str | None = None):
+        self._sock = socket.create_connection((host, port))
+        self._authority = authority or f"{host}:{port}"
+        self._enc = HpackEncoder()
+        self._dec = HpackDecoder()
+        self._next_stream = 1
+        self._sock.sendall(PREFACE)
+        self._sock.sendall(_frame(F_SETTINGS, 0, 0, b""))
+        # server preface: its SETTINGS, which we ACK; it ACKs ours.
+        ftype, flags, _, _ = _read_frame(self._sock)
+        if ftype != F_SETTINGS or flags & FLAG_ACK:
+            raise ValueError("expected server SETTINGS")
+        self._sock.sendall(_frame(F_SETTINGS, FLAG_ACK, 0, b""))
+
+    def close(self) -> None:
+        try:
+            self._sock.sendall(_frame(F_GOAWAY, 0, 0, b"\x00" * 8))
+        except OSError:
+            pass
+        self._sock.close()
+
+    def call(self, path: str, request: bytes) -> bytes:
+        sid = self._next_stream
+        self._next_stream += 2
+        headers = [
+            (":method", "POST"),
+            (":scheme", "http"),
+            (":path", path),
+            (":authority", self._authority),
+            ("content-type", "application/grpc"),
+            ("te", "trailers"),
+        ]
+        self._sock.sendall(
+            _frame(F_HEADERS, FLAG_END_HEADERS, sid, self._enc.encode(headers))
+        )
+        _send_data(self._sock, sid, grpc_wrap(request))
+
+        body = bytearray()
+        status = grpc_status = None
+        while True:
+            ftype, flags, stream_id, payload = _read_frame(self._sock)
+            if ftype == F_SETTINGS:
+                if not flags & FLAG_ACK:
+                    self._sock.sendall(_frame(F_SETTINGS, FLAG_ACK, 0, b""))
+            elif ftype == F_PING:
+                if not flags & FLAG_ACK:
+                    self._sock.sendall(_frame(F_PING, FLAG_ACK, 0, payload))
+            elif ftype == F_WINDOW:
+                pass
+            elif ftype == F_RST:
+                raise ConnectionError(f"stream {stream_id} reset by server")
+            elif ftype == F_GOAWAY:
+                raise ConnectionError("server GOAWAY")
+            elif stream_id != sid:
+                raise ValueError(f"unexpected stream {stream_id}")
+            elif ftype == F_HEADERS:
+                if not flags & FLAG_END_HEADERS:
+                    raise ValueError("CONTINUATION unsupported (subset)")
+                for name, value in self._dec.decode(payload):
+                    if name == ":status":
+                        status = value
+                    elif name == "grpc-status":
+                        grpc_status = value
+                if flags & FLAG_END_STREAM:
+                    break
+            elif ftype == F_DATA:
+                body += payload
+                if payload:  # replenish flow-control windows
+                    inc = struct.pack(">I", len(payload))
+                    self._sock.sendall(_frame(F_WINDOW, 0, 0, inc))
+                    self._sock.sendall(_frame(F_WINDOW, 0, sid, inc))
+                if flags & FLAG_END_STREAM:
+                    break
+        if status != "200":
+            raise ConnectionError(f"HTTP/2 :status {status}")
+        if grpc_status not in (None, "0"):
+            raise ConnectionError(f"grpc-status {grpc_status}")
+        return grpc_unwrap(bytes(body))
+
+
+# ---------------------------------------------------------------------------
+# server
+# ---------------------------------------------------------------------------
+
+
+class Http2GrpcServer:
+    """Threaded unary gRPC server: ``handlers`` maps a full method path
+    (e.g. "/olympus.ScraperService/GetEmployees") to a
+    ``bytes -> bytes`` function. A handler raising ValueError becomes a
+    non-zero grpc-status trailer (the client surfaces it)."""
+
+    def __init__(self, handlers: dict):
+        self.handlers = handlers
+        self._lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._lsock.bind(("127.0.0.1", 0))
+        self._lsock.listen(4)
+        self.port = self._lsock.getsockname()[1]
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+
+    def start(self) -> "Http2GrpcServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        try:
+            self._lsock.close()
+        except OSError:
+            pass
+
+    def _serve(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._lsock.accept()
+            except OSError:
+                return
+            t = threading.Thread(
+                target=self._connection, args=(conn,), daemon=True
+            )
+            t.start()
+
+    def _connection(self, conn: socket.socket) -> None:
+        try:
+            if _recv_exact(conn, len(PREFACE)) != PREFACE:
+                conn.close()
+                return
+            conn.sendall(_frame(F_SETTINGS, 0, 0, b""))
+            dec = HpackDecoder()
+            enc = HpackEncoder()
+            streams: dict[int, dict] = {}
+            while True:
+                ftype, flags, sid, payload = _read_frame(conn)
+                if ftype == F_SETTINGS:
+                    if not flags & FLAG_ACK:
+                        conn.sendall(_frame(F_SETTINGS, FLAG_ACK, 0, b""))
+                elif ftype == F_PING:
+                    if not flags & FLAG_ACK:
+                        conn.sendall(_frame(F_PING, FLAG_ACK, 0, payload))
+                elif ftype == F_GOAWAY:
+                    return
+                elif ftype == F_WINDOW:
+                    pass
+                elif ftype == F_HEADERS:
+                    if not flags & FLAG_END_HEADERS:
+                        raise ValueError("CONTINUATION unsupported (subset)")
+                    hdrs = dict(dec.decode(payload))
+                    streams[sid] = {"path": hdrs.get(":path"), "body": bytearray()}
+                    if flags & FLAG_END_STREAM:
+                        self._respond(conn, enc, sid, streams.pop(sid))
+                elif ftype == F_DATA:
+                    st = streams.get(sid)
+                    if st is None:
+                        conn.sendall(
+                            _frame(F_RST, 0, sid, struct.pack(">I", 1))
+                        )
+                        continue
+                    st["body"] += payload
+                    if payload:
+                        inc = struct.pack(">I", len(payload))
+                        conn.sendall(_frame(F_WINDOW, 0, 0, inc))
+                        conn.sendall(_frame(F_WINDOW, 0, sid, inc))
+                    if flags & FLAG_END_STREAM:
+                        self._respond(conn, enc, sid, streams.pop(sid))
+        except (ConnectionError, ValueError, OSError):
+            pass
+        finally:
+            conn.close()
+
+    def _respond(self, conn, enc: HpackEncoder, sid: int, st: dict) -> None:
+        handler = self.handlers.get(st["path"])
+        resp_headers = [(":status", "200"), ("content-type", "application/grpc")]
+        if handler is None:
+            conn.sendall(
+                _frame(F_HEADERS, FLAG_END_HEADERS, sid, enc.encode(resp_headers))
+            )
+            trailers = [("grpc-status", "12"), ("grpc-message", "unimplemented")]
+            conn.sendall(
+                _frame(
+                    F_HEADERS,
+                    FLAG_END_HEADERS | FLAG_END_STREAM,
+                    sid,
+                    enc.encode(trailers),
+                )
+            )
+            return
+        try:
+            reply = handler(grpc_unwrap(bytes(st["body"])))
+            status, msg = "0", ""
+        except ValueError as e:
+            reply, status, msg = b"", "13", str(e)
+        conn.sendall(
+            _frame(F_HEADERS, FLAG_END_HEADERS, sid, enc.encode(resp_headers))
+        )
+        if status == "0":
+            _send_data_no_end(conn, sid, grpc_wrap(reply))
+        trailers = [("grpc-status", status)]
+        if msg:
+            trailers.append(("grpc-message", msg))
+        conn.sendall(
+            _frame(
+                F_HEADERS,
+                FLAG_END_HEADERS | FLAG_END_STREAM,
+                sid,
+                enc.encode(trailers),
+            )
+        )
+
+
+def _send_data_no_end(sock: socket.socket, stream_id: int, body: bytes) -> None:
+    """DATA frames WITHOUT END_STREAM (gRPC responses end on the
+    trailers HEADERS frame, not the last DATA frame)."""
+    for off in range(0, max(len(body), 1), MAX_FRAME):
+        sock.sendall(_frame(F_DATA, 0, stream_id, body[off:off + MAX_FRAME]))
