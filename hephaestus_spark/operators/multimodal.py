@@ -6,11 +6,15 @@ resize / frame-sample run as Arrow-batched ``mapInPandas`` operators so
 each task processes whole record batches (the only shape that survives
 at 100 TB — per-row Python UDFs would serialize row-at-a-time).
 
-The actual codec step is STUBBED: the image/audio libraries are not in
-this container. ``decode_image_stub`` raises NotImplementedError unless
-``deterministic_fake=True``, in which case it derives fake-but-stable
-"decoded" dimensions/features from the payload hash — enough to test
-schema, batching, partitioning, and downstream joins end-to-end.
+Codec status (r6/r7): WAV and BMP decode with stdlib parsers, PNG with
+a hand-rolled RFC 1950/1951 inflate + unfilter, baseline JPEG with the
+from-scratch T.81 codec in operators/jpegcodec.py, and MP4 parses at
+the ISO-BMFF box level — each format written and read by INDEPENDENT
+implementations and oracle-checked (queries/text.py). The only
+NotImplementedError left is the generic ``decode_and_featurize``
+example seam below (whose payloads are synthetic text bytes, not real
+containers) and codec BITSTREAMS that genuinely need external
+libraries (H.264/AV1 inside mdat).
 """
 
 from __future__ import annotations

@@ -111,8 +111,14 @@ def q33_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge, and excluding hot (t, v) keys with a map-side-combined
     count BEFORE the collect_list agg bounds the transient agg state
     that the post-filter alone would not
-    (operators/textops.py:minhash_candidate_pairs). Output is
-    IDENTICAL either way — asserted by
+    (operators/textops.py:minhash_candidate_pairs). r7: the hot set —
+    structurally <= rows*n_tables/cap keys, zero on a healthy corpus —
+    materializes driver-side under a 1000-key limit (the same
+    dimension-sized driver budget as the k-means centroids; beyond the
+    limit the broadcast anti-join path engages), so the empty case
+    skips the exclusion join entirely: q33 runs at its pre-exclusion-
+    free best while keeping the bounded-state default. Output is
+    IDENTICAL on every path — asserted by
     tests/test_lsh_cap.py::test_minhash_cap_pre_exclude_hot_equivalent
     and on a genuinely skewed corpus by
     tests/test_scale_trend.py. The cap cannot fire on the driver's
