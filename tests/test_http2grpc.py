@@ -158,3 +158,37 @@ def test_feed_poller_end_to_end_over_socket(spark, tmp_path, socket_pair):
     assert {r["fullname"] for r in df.collect()} == {f"Emp {i}" for i in range(5)}
     assert poller.poll_employees_once(spark, feed_date=datetime.date(2024, 3, 2)) == 0
     assert df.count() == 5  # no second file landed
+
+
+# --------------------------------------------------------------------------
+# property fuzz: HPACK + prefix integers under hypothesis
+# --------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st
+
+_header_name = st.one_of(
+    st.sampled_from([n for n, _ in __import__(
+        "hephaestus_spark.sources.http2grpc", fromlist=["HPACK_STATIC"]
+    ).HPACK_STATIC]),
+    st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789-", min_size=1, max_size=24
+    ),
+)
+_header_value = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    max_size=64,
+)
+
+
+@given(headers=st.lists(st.tuples(_header_name, _header_value), max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_hpack_encode_decode_round_trips_any_headers(headers):
+    block = HpackEncoder().encode(headers)
+    assert HpackDecoder().decode(block) == headers
+
+
+@given(value=st.integers(min_value=0, max_value=2**40), prefix=st.integers(4, 8))
+@settings(max_examples=500, deadline=None)
+def test_prefix_integer_round_trips(value, prefix):
+    enc = _int_encode(value, prefix, 0)
+    got, pos = _int_decode(enc, 0, prefix)
+    assert (got, pos) == (value, len(enc))
