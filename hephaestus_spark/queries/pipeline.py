@@ -538,3 +538,77 @@ def x_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").cast("bigint").alias("min_id"),
         F.max("id").cast("bigint").alias("max_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# x — transactional table layer (sources/txlog.py): versioned MERGE +
+# time travel, verified end-to-end against the relational ground truth
+# --------------------------------------------------------------------------
+@query(
+    "x_txlog_merge_timetravel",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10.0
+                     ELSE c_acctbal END AS DOUBLE) AS c_acctbal,
+           CASE WHEN c_custkey % 3 = 0 THEN 'insert'
+                WHEN c_custkey % 5 = 0 THEN 'update'
+                ELSE 'keep' END AS status
+    FROM customer
+    """,
+)
+def x_txlog_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse write path end-to-end (r7, sources/txlog.py): a
+    versioned transactional table is built from scratch — version 0
+    appends two thirds of the customers, version 1 runs a copy-on-write
+    SCD-1 MERGE staging ALL customers with a deterministic balance bump
+    on every fifth key — and the output classifies each final row by
+    DIFFING THE TWO SNAPSHOTS via time travel (insert = absent at v0,
+    update = present but changed, keep = identical). The oracle states
+    the same result straight from the customer table, so a bug anywhere
+    in the log fold, commit protocol, snapshot isolation or merge
+    semantics breaks the hash. The +10.0 bump is one exact IEEE add on
+    identical parquet doubles in both engines.
+
+    Scale shape: the log holds file names (driver-cheap fold); data
+    moves only through the same scd1_merge full-outer plan the JDBC
+    sink ships; at 100 TB the copy-on-write narrows to partition-pruned
+    rewrites while this commit protocol is unchanged."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    workdir = tempfile.mkdtemp(prefix="txlog-q-")
+    try:
+        t = TxTable(f"{workdir}/customers")
+        t.append(c.filter(F.col("c_custkey") % 3 != 0))
+        staged = c.withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + F.lit(10.0)
+            ).otherwise(F.col("c_acctbal")),
+        )
+        t.merge(spark, staged, "c_custkey", ["c_name", "c_acctbal"])
+        v0 = t.read(spark, version=0).select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_acctbal").alias("old_bal"),
+        )
+        final = t.read(spark).join(v0, F.col("c_custkey") == F.col("k"), "left")
+        out = final.select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.when(F.col("k").isNull(), F.lit("insert"))
+            .when(~F.col("old_bal").eqNullSafe(F.col("c_acctbal")), F.lit("update"))
+            .otherwise(F.lit("keep"))
+            .alias("status"),
+        )
+        # materialize before the temp table vanishes (the driver only
+        # collects the returned frame; a lazy plan over deleted files
+        # would fail) — localCheckpoint keeps it executor-resident.
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

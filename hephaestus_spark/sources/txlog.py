@@ -1,0 +1,203 @@
+"""Versioned transactional parquet table — a minimal Delta-protocol-
+style lakehouse layer with stock Spark (r7).
+
+The merge sinks so far kept SCD-1 semantics testable with an atomic
+directory swap (`streaming/sinks.py::ParquetSnapshotTarget`), noting
+"at scale this becomes a Delta/Iceberg MERGE". This module closes that
+gap structurally: the table is a directory of immutable parquet data
+files plus an append-only JSON action log (`_txlog/<version>.json`),
+exactly the public Delta Lake protocol shape (add/remove file actions,
+monotonically numbered commits, snapshot = fold of the log).
+
+What it gives over the directory swap:
+- **Snapshot isolation + time travel**: a reader folds the log up to a
+  pinned version; concurrent commits never disturb an in-flight read
+  (old files are immutable until vacuum).
+- **Optimistic concurrency**: a commit is `open(log/N.json, "x")` — an
+  atomic exclusive create on POSIX — so two writers racing to version
+  N produce exactly one winner; the loser re-reads and retries (blind
+  appends) or raises `CommitConflict` (merges, whose file set depends
+  on the snapshot they read).
+- **Audit**: `history()` lists every commit with its operation.
+
+At 100 TB the log fold and conflict check stay driver-cheap (the log
+holds file NAMES, not data), data file listing never uses directory
+scans (the log is the source of truth — the Delta insight), and the
+copy-on-write `merge` would narrow to partition-pruned rewrites or
+deletion vectors; the commit protocol — the part this module pins with
+tests — is unchanged. Cloud object stores without atomic
+create-if-absent swap this for a coordination service, same as Delta
+on S3.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hephaestus_spark.operators.merge import scd1_merge
+
+
+class CommitConflict(Exception):
+    """Another writer committed the version this transaction targeted
+    and the transaction's outcome depends on the snapshot it read."""
+
+
+_LOG_DIR = "_txlog"
+
+
+def _log_path(table: str, version: int) -> str:
+    return os.path.join(table, _LOG_DIR, f"{version:020d}.json")
+
+
+@dataclass
+class TxTable:
+    """A transactional parquet table rooted at ``path``."""
+
+    path: str
+
+    # ---- log plumbing ----
+    def _versions(self) -> list[int]:
+        d = os.path.join(self.path, _LOG_DIR)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+        )
+
+    def latest_version(self) -> int:
+        vs = self._versions()
+        return vs[-1] if vs else -1
+
+    def _read_log(self, upto: int | None = None) -> list[dict]:
+        entries = []
+        for v in self._versions():
+            if upto is not None and v > upto:
+                break
+            with open(_log_path(self.path, v)) as f:
+                entries.append(json.load(f))
+        return entries
+
+    def _snapshot_files(self, version: int | None = None) -> list[str]:
+        live: list[str] = []
+        for entry in self._read_log(version):
+            for a in entry["actions"]:
+                if "add" in a:
+                    live.append(a["add"])
+                elif "remove" in a:
+                    live.remove(a["remove"])
+        return live
+
+    def _commit(self, version: int, op: str, actions: list[dict]) -> None:
+        """Atomic exclusive create: exactly one writer wins version N."""
+        os.makedirs(os.path.join(self.path, _LOG_DIR), exist_ok=True)
+        entry = {
+            "version": version,
+            "op": op,
+            "actions": actions,
+            "ts": time.time(),
+        }
+        try:
+            with open(_log_path(self.path, version), "x") as f:
+                json.dump(entry, f)
+        except FileExistsError as e:
+            raise CommitConflict(f"version {version} already committed") from e
+
+    def _stage(self, df: DataFrame) -> list[str]:
+        """Write df as immutable uniquely-named parquet files inside the
+        table dir; returns their names. Staged files are invisible until
+        a log entry references them (readers trust the log only)."""
+        stage_id = uuid.uuid4().hex[:12]
+        tmp = os.path.join(self.path, f"_stage-{stage_id}")
+        df.write.mode("overwrite").parquet(tmp)
+        names = []
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                name = f"part-{stage_id}-{f}"
+                os.rename(os.path.join(tmp, f), os.path.join(self.path, name))
+                names.append(name)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        return names
+
+    # ---- public API ----
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read, optionally pinned to a past version (time
+        travel). An empty table (or version -1) raises ValueError."""
+        files = self._snapshot_files(version)
+        if not files:
+            raise ValueError(f"table {self.path} has no data at version {version}")
+        return spark.read.parquet(*[os.path.join(self.path, f) for f in files])
+
+    def append(self, df: DataFrame, max_retries: int = 10) -> int:
+        """Blind append: stages files once, then retries the commit
+        under conflicts (an append is valid against ANY snapshot)."""
+        names = self._stage(df)
+        actions = [{"add": n} for n in names]
+        for _ in range(max_retries):
+            v = self.latest_version() + 1
+            try:
+                self._commit(v, "append", actions)
+                return v
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"append lost {max_retries} races on {self.path}")
+
+    def merge(
+        self,
+        spark: SparkSession,
+        staged: DataFrame,
+        key: str,
+        compare_cols: list[str],
+    ) -> int:
+        """Copy-on-write SCD-1 MERGE: read the current snapshot, apply
+        the set-wise merge (operators/merge.py — the same null-safe
+        insert/update/keep logic the JDBC sink ships), write the result
+        as new files, commit (add new, remove old). Raises
+        CommitConflict if another writer lands first — the merge result
+        depends on the snapshot read, so the caller must re-run on the
+        new snapshot rather than blindly retry."""
+        base_version = self.latest_version()
+        cols = [key] + compare_cols
+        if base_version < 0:
+            merged = staged.select(*cols)
+            old_files: list[str] = []
+        else:
+            snapshot = self.read(spark, base_version).select(*cols)
+            merged = scd1_merge(
+                snapshot, staged.select(*cols), key, compare_cols
+            ).drop("action")
+            old_files = self._snapshot_files(base_version)
+        names = self._stage(merged)
+        actions = [{"add": n} for n in names] + [{"remove": f} for f in old_files]
+        self._commit(base_version + 1, "merge", actions)
+        return base_version + 1
+
+    def history(self) -> list[dict]:
+        return [
+            {"version": e["version"], "op": e["op"],
+             "n_actions": len(e["actions"])}
+            for e in self._read_log()
+        ]
+
+    def vacuum(self) -> list[str]:
+        """Delete data files no live-or-historical snapshot references
+        is NOT safe while time travel is promised; this vacuum removes
+        only files unreferenced by ANY log version (aborted stages),
+        returning what it deleted."""
+        referenced = set()
+        for entry in self._read_log():
+            for a in entry["actions"]:
+                referenced.add(a.get("add") or a.get("remove"))
+        deleted = []
+        for f in os.listdir(self.path):
+            if f.endswith(".parquet") and f not in referenced:
+                os.remove(os.path.join(self.path, f))
+                deleted.append(f)
+        return deleted
