@@ -612,3 +612,78 @@ def x_txlog_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "x_txlog_stream_exactly_once",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def x_txlog_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transactional table as a streaming sink with EXACTLY-ONCE
+    semantics under redelivery (r7): the event feed arrives as ordered
+    per-month micro-batches through a real Structured Streaming
+    ``foreachBatch`` query, each batch committing via
+    ``TxTable.append_stream_batch`` — the Delta ``txn`` idempotence
+    pattern, recording (app_id, batch_id) in the log. Then the failure
+    mode foreachBatch actually has (at-least-once after a restart) is
+    SIMULATED FOR REAL: a second streaming query with a FRESH
+    checkpoint re-delivers the first month's file under the same app
+    id, and the txn check skips it. The oracle is just the raw events
+    table — the hash match proves no batch landed twice and none were
+    lost. Scale shape: commits move file names through the log;
+    the data path is plain parquet appends."""
+    import os
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM").alias("arrival"),
+    )
+    workdir = tempfile.mkdtemp(prefix="txlog-stream-")
+    feed = os.path.join(workdir, "feed")
+    redeliver = os.path.join(workdir, "redeliver")
+    os.makedirs(feed)
+    os.makedirs(redeliver)
+    try:
+        months = [r[0] for r in e.select("arrival").distinct().orderBy("arrival").collect()]
+        for i, m in enumerate(months):
+            sl = os.path.join(workdir, f"slice{i}")
+            e.filter(F.col("arrival") == m).drop("arrival").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(sl)
+            part = next(f for f in os.listdir(sl) if f.endswith(".parquet"))
+            dst = os.path.join(feed, f"{i:05d}.parquet")
+            shutil.move(os.path.join(sl, part), dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        shutil.copy(
+            os.path.join(feed, "00000.parquet"),
+            os.path.join(redeliver, "00000.parquet"),
+        )
+        t = TxTable(os.path.join(workdir, "table"))
+        schema = e.drop("arrival").schema
+
+        def body(batch_df: DataFrame, batch_id: int) -> None:
+            t.append_stream_batch(batch_df, "ingest", batch_id)
+
+        for src_dir, ck in ((feed, "ck1"), (redeliver, "ck2")):
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+                .writeStream.foreachBatch(body)
+                .option("checkpointLocation", os.path.join(workdir, ck))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        # every month committed exactly once; the redelivery was skipped
+        n_commits = len([h for h in t.history() if h["op"] == "streamAppend"])
+        assert n_commits == len(months), (n_commits, len(months))
+        return t.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

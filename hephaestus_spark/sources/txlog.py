@@ -93,7 +93,13 @@ class TxTable:
                     live.remove(a["remove"])
         return live
 
-    def _commit(self, version: int, op: str, actions: list[dict]) -> None:
+    def _commit(
+        self,
+        version: int,
+        op: str,
+        actions: list[dict],
+        txn: dict | None = None,
+    ) -> None:
         """Atomic exclusive create: exactly one writer wins version N."""
         os.makedirs(os.path.join(self.path, _LOG_DIR), exist_ok=True)
         entry = {
@@ -102,6 +108,8 @@ class TxTable:
             "actions": actions,
             "ts": time.time(),
         }
+        if txn:
+            entry["txn"] = txn
         try:
             with open(_log_path(self.path, version), "x") as f:
                 json.dump(entry, f)
@@ -178,6 +186,49 @@ class TxTable:
         actions = [{"add": n} for n in names] + [{"remove": f} for f in old_files]
         self._commit(base_version + 1, "merge", actions)
         return base_version + 1
+
+    def append_stream_batch(
+        self, df: DataFrame, app_id: str, batch_id: int, max_retries: int = 10
+    ) -> int | None:
+        """Exactly-once streaming sink commit — the Delta ``txn``
+        pattern: each commit records (app_id, batch_id), and a replayed
+        micro-batch (foreachBatch is at-least-once after a restart)
+        whose id is already in the log is SKIPPED instead of appended
+        twice. Returns the committed version, or None for a skip.
+
+        The already-committed check re-runs inside the retry loop, so
+        two replicas racing the same batch id end with exactly one
+        commit — the loser's exclusive create fails, it re-reads the
+        log, finds its batch id, and skips."""
+        names: list[str] | None = None
+        for _ in range(max_retries):
+            # Pin the target version BEFORE the dedup check: if a racer
+            # lands ANY commit between this check and our commit, our
+            # exclusive create on v fails and the loop re-checks the
+            # (now longer) log. Reading latest_version() after staging
+            # instead would let a racer's identical batch slip in
+            # un-collided — caught by
+            # test_stream_batch_race_lands_exactly_once.
+            v = self.latest_version() + 1
+            for entry in self._read_log():
+                t = entry.get("txn")
+                if t and t["app"] == app_id and t["batch"] == batch_id:
+                    return None  # this micro-batch already landed
+            if names is None:  # stage once, only if genuinely new
+                names = self._stage(df)
+            try:
+                self._commit(
+                    v,
+                    "streamAppend",
+                    [{"add": n} for n in names],
+                    txn={"app": app_id, "batch": batch_id},
+                )
+                return v
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"stream batch {batch_id} lost {max_retries} races on {self.path}"
+        )
 
     def history(self) -> list[dict]:
         return [
