@@ -230,6 +230,26 @@ class TxTable:
             f"stream batch {batch_id} lost {max_retries} races on {self.path}"
         )
 
+    def optimize(self, spark: SparkSession, target_files: int = 1) -> int:
+        """Small-file compaction (Delta OPTIMIZE shape): rewrite the
+        current snapshot's files into ``target_files`` and commit the
+        swap as one version. Data is bit-identical (the commit is pure
+        add+remove bookkeeping), historical versions still resolve to
+        the old files, and a concurrent writer beats us cleanly via the
+        exclusive create. Streaming ingest makes this essential at
+        scale: one file per micro-batch per partition turns into
+        thousands of tiny files per day without it."""
+        base_version = self.latest_version()
+        if base_version < 0:
+            raise ValueError(f"table {self.path} is empty")
+        snapshot = self.read(spark, base_version).coalesce(target_files)
+        names = self._stage(snapshot)
+        actions = [{"add": n} for n in names] + [
+            {"remove": f} for f in self._snapshot_files(base_version)
+        ]
+        self._commit(base_version + 1, "optimize", actions)
+        return base_version + 1
+
     def history(self) -> list[dict]:
         return [
             {"version": e["version"], "op": e["op"],

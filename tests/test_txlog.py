@@ -141,3 +141,20 @@ def test_stream_batch_race_lands_exactly_once(spark, tmp_path):
     t1._stage = stage_with_racer
     assert t1.append_stream_batch(df, "app", 5) is None  # loser skips
     assert t1.read(spark).count() == 1
+
+
+def test_optimize_compacts_without_changing_data(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    for i in range(6):  # six tiny commits -> many small files
+        t.append(_df(spark, [(i, f"r{i}", float(i))]))
+    before = sorted((r["id"], r["val"]) for r in t.read(spark).collect())
+    n_files_before = len(t._snapshot_files())
+    assert n_files_before >= 6
+    v = t.optimize(spark)
+    assert v == 6
+    assert len(t._snapshot_files()) < n_files_before
+    after = sorted((r["id"], r["val"]) for r in t.read(spark).collect())
+    assert after == before
+    # pre-compaction versions still resolve to the original files
+    assert t.read(spark, version=2).count() == 3
+    assert t.history()[-1]["op"] == "optimize"
