@@ -117,3 +117,15 @@ def test_band_cap_noop_below_threshold(spark):
     planes = sim.hyperplanes(n_bits=16, dim=8, seed=42)
     bands = sim.lsh_bands(sim.lsh_signature(e, planes))
     assert sim.drop_hot_band_buckets(bands, cap=10_000).count() == bands.count()
+
+
+def test_pre_exclude_skips_anti_join_when_no_hot_buckets(spark):
+    """r7: on a healthy corpus the hot set is empty, so the returned
+    plan must contain NO anti-join stage — the pre-exclusion cost is
+    one counting agg, not an extra join in the candidate path."""
+    import hephaestus_spark.queries  # noqa: F401 — registration
+    from hephaestus_spark.registry import QUERIES
+
+    df = QUERIES["q33_near_dedup_jaccard"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan, plan[:2000]
