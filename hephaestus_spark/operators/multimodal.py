@@ -350,11 +350,45 @@ def _png_pixels(text: str, w: int, h: int) -> bytes:
     return (raw * (need // len(raw) + 1))[:need]
 
 
+def _png_filter_row(row: bytes, prev: bytes, stride: int) -> bytes:
+    """Filter one scanline the way real encoders do: compute all five
+    RFC 2083 filters and keep the one minimizing the sum of absolute
+    residuals (the standard heuristic for deflate-friendliness). The
+    chosen type byte leads the filtered bytes — so the reader's
+    unfilter path for EVERY filter type, Paeth included, is exercised
+    by the oracled query, not just by unit tests."""
+    candidates = []
+    none_f = row
+    sub_f = bytes(
+        (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF for i in range(stride)
+    )
+    up_f = bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+    avg_f = bytes(
+        (row[i] - ((row[i - 3] if i >= 3 else 0) + prev[i]) // 2) & 0xFF
+        for i in range(stride)
+    )
+    paeth_f = bytearray()
+    for i in range(stride):
+        a = row[i - 3] if i >= 3 else 0
+        b = prev[i]
+        c = prev[i - 3] if i >= 3 else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        paeth_f.append((row[i] - pred) & 0xFF)
+    for ft, fr in enumerate((none_f, sub_f, up_f, avg_f, bytes(paeth_f))):
+        # residual cost treats bytes as signed (spec's recommended sum)
+        cost = sum(v if v < 128 else 256 - v for v in fr)
+        candidates.append((cost, ft, fr))
+    _, ft, fr = min(candidates, key=lambda t: (t[0], t[1]))
+    return bytes([ft]) + fr
+
+
 def synthesize_png_media(docs: DataFrame) -> DataFrame:
     """(doc_id, payload) with payload = a real 8-bit RGB PNG. Each
-    scanline is genuinely filtered (filter type = row % 3: None / Sub /
-    Up) before deflate, so the reader must implement unfiltering, not
-    just decompression."""
+    scanline is genuinely filtered with the per-row best-filter
+    heuristic (``_png_filter_row``) before deflate, so the reader must
+    implement full unfiltering, not just decompression."""
     import struct
     import zlib
 
@@ -379,19 +413,7 @@ def synthesize_png_media(docs: DataFrame) -> DataFrame:
                 prev = b"\x00" * stride
                 for y in range(h):
                     row = pixels[y * stride:(y + 1) * stride]
-                    ft = y % 3
-                    filtered.append(ft)
-                    if ft == 0:  # None
-                        filtered += row
-                    elif ft == 1:  # Sub (bpp=3)
-                        filtered += bytes(
-                            (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
-                            for i in range(stride)
-                        )
-                    else:  # Up
-                        filtered += bytes(
-                            (row[i] - prev[i]) & 0xFF for i in range(stride)
-                        )
+                    filtered += _png_filter_row(row, prev, stride)
                     prev = row
                 ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
                 payloads.append(

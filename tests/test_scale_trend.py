@@ -158,10 +158,17 @@ SKEW_TREND_QUERIES = [
 ]
 # q03 excluded from the oracle leg by output size only (6M-row compare);
 # its plan is identical to the uniform-sf1 run, which is oracled.
+# x_asof_join / x_attribution_last_touch: the hot user owns ~30% of
+# BOTH the event and order streams, so the union-merge window plan
+# sorts one ~1M-row partition — the adversarial case for the "linear,
+# no pairwise blow-up" claim, hash-matched against DuckDB on the same
+# skewed data.
 SKEW_ORACLE_QUERIES = [
     "q05_join_left_count",
     "q13_window_analytic",
     "x_outlier_zscore",
+    "x_asof_join",
+    "x_attribution_last_touch",
 ]
 
 
