@@ -234,81 +234,150 @@ def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int,
     return out
 
 
+def _block_at(
+    plane: list[int], w: int, h: int, bx: int, by: int
+) -> list[int]:
+    """One 8x8 level-shifted block at block coords (bx, by),
+    edge-replicated past the plane boundary."""
+    blk = []
+    for y in range(8):
+        sy = min(by * 8 + y, h - 1)
+        for x in range(8):
+            sx = min(bx * 8 + x, w - 1)
+            blk.append(plane[sy * w + sx] - 128)
+    return blk
+
+
 def _blocks_of(plane: list[int], w: int, h: int) -> list[list[int]]:
     """8x8 level-shifted blocks, edge-replicated to cover w x h."""
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    blocks = []
-    for by in range(bh):
-        for bx in range(bw):
-            blk = []
-            for y in range(8):
-                sy = min(by * 8 + y, h - 1)
-                for x in range(8):
-                    sx = min(bx * 8 + x, w - 1)
-                    blk.append(plane[sy * w + sx] - 128)
-            blocks.append(blk)
-    return blocks
+    return [
+        _block_at(plane, w, h, bx, by)
+        for by in range(bh)
+        for bx in range(bw)
+    ]
 
 
-def jpeg_encode(pixels: bytes, w: int, h: int) -> bytes:
-    """Baseline JFIF-less JPEG: SOI DQT SOF0 DHT SOS <scan> EOI."""
+def _downsample_2x2(plane: list[int], w: int, h: int) -> tuple[list[int], int, int]:
+    """4:2:0 chroma plane: each output sample is the rounded mean of a
+    2x2 box (edge-clamped) — (cw, ch) = ceil halves."""
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    out = []
+    for cy in range(ch):
+        y0, y1 = 2 * cy, min(2 * cy + 1, h - 1)
+        for cx in range(cw):
+            x0, x1 = 2 * cx, min(2 * cx + 1, w - 1)
+            s = (
+                plane[y0 * w + x0] + plane[y0 * w + x1]
+                + plane[y1 * w + x0] + plane[y1 * w + x1]
+            )
+            out.append((s + 2) // 4)
+    return out, cw, ch
+
+
+def _entropy_block(bw_, coefs, pred, ci, dct_t, act_t) -> None:
+    """DC-predict + zigzag + Huffman-code one quantized block."""
+    zz = [coefs[ZIGZAG[k]] for k in range(64)]
+    diff = zz[0] - pred[ci]
+    pred[ci] = zz[0]
+    n, bits = _mag_bits(diff)
+    code, ln = dct_t[n]
+    bw_.write(code, ln)
+    if n:
+        bw_.write(bits, n)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k] != 0:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = act_t[0xF0]  # ZRL
+            bw_.write(code, ln)
+            run -= 16
+        n, bits = _mag_bits(v)
+        code, ln = act_t[(run << 4) | n]
+        bw_.write(code, ln)
+        bw_.write(bits, n)
+        run = 0
+    if last_nz != 63:
+        code, ln = act_t[0x00]  # EOB
+        bw_.write(code, ln)
+
+
+def _split_ycbcr(pixels: bytes, w: int, h: int):
     ys, cbs, crs = [], [], []
     for i in range(w * h):
-        y, cb, cr = _rgb_to_ycbcr(pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2])
+        y, cb, cr = _rgb_to_ycbcr(
+            pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+        )
         ys.append(y)
         cbs.append(cb)
         crs.append(cr)
+    return ys, cbs, crs
 
+
+def _mcu_plan(w: int, h: int, subsample: bool):
+    """Per-MCU block coordinates: list of (comp_index, bx, by) in scan
+    order, plus the MCU grid. 4:4:4 -> one 8x8 block per component per
+    MCU; 4:2:0 -> four Y blocks (2x2, row-major) + one Cb + one Cr."""
+    if not subsample:
+        mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+        def blocks(mbx: int, mby: int):
+            return [(0, mbx, mby), (1, mbx, mby), (2, mbx, mby)]
+        return mcux, mcuy, blocks
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    def blocks(mbx: int, mby: int):
+        out = [
+            (0, 2 * mbx + dx, 2 * mby + dy)
+            for dy in range(2)
+            for dx in range(2)
+        ]
+        out += [(1, mbx, mby), (2, mbx, mby)]
+        return out
+    return mcux, mcuy, blocks
+
+
+def _component_planes(pixels: bytes, w: int, h: int, subsample: bool):
+    """[(plane, pw, ph, qt), ...] for Y, Cb, Cr."""
+    ys, cbs, crs = _split_ycbcr(pixels, w, h)
+    if not subsample:
+        return [
+            (ys, w, h, QT_LUMA), (cbs, w, h, QT_CHROMA), (crs, w, h, QT_CHROMA)
+        ]
+    cb_d, cw, ch = _downsample_2x2(cbs, w, h)
+    cr_d, _, _ = _downsample_2x2(crs, w, h)
+    return [
+        (ys, w, h, QT_LUMA), (cb_d, cw, ch, QT_CHROMA), (cr_d, cw, ch, QT_CHROMA)
+    ]
+
+
+def jpeg_encode(pixels: bytes, w: int, h: int, subsample: bool = False) -> bytes:
+    """Baseline JFIF-less JPEG: SOI DQT SOF0 DHT SOS <scan> EOI.
+    ``subsample=True`` emits 4:2:0 (Y at 2x2 sampling, chroma planes
+    2x2-box-downsampled; MCU = 4 Y blocks + Cb + Cr), the dominant
+    real-world mode; default stays 4:4:4."""
     dc_l = _huff_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _huff_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c = _huff_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c = _huff_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    tables = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
 
-    comps = [
-        (_blocks_of(ys, w, h), QT_LUMA, dc_l, ac_l),
-        (_blocks_of(cbs, w, h), QT_CHROMA, dc_c, ac_c),
-        (_blocks_of(crs, w, h), QT_CHROMA, dc_c, ac_c),
-    ]
-    n_blocks = len(comps[0][0])
-    coef_store: list[list[int]] = [[] for _ in range(3)]
-
+    planes = _component_planes(pixels, w, h, subsample)
+    mcux, mcuy, mcu_blocks = _mcu_plan(w, h, subsample)
     bw_ = _BitWriter()
     pred = [0, 0, 0]
-    for b in range(n_blocks):  # 4:4:4 MCU = one block per component
-        for ci, (blocks, qt, dct_t, act_t) in enumerate(comps):
-            coefs = _fdct_quant(blocks[b], qt)
-            coef_store[ci].extend(coefs)
-            zz = [coefs[ZIGZAG[k]] for k in range(64)]
-            diff = zz[0] - pred[ci]
-            pred[ci] = zz[0]
-            n, bits = _mag_bits(diff)
-            code, ln = dct_t[n]
-            bw_.write(code, ln)
-            if n:
-                bw_.write(bits, n)
-            run = 0
-            last_nz = 0
-            for k in range(63, 0, -1):
-                if zz[k] != 0:
-                    last_nz = k
-                    break
-            for k in range(1, last_nz + 1):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = act_t[0xF0]  # ZRL
-                    bw_.write(code, ln)
-                    run -= 16
-                n, bits = _mag_bits(v)
-                code, ln = act_t[(run << 4) | n]
-                bw_.write(code, ln)
-                bw_.write(bits, n)
-                run = 0
-            if last_nz != 63:
-                code, ln = act_t[0x00]  # EOB
-                bw_.write(code, ln)
+    for m in range(mcux * mcuy):
+        mby, mbx = divmod(m, mcux)
+        for ci, bx, by in mcu_blocks(mbx, mby):
+            plane, pw, ph, qt = planes[ci]
+            coefs = _fdct_quant(_block_at(plane, pw, ph, bx, by), qt)
+            _entropy_block(bw_, coefs, pred, ci, *tables[ci])
     scan = bw_.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -320,13 +389,14 @@ def jpeg_encode(pixels: bytes, w: int, h: int) -> bytes:
     def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
         return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
 
+    y_samp = 0x22 if subsample else 0x11
     sof = seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, y_samp, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    out = (
+    return (
         b"\xff\xd8"
         + dqt(0, QT_LUMA)
         + dqt(1, QT_CHROMA)
@@ -339,29 +409,23 @@ def jpeg_encode(pixels: bytes, w: int, h: int) -> bytes:
         + scan
         + b"\xff\xd9"
     )
-    return out
 
 
-def jpeg_expected_coeff_blob(pixels: bytes, w: int, h: int) -> bytes:
+def jpeg_expected_coeff_blob(
+    pixels: bytes, w: int, h: int, subsample: bool = False
+) -> bytes:
     """The quantized-coefficient stream the encoder commits to the
-    bitstream, serialized canonically (component-interleaved MCU order,
-    int16 little-endian, natural coefficient order). The decoder must
-    recover EXACTLY this — the entropy layer is lossless."""
-    ys, cbs, crs = [], [], []
-    for i in range(w * h):
-        y, cb, cr = _rgb_to_ycbcr(pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2])
-        ys.append(y)
-        cbs.append(cb)
-        crs.append(cr)
-    planes = [
-        (_blocks_of(ys, w, h), QT_LUMA),
-        (_blocks_of(cbs, w, h), QT_CHROMA),
-        (_blocks_of(crs, w, h), QT_CHROMA),
-    ]
+    bitstream, serialized canonically (MCU scan order, int16
+    little-endian, natural coefficient order). The decoder must recover
+    EXACTLY this — the entropy layer is lossless."""
+    planes = _component_planes(pixels, w, h, subsample)
+    mcux, mcuy, mcu_blocks = _mcu_plan(w, h, subsample)
     blob = bytearray()
-    for b in range(len(planes[0][0])):
-        for blocks, qt in planes:
-            for c in _fdct_quant(blocks[b], qt):
+    for m in range(mcux * mcuy):
+        mby, mbx = divmod(m, mcux)
+        for ci, bx, by in mcu_blocks(mbx, mby):
+            plane, pw, ph, qt = planes[ci]
+            for c in _fdct_quant(_block_at(plane, pw, ph, bx, by), qt):
                 blob += struct.pack("<h", c)
     return bytes(blob)
 
@@ -471,9 +535,10 @@ def jpeg_decode(data: bytes):
             o = 6
             for _ in range(nc):
                 cid, samp, tq = body[o], body[o + 1], body[o + 2]
-                if samp != 0x11:
-                    raise ValueError("only 4:4:4 supported")
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 15
+                if (hi, vi) not in ((1, 1), (2, 2)):
+                    raise ValueError("only 1x1 or 2x2 sampling factors supported")
+                comps.append((cid, tq, hi, vi))
                 o += 3
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline sequential (SOF0) supported")
@@ -510,52 +575,68 @@ def jpeg_decode(data: bytes):
         raise ValueError("missing SOF0 or SOS")
 
     br = _BitReader(scan_data)
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    n_mcu = bw_ * bh_
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcux * mcuy
     pred = [0] * len(comps)
-    planes = [[0] * (bw_ * 8 * bh_ * 8) for _ in comps]
+    # per-component planes at that component's resolution, MCU-padded
+    pw = [mcux * 8 * c[2] for c in comps]
+    ph = [mcuy * 8 * c[3] for c in comps]
+    planes = [[0] * (pw[i] * ph[i]) for i in range(len(comps))]
     blob = bytearray()
     for m in range(n_mcu):
+        mby, mbx = divmod(m, mcux)
         for (ci, dc_tid, ac_tid) in scan_comps:
             dc_tab = hts[(0, dc_tid)]
             ac_tab = hts[(1, ac_tid)]
-            zz = [0] * 64
-            n = _huff_decode(br, dc_tab)
-            diff = _extend(br.bits(n), n)
-            pred[ci] += diff
-            zz[0] = pred[ci]
-            k = 1
-            while k < 64:
-                rs = _huff_decode(br, ac_tab)
-                r, s = rs >> 4, rs & 15
-                if s == 0:
-                    if r == 15:
-                        k += 16  # ZRL
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(br.bits(s), s)
-                k += 1
-            coefs = [0] * 64
-            for k2 in range(64):
-                coefs[ZIGZAG[k2]] = zz[k2]
-            for c in coefs:
-                blob += struct.pack("<h", c)
-            samples = _dequant_idct(coefs, qts[comps[ci][1]])
-            by, bx = divmod(m, bw_)
-            stride = bw_ * 8
-            for y in range(8):
-                row = (by * 8 + y) * stride + bx * 8
-                for x in range(8):
-                    planes[ci][row + x] = min(255, max(0, samples[y * 8 + x] + 128))
+            _, tq, hi, vi = comps[ci]
+            for byi in range(vi):
+                for bxi in range(hi):
+                    zz = [0] * 64
+                    n = _huff_decode(br, dc_tab)
+                    diff = _extend(br.bits(n), n)
+                    pred[ci] += diff
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, ac_tab)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        zz[k] = _extend(br.bits(s), s)
+                        k += 1
+                    coefs = [0] * 64
+                    for k2 in range(64):
+                        coefs[ZIGZAG[k2]] = zz[k2]
+                    for c in coefs:
+                        blob += struct.pack("<h", c)
+                    samples = _dequant_idct(coefs, qts[tq])
+                    stride = pw[ci]
+                    px = (mbx * hi + bxi) * 8
+                    py = (mby * vi + byi) * 8
+                    for y in range(8):
+                        row = (py + y) * stride + px
+                        for x in range(8):
+                            planes[ci][row + x] = min(
+                                255, max(0, samples[y * 8 + x] + 128)
+                            )
     rgb = bytearray()
-    stride = bw_ * 8
     for y in range(h):
         for x in range(w):
-            i = y * stride + x
-            r, g, b = _ycbcr_to_rgb(planes[0][i], planes[1][i], planes[2][i])
+            vals = []
+            for i, (_, _, hi, vi) in enumerate(comps):
+                # nearest-sample upsampling (pixel replication)
+                sx, sy = x * hi // hmax, y * vi // vmax
+                vals.append(planes[i][sy * pw[i] + sx])
+            r, g, b = _ycbcr_to_rgb(*vals)
             rgb += bytes((r, g, b))
     return w, h, len(comps), bytes(rgb), bytes(blob)
 

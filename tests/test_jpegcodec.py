@@ -91,3 +91,51 @@ def test_decoder_reads_tables_from_the_file_not_the_spec():
     _, _, _, rgb1, blob1 = jpeg_decode(patched)
     assert blob0 == blob1  # entropy layer untouched
     assert rgb0 != rgb1  # dequantization honored the patched table
+
+
+def test_420_entropy_layer_is_lossless_across_shapes():
+    """4:2:0 mode (r7): MCU = 4 Y blocks + downsampled Cb + Cr. The
+    decoded coefficient stream must still equal an independent forward
+    pass bit-for-bit, including frames not multiple of the 16px MCU."""
+    rng = random.Random(23)
+    for (w, h) in [(16, 16), (11, 5), (27, 23), (1, 1), (17, 16), (16, 8)]:
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        enc = jpeg_encode(pixels, w, h, subsample=True)
+        dw, dh, nc, rgb, blob = jpeg_decode(enc)
+        assert (dw, dh, nc) == (w, h, 3)
+        assert blob == jpeg_expected_coeff_blob(pixels, w, h, subsample=True)
+        assert len(rgb) == w * h * 3
+        # 4:2:0 genuinely differs from 4:4:4 on the wire
+        assert blob != jpeg_expected_coeff_blob(pixels, w, h)
+
+
+def test_420_smooth_reconstruction_is_tight():
+    """Chroma subsampling loses nothing on a smooth gradient: the full
+    4:2:0 encode->decode loop reproduces it closely."""
+    w = h = 24
+    pixels = bytes(
+        ((x + y) * 4) % 256 for y in range(h) for x in range(w) for _ in range(3)
+    )
+    _, _, _, rgb, _ = jpeg_decode(jpeg_encode(pixels, w, h, subsample=True))
+    errs = [abs(a - b) for a, b in zip(rgb, pixels)]
+    assert max(errs) <= 12 and sum(errs) / len(errs) <= 4
+
+
+def test_420_compresses_beyond_444():
+    """The point of subsampling: 3/4 fewer chroma blocks on the wire."""
+    w = h = 32
+    pixels = bytes(((x * 7 + y * 3) % 256) for y in range(h) for x in range(w) for _ in range(3))
+    assert len(jpeg_encode(pixels, w, h, subsample=True)) < len(
+        jpeg_encode(pixels, w, h)
+    )
+
+
+def test_unsupported_sampling_factors_rejected():
+    pixels = bytes(range(192))
+    enc = jpeg_encode(pixels, 8, 8, subsample=True)
+    # patch the Y sampling byte (0x22) in SOF to an unsupported 2x1
+    i = enc.index(b"\xff\xc0") + 4 + 6 + 1  # marker+len+prec/h/w/nc, comp id
+    assert enc[i] == 0x22
+    bad = enc[:i] + bytes([0x21]) + enc[i + 1:]
+    with pytest.raises(ValueError, match="sampling"):
+        jpeg_decode(bad)
