@@ -684,7 +684,7 @@ def decode_png_features(media: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 JPEG_DECODE_SCHEMA = (
-    "doc_id long, width int, height int, n_components int,"
+    "doc_id long, width int, height int, n_components int, sampling string,"
     " jpeg_bytes long, coeff_sha string, pixels binary"
 )
 
@@ -696,9 +696,16 @@ def _jpeg_params(doc_id: int, n_chars: int) -> tuple[int, int]:
     return 4 + doc_id % 12, 3 + n_chars % 11
 
 
+def _jpeg_subsampled(doc_id: int) -> bool:
+    """Odd docs encode 4:2:0, even docs 4:4:4 — mirrored in oracle SQL
+    (the `sampling` column), so BOTH entropy-coding layouts are
+    hash-verified end-to-end."""
+    return doc_id % 2 == 1
+
+
 def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
     """(doc_id, payload) with payload = a real baseline JPEG of the
-    text-derived RGB pixels."""
+    text-derived RGB pixels (4:4:4 or 4:2:0 by doc parity)."""
     from hephaestus_spark.operators.jpegcodec import jpeg_encode
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -711,7 +718,11 @@ def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
                 need = w * h * 3
                 raw = text.encode("utf-8") or b"\x00"
                 pixels = (raw * (need // len(raw) + 1))[:need]
-                payloads.append(jpeg_encode(pixels, w, h))
+                payloads.append(
+                    jpeg_encode(
+                        pixels, w, h, subsample=_jpeg_subsampled(int(doc_id))
+                    )
+                )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
             )
@@ -733,14 +744,19 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, nc, rgb, blob = jpeg_decode(bytes(payload))
+                b = bytes(payload)
+                w, h, nc, rgb, blob = jpeg_decode(b)
+                # the Y sampling byte straight from the frame header:
+                # SOF0 marker + len(2) + prec/h/w/nc(6) + comp id(1)
+                y_samp = b[b.index(b"\xff\xc0") + 4 + 6 + 1]
                 rows.append(
                     {
                         "doc_id": doc_id,
                         "width": w,
                         "height": h,
                         "n_components": nc,
-                        "jpeg_bytes": len(bytes(payload)),
+                        "sampling": "4:2:0" if y_samp == 0x22 else "4:4:4",
+                        "jpeg_bytes": len(b),
                         "coeff_sha": hashlib.sha256(blob).hexdigest(),
                         "pixels": rgb,
                     }

@@ -495,6 +495,7 @@ def x_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(4 + doc_id % 12 AS INT) AS width,
            CAST(3 + n_chars % 11 AS INT) AS height,
            CAST(3 AS INT) AS n_components,
+           CASE WHEN doc_id % 2 = 1 THEN '4:2:0' ELSE '4:4:4' END AS sampling,
            TRUE AS coeff_roundtrip,
            TRUE AS err_bounded
     FROM documents
@@ -537,7 +538,10 @@ def x_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         from hephaestus_spark.operators.jpegcodec import (
             jpeg_expected_coeff_blob,
         )
-        from hephaestus_spark.operators.multimodal import _jpeg_params
+        from hephaestus_spark.operators.multimodal import (
+            _jpeg_params,
+            _jpeg_subsampled,
+        )
 
         for pdf in batches:
             rows = []
@@ -552,7 +556,10 @@ def x_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {
                         "doc_id": doc_id,
                         "exp_coeff_sha": hashlib.sha256(
-                            jpeg_expected_coeff_blob(pixels, w, h)
+                            jpeg_expected_coeff_blob(
+                                pixels, w, h,
+                                subsample=_jpeg_subsampled(int(doc_id)),
+                            )
                         ).hexdigest(),
                         "exp_pixels": pixels,
                     }
@@ -577,9 +584,15 @@ def x_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "width": r["width"],
                         "height": r["height"],
                         "n_components": r["n_components"],
+                        "sampling": r["sampling"],
                         "coeff_roundtrip": r["coeff_sha"] == r["exp_coeff_sha"],
+                        # 4:2:0 measured like-for-like with 4:4:4 on this
+                        # data (max ~117 vs ~110, mean ~28 vs ~24); the
+                        # max bound carries slack for tail docs, the mean
+                        # is the discriminator (a scrambled decode reads
+                        # ~85)
                         "err_bounded": len(got) == len(want)
-                        and max(errs) <= 160
+                        and max(errs) <= 200
                         and sum(errs) * 1000 <= 48_000 * len(errs),
                     }
                 )
@@ -589,7 +602,7 @@ def x_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         compare_op,
         schema=(
             "doc_id long, width int, height int, n_components int,"
-            " coeff_roundtrip boolean, err_bounded boolean"
+            " sampling string, coeff_roundtrip boolean, err_bounded boolean"
         ),
     )
 
