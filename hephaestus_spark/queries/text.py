@@ -1566,3 +1566,32 @@ def x_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exp(-(F.col("ll") / F.col("n_pairs"))).alias("perplexity"),
     )
     return out.orderBy(F.col("perplexity").desc(), F.col("doc_id").asc()).limit(20)
+
+
+@query("x_bpe_train")  # rows-only: iterative (each merge depends on the last)
+def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the corpus (operators/bpe.py — the
+    Sennrich subword algorithm at the right altitude): ONE distributed
+    corpus scan builds the (word, count) type table — the only
+    corpus-sized work — then the 16 merge rounds run driver-side over
+    the collected vocabulary with incremental pair bookkeeping
+    (vocabulary = model-sized state, the k-means-centroid budget class;
+    the same split subword-nmt/HF tokenizers make). A per-round
+    distributed fallback exists for vocabularies beyond driver memory
+    and is equality-tested against this path. Ties break (count DESC,
+    pair ASC) so the merge sequence is bit-reproducible. Not
+    SQL-expressible (inherently iterative), hence rows-only;
+    tests/test_bpe.py requires the SAME merge sequence from a naive
+    from-the-paper reference over independently-computed (DuckDB) word
+    counts, and pins segmentation round-trip properties."""
+    from hephaestus_spark.operators.bpe import train_bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(spark, d, n_merges=16)
+    return spark.createDataFrame(
+        [
+            (i + 1, left, right, left + right, n)
+            for i, (left, right, n) in enumerate(merges)
+        ],
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )
