@@ -234,3 +234,54 @@ def segment_with_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
                 i += 1
         syms = out
     return syms
+
+
+def encode_with_merges(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Inference side, distributed: tokenize every document with a
+    learned merge table. The merges broadcast with the task closure
+    (model-sized, like the k-means centroids); segmentation runs in
+    Arrow batches with a per-batch word cache (Zipf: a batch re-sees
+    the same words constantly, so the cache collapses most work to a
+    dict hit). Emits (doc_id, n_words, n_subword_tokens, n_chars_seen)
+    — one shuffle-free pass."""
+    import re
+
+    import pandas as pd
+
+    token_re = re.compile(r"[a-z]+")
+
+    def op(batches):
+        for pdf in batches:
+            cache: dict[str, int] = {}
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                n_words = n_tokens = n_chars = 0
+                for word in token_re.findall(str(text).lower()):
+                    n = cache.get(word)
+                    if n is None:
+                        n = len(segment_with_merges(word, merges))
+                        cache[word] = n
+                    n_words += 1
+                    n_tokens += n
+                    n_chars += len(word)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_words": n_words,
+                        "n_subword_tokens": n_tokens,
+                        "n_chars_seen": n_chars,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        op,
+        schema=(
+            "doc_id long, n_words bigint, n_subword_tokens bigint,"
+            " n_chars_seen bigint"
+        ),
+    )

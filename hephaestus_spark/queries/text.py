@@ -1595,3 +1595,21 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rank int, left string, right string, merged string, pair_count bigint",
     )
+
+
+@query("x_bpe_encode")  # rows-only: token counts depend on learned merges
+def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer family's inference half: train 16 merges (one
+    corpus scan + driver rounds, x_bpe_train), then ENCODE the corpus
+    distributed — merges ride the task closure, segmentation runs in
+    Arrow batches with a per-batch word cache, zero shuffles. The
+    per-doc subword count is THE pre-training budget number (context
+    packing, mixture weights, per-source token budgets all key on it).
+    Rows-only (counts depend on the learned merges, not
+    SQL-expressible); tests/test_bpe.py pins distributed encode ==
+    driver-side segmentation word-for-word and subword <= char counts."""
+    from hephaestus_spark.operators.bpe import encode_with_merges, train_bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = [(l, r) for l, r, _ in train_bpe(spark, d, n_merges=16)]
+    return encode_with_merges(d, merges)

@@ -103,3 +103,28 @@ def test_empty_and_degenerate_corpora(spark):
     one = spark.createDataFrame([("aaa aaa",)], "text string")
     merges = train_bpe(spark, one, n_merges=5)
     assert merges and merges[0][:2] == ("a", "a")
+
+
+def test_distributed_encode_matches_driver_segmentation(spark, sf_dir):
+    import re
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    from hephaestus_spark.operators.bpe import encode_with_merges
+
+    merges = [(l, r) for l, r, _ in train_bpe(spark, docs, n_merges=10)]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subword_tokens"], r["n_chars_seen"])
+        for r in encode_with_merges(docs, merges).collect()
+    }
+    token_re = re.compile(r"[a-z]+")
+    for row in docs.collect():
+        words = token_re.findall(row["text"].lower())
+        want = (
+            len(words),
+            sum(len(segment_with_merges(w, merges)) for w in words),
+            sum(len(w) for w in words),
+        )
+        assert got[row["doc_id"]] == want, row["doc_id"]
+        # merged subwords never exceed characters (+EOW per word)
+        n_words, n_tok, n_chars = want
+        assert n_tok <= n_chars + n_words
