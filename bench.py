@@ -221,14 +221,22 @@ def _sf1_skew_section(spark, timings: dict[str, float], sf: float) -> dict | Non
     if not os.path.exists(os.path.join(skew_dir, "_DONE")):
         return None
     t1: dict[str, float] = {}
+    spill: dict[str, int] = {}
     for name in SKEW_SUBSET:
         if name not in QUERIES:
             continue
         df = QUERIES[name](spark, skew_dir)
+        before = _shuffle_totals(spark)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         t1[name] = round(time.perf_counter() - t0, 3)
+        after = _shuffle_totals(spark)
+        if before is not None and after is not None:
+            # the skew section's question is "does the hot key spill?"
+            spill[name] = after[2] - before[2]
     section: dict = {"dir": skew_dir, "hot_frac": 0.3, "queries": t1}
+    if spill:
+        section["disk_spill_bytes"] = spill
     if sf == 0.1:
         section["x_vs_sf0.1"] = {
             q: round(t / timings[q], 1)
