@@ -116,6 +116,53 @@ class TxTable:
         except FileExistsError as e:
             raise CommitConflict(f"version {version} already committed") from e
 
+    def _file_stats(self, name: str) -> dict:
+        """Per-column [min, max] zone map read straight from the
+        parquet footer (pyarrow — exact, no Spark job; the stats were
+        already computed at write time by the parquet encoder).
+        Numeric columns only: parquet string min/max may be truncated
+        by writers, and a truncated bound used for skipping would be
+        silently wrong — the classic zone-map trap."""
+        import numbers
+
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(os.path.join(self.path, name)).metadata
+        stats: dict = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bool) or not isinstance(
+                    mn, numbers.Number
+                ):
+                    continue
+                cname = col.path_in_schema
+                cur = stats.get(cname)
+                if cur is None:
+                    stats[cname] = [mn, mx]
+                else:
+                    stats[cname] = [min(cur[0], mn), max(cur[1], mx)]
+        return stats
+
+    def _add_actions(self, names: list[str]) -> list[dict]:
+        return [{"add": n, "stats": self._file_stats(n)} for n in names]
+
+    def _snapshot_adds(self, version: int | None = None) -> dict:
+        """name -> add action (incl. stats) for the live file set."""
+        live: dict = {}
+        for entry in self._read_log(version):
+            for a in entry["actions"]:
+                if "add" in a:
+                    live[a["add"]] = a
+                elif "remove" in a:
+                    live.pop(a["remove"], None)
+        return live
+
     def _stage(self, df: DataFrame) -> list[str]:
         """Write df as immutable uniquely-named parquet files inside the
         table dir; returns their names. Staged files are invisible until
@@ -143,11 +190,59 @@ class TxTable:
             raise ValueError(f"table {self.path} has no data at version {version}")
         return spark.read.parquet(*[os.path.join(self.path, f) for f in files])
 
+    def pruned_files(
+        self,
+        column: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """(surviving files, total live files) for a [lo, hi] range
+        predicate on ``column`` using the committed zone maps. A file
+        without stats for the column is always kept (safe side)."""
+        adds = self._snapshot_adds(version)
+        keep = []
+        for name, act in adds.items():
+            st = (act.get("stats") or {}).get(column)
+            if st is not None:
+                mn, mx = st
+                if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                    continue
+            keep.append(name)
+        return keep, len(adds)
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        column: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """File-skipping range read: scan ONLY files whose committed
+        [min, max] zone for ``column`` overlaps [lo, hi], then apply
+        the residual row filter — the Delta/Iceberg data-skipping
+        pattern, driven by the log instead of file listings. With data
+        clustered on the column (e.g. via z-order keys or ingestion
+        order), whole files drop out before any I/O."""
+        from pyspark.sql import functions as F
+
+        keep, total = self.pruned_files(column, lo, hi, version)
+        if not keep:
+            base = self.read(spark, version)
+            return base.filter(F.lit(False))
+        df = spark.read.parquet(*[os.path.join(self.path, f) for f in keep])
+        if lo is not None:
+            df = df.filter(F.col(column) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(column) <= hi)
+        return df
+
     def append(self, df: DataFrame, max_retries: int = 10) -> int:
         """Blind append: stages files once, then retries the commit
         under conflicts (an append is valid against ANY snapshot)."""
         names = self._stage(df)
-        actions = [{"add": n} for n in names]
+        actions = self._add_actions(names)
         for _ in range(max_retries):
             v = self.latest_version() + 1
             try:
@@ -183,7 +278,7 @@ class TxTable:
             ).drop("action")
             old_files = self._snapshot_files(base_version)
         names = self._stage(merged)
-        actions = [{"add": n} for n in names] + [{"remove": f} for f in old_files]
+        actions = self._add_actions(names) + [{"remove": f} for f in old_files]
         self._commit(base_version + 1, "merge", actions)
         return base_version + 1
 
@@ -220,7 +315,7 @@ class TxTable:
                 self._commit(
                     v,
                     "streamAppend",
-                    [{"add": n} for n in names],
+                    self._add_actions(names),
                     txn={"app": app_id, "batch": batch_id},
                 )
                 return v
@@ -244,7 +339,7 @@ class TxTable:
             raise ValueError(f"table {self.path} is empty")
         snapshot = self.read(spark, base_version).coalesce(target_files)
         names = self._stage(snapshot)
-        actions = [{"add": n} for n in names] + [
+        actions = self._add_actions(names) + [
             {"remove": f} for f in self._snapshot_files(base_version)
         ]
         self._commit(base_version + 1, "optimize", actions)

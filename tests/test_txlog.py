@@ -158,3 +158,39 @@ def test_optimize_compacts_without_changing_data(spark, tmp_path):
     # pre-compaction versions still resolve to the original files
     assert t.read(spark, version=2).count() == 3
     assert t.history()[-1]["op"] == "optimize"
+
+
+def test_zone_map_file_skipping(spark, tmp_path):
+    """Per-file min/max stats land in the commit and genuinely skip
+    files: three disjoint-range appends, a range read scans ONE file
+    and returns exactly what a full-scan filter would."""
+    t = TxTable(str(tmp_path / "t"))
+    for base in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(base + i, f"r{base + i}", float(base + i)) for i in range(10)],
+                "id long, name string, val double",
+            )
+        )
+    # stats recorded in the log for numeric cols only
+    adds = t._snapshot_adds()
+    assert all("id" in a["stats"] and "val" in a["stats"] for a in adds.values())
+    assert all("name" not in a["stats"] for a in adds.values())
+
+    keep, total = t.pruned_files("id", 105, 108)
+    assert total >= 3 and len(keep) < total
+    got = sorted(r["id"] for r in t.read_pruned(spark, "id", 105, 108).collect())
+    want = sorted(
+        r["id"]
+        for r in t.read(spark).filter("id >= 105 AND id <= 108").collect()
+    )
+    assert got == want == [105, 106, 107, 108]
+    # fully out-of-range: zero files survive, result is empty
+    keep0, _ = t.pruned_files("id", 10_000, 20_000)
+    assert keep0 == []
+    assert t.read_pruned(spark, "id", 10_000, 20_000).count() == 0
+    # open-ended ranges work and residual filter still applies
+    assert t.read_pruned(spark, "id", lo=205).count() == 5
+    # time travel composes with pruning: version 0 has only the first file
+    keep_v0, total_v0 = t.pruned_files("id", 0, 999, version=0)
+    assert total_v0 < total and len(keep_v0) == total_v0
