@@ -687,3 +687,46 @@ def x_txlog_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         return t.read(spark).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "x_txlog_pruned_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_totalprice >= 100000.0 AND o_totalprice <= 200000.0
+    """,
+)
+def x_txlog_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping proven by hash (r7): orders land in the
+    transactional table range-clustered on o_totalprice
+    (repartitionByRange + sortWithinPartitions — the layout an
+    ingestion pipeline or OPTIMIZE ZORDER maintains), so each data
+    file's committed [min, max] covers a narrow price band; the range
+    read then resolves the predicate against the LOG's zone maps and
+    scans only overlapping files. The oracle is the plain SQL filter
+    over the raw table — the hash match proves skipping loses and
+    invents nothing. Pruning effectiveness (files actually skipped) is
+    pinned deterministically in tests/test_txlog.py; here the band
+    covers a fraction of the price range, so most files never open."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    workdir = tempfile.mkdtemp(prefix="txlog-prune-")
+    try:
+        t = TxTable(f"{workdir}/orders")
+        t.append(
+            o.repartitionByRange(8, F.col("o_totalprice")).sortWithinPartitions(
+                "o_totalprice"
+            )
+        )
+        out = t.read_pruned(spark, "o_totalprice", 100000.0, 200000.0)
+        return out.select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

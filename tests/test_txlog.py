@@ -194,3 +194,25 @@ def test_zone_map_file_skipping(spark, tmp_path):
     # time travel composes with pruning: version 0 has only the first file
     keep_v0, total_v0 = t.pruned_files("id", 0, 999, version=0)
     assert total_v0 < total and len(keep_v0) == total_v0
+
+
+def test_range_clustered_append_prunes_most_files(spark, sf_dir):
+    """The x_txlog_pruned_scan layout, effectiveness pinned: orders
+    range-clustered on price across 8 files -> a narrow band opens a
+    strict minority of them."""
+    import pyspark.sql.functions as F
+
+    from hephaestus_spark.sources import load_table
+
+    t = TxTable(str(spark.conf.get("spark.local.dir", "/tmp")) + "/prune-eff")
+    import shutil
+    shutil.rmtree(t.path, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t.append(
+        o.repartitionByRange(8, F.col("o_totalprice")).sortWithinPartitions(
+            "o_totalprice"
+        )
+    )
+    keep, total = t.pruned_files("o_totalprice", 100000.0, 200000.0)
+    assert total == 8 and 1 <= len(keep) <= 3, (len(keep), total)
+    shutil.rmtree(t.path, ignore_errors=True)
