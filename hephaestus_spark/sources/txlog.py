@@ -39,6 +39,7 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hephaestus_spark.operators.merge import scd1_merge
 
@@ -225,8 +226,6 @@ class TxTable:
         pattern, driven by the log instead of file listings. With data
         clustered on the column (e.g. via z-order keys or ingestion
         order), whole files drop out before any I/O."""
-        from pyspark.sql import functions as F
-
         keep, total = self.pruned_files(column, lo, hi, version)
         if not keep:
             base = self.read(spark, version)
@@ -258,6 +257,7 @@ class TxTable:
         staged: DataFrame,
         key: str,
         compare_cols: list[str],
+        prune_on_key: bool = False,
     ) -> int:
         """Copy-on-write SCD-1 MERGE: read the current snapshot, apply
         the set-wise merge (operators/merge.py — the same null-safe
@@ -265,18 +265,43 @@ class TxTable:
         as new files, commit (add new, remove old). Raises
         CommitConflict if another writer lands first — the merge result
         depends on the snapshot read, so the caller must re-run on the
-        new snapshot rather than blindly retry."""
+        new snapshot rather than blindly retry.
+
+        ``prune_on_key=True`` is the at-scale path the full rewrite
+        grows into: files whose [min, max] zone for a NUMERIC merge key
+        cannot contain any staged key are left untouched — neither read
+        nor rewritten — and only the overlapping files join the merge.
+        A daily delta against a key-clustered 100 TB table then
+        rewrites a few files instead of all of them. Correctness does
+        not depend on the clustering (a staged key outside every kept
+        file's zone is an insert into the NEW files; rows in untouched
+        files cannot match any staged key by the zone bound) — only
+        the pruning RATE does. Output is identical to the full rewrite
+        (tests/test_txlog.py asserts it)."""
         base_version = self.latest_version()
         cols = [key] + compare_cols
         if base_version < 0:
             merged = staged.select(*cols)
             old_files: list[str] = []
         else:
-            snapshot = self.read(spark, base_version).select(*cols)
-            merged = scd1_merge(
-                snapshot, staged.select(*cols), key, compare_cols
-            ).drop("action")
             old_files = self._snapshot_files(base_version)
+            if prune_on_key:
+                bounds = staged.select(
+                    F.min(key).alias("lo"), F.max(key).alias("hi")
+                ).first()
+                lo, hi = bounds["lo"], bounds["hi"]
+                touch, total = self.pruned_files(key, lo, hi, base_version)
+                touched = set(touch)
+                old_files = [f for f in old_files if f in touched]
+            if old_files:
+                snapshot = spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in old_files]
+                ).select(*cols)
+                merged = scd1_merge(
+                    snapshot, staged.select(*cols), key, compare_cols
+                ).drop("action")
+            else:
+                merged = staged.select(*cols)
         names = self._stage(merged)
         actions = self._add_actions(names) + [{"remove": f} for f in old_files]
         self._commit(base_version + 1, "merge", actions)

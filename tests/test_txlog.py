@@ -216,3 +216,40 @@ def test_range_clustered_append_prunes_most_files(spark, sf_dir):
     keep, total = t.pruned_files("o_totalprice", 100000.0, 200000.0)
     assert total == 8 and 1 <= len(keep) <= 3, (len(keep), total)
     shutil.rmtree(t.path, ignore_errors=True)
+
+
+def test_pruned_merge_rewrites_only_overlapping_files(spark, tmp_path):
+    """prune_on_key merge: a delta touching one key band leaves the
+    other files physically untouched (same names survive in the
+    snapshot) and produces the IDENTICAL table a full rewrite would."""
+    def build(path):
+        t = TxTable(str(path))
+        for base in (0, 100, 200):
+            t.append(
+                spark.createDataFrame(
+                    [(base + i, f"r{base + i}", float(base + i)) for i in range(10)],
+                    "id long, name string, val double",
+                ).coalesce(1)  # one file per key band
+            )
+        return t
+
+    staged = spark.createDataFrame(
+        [(105, "r105", 5000.0), (150, "new", 150.0)],
+        "id long, name string, val double",
+    )
+    t_full = build(tmp_path / "full")
+    t_pruned = build(tmp_path / "pruned")
+    before = set(t_pruned._snapshot_files())
+    t_full.merge(spark, staged, "id", ["name", "val"])
+    t_pruned.merge(spark, staged, "id", ["name", "val"], prune_on_key=True)
+    after = set(t_pruned._snapshot_files())
+    # files for bands 0-9 and 200-209 survived untouched in the pruned
+    # table; the full rewrite replaced everything
+    assert len(before & after) == 2
+    assert not set(t_full._snapshot_files()) & before
+    got_full = sorted(map(tuple, t_full.read(spark).collect()))
+    got_pruned = sorted(map(tuple, t_pruned.read(spark).collect()))
+    assert got_full == got_pruned
+    # the delta landed: update + insert
+    vals = {r["id"]: r["val"] for r in t_pruned.read(spark).collect()}
+    assert vals[105] == 5000.0 and vals[150] == 150.0 and len(vals) == 31
