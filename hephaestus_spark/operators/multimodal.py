@@ -520,10 +520,14 @@ def inflate(data: bytes) -> bytes:
         if btype == 0:  # stored
             bitpos = (bitpos + 7) & ~7
             byte = bitpos >> 3
+            if (byte + 4) * 8 > nbits:
+                raise ValueError("truncated stored-block header")
             ln = data[byte] | data[byte + 1] << 8
             nln = data[byte + 2] | data[byte + 3] << 8
             if ln ^ nln != 0xFFFF:
                 raise ValueError("stored block LEN/NLEN mismatch")
+            if (byte + 4 + ln) * 8 > nbits:
+                raise ValueError("truncated stored-block payload")
             out += data[byte + 4:byte + 4 + ln]
             bitpos += (4 + ln) * 8
         elif btype in (1, 2):
@@ -825,9 +829,13 @@ def synthesize_mp4_media(docs: DataFrame) -> DataFrame:
                 )
                 tkhd = box(
                     b"tkhd",
-                    struct.pack(">B3xIIII4xI", 0, 0, 0, 1, 0, dur)
+                    # ISO 14496-12 8.3.2 v0 layout, byte-exact (84-byte
+                    # body): creation/modification/track_ID/reserved/
+                    # duration, 8 reserved, layer/alternate_group/
+                    # volume/reserved, unity matrix, fixed-point w/h
+                    struct.pack(">B3xIIIII", 0, 0, 0, 1, 0, dur)
                     + b"\x00" * 8
-                    + struct.pack(">HH2x", 0, 0)
+                    + struct.pack(">HHHH", 0, 0, 0, 0)
                     + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
                     + struct.pack(">II", w << 16, h << 16),
                 )
@@ -842,7 +850,9 @@ def synthesize_mp4_media(docs: DataFrame) -> DataFrame:
                 mdia = box(b"mdia", mdhd + hdlr)
                 trak = box(b"trak", tkhd + mdia)
                 moov = box(b"moov", mvhd + trak)
-                mdat = box(b"mdat", (text.encode("utf-8") or b"\x00"))
+                # empty text -> empty (legal) mdat body, matching the
+                # oracle's octet_length(encode(text)) exactly
+                mdat = box(b"mdat", text.encode("utf-8"))
                 payloads.append(ftyp + moov + mdat)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}

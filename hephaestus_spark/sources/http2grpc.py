@@ -20,9 +20,12 @@ Deliberate subset (documented, spec-legal):
   decoder rejects Huffman-coded input loudly rather than guessing;
 - PRIORITY/PUSH_PROMISE/CONTINUATION are not emitted; CONTINUATION is
   rejected (our header blocks are far below the 16 KB frame limit);
-- flow control: both sides replenish windows with WINDOW_UPDATE after
-  every DATA frame, so bodies larger than the 65535 initial window
-  stream through in 16 KB frames (exercised in tests).
+- flow control: BOTH directions are real (r7 review fix) — senders
+  account the peer's connection and stream windows and block until
+  WINDOW_UPDATEs arrive; receivers replenish after every DATA frame.
+  Bodies far beyond the 65535-byte initial window stream through in
+  16 KB frames without ever overrunning a window (exercised in tests,
+  including a window-starved peer).
 
 Interop with a grpcio peer is still untestable here (no such peer can
 exist in this image); what this removes is the "never left one
@@ -137,14 +140,38 @@ class HpackEncoder:
         return bytes(out)
 
 
+def _hpack_entry_size(name: str, value: str) -> int:
+    """RFC 7541 section 4.1: 32 bytes of per-entry overhead."""
+    return len(name.encode("utf-8")) + len(value.encode("utf-8")) + 32
+
+
 class HpackDecoder:
     """Full decoding of the four representations incl. incremental
-    indexing into a dynamic table (a conforming peer may use it even
-    though our encoder does not)."""
+    indexing into a dynamic table WITH the RFC 7541 section 4 size
+    accounting — insertion evicts from the oldest end, and
+    dynamic-table-size-update instructions resize and evict. Without
+    eviction (the original r7 implementation — caught in review) the
+    decoder's indices desynchronize from a conforming peer as soon as
+    the peer's table evicts, resolving dynamic indices to the WRONG
+    header silently."""
 
     def __init__(self) -> None:
         self.dynamic: list[tuple[str, str]] = []
         self.max_size = 4096
+        self.size = 0
+
+    def _evict_to(self, limit: int) -> None:
+        while self.dynamic and self.size > limit:
+            n, v = self.dynamic.pop()  # oldest entry is at the END
+            self.size -= _hpack_entry_size(n, v)
+
+    def _insert(self, name: str, value: str) -> None:
+        entry = _hpack_entry_size(name, value)
+        # an entry larger than the table empties it (section 4.4)
+        self._evict_to(max(self.max_size - entry, 0))
+        if entry <= self.max_size:
+            self.dynamic.insert(0, (name, value))
+            self.size += entry
 
     def _lookup(self, idx: int) -> tuple[str, str]:
         if idx == 0:
@@ -170,10 +197,12 @@ class HpackDecoder:
                 if name is None:
                     name, pos = _str_decode(data, pos)
                 value, pos = _str_decode(data, pos)
-                self.dynamic.insert(0, (name, value))
+                self._insert(name, value)
                 headers.append((name, value))
-            elif b & 0x20:  # dynamic table size update
-                _, pos = _int_decode(data, pos, 5)
+            elif b & 0x20:  # dynamic table size update (section 6.3)
+                new_max, pos = _int_decode(data, pos, 5)
+                self.max_size = new_max
+                self._evict_to(new_max)
             else:  # literal without indexing / never indexed (4-bit prefix)
                 idx, pos = _int_decode(data, pos, 4)
                 name = self._lookup(idx)[0] if idx else None
@@ -225,17 +254,85 @@ def _read_frame(sock: socket.socket) -> tuple[int, int, int, bytes]:
     return ftype, flags, stream_id, _recv_exact(sock, length) if length else b""
 
 
-def _send_data(sock: socket.socket, stream_id: int, body: bytes) -> None:
-    """Body as 16 KB DATA frames, END_STREAM on the last."""
+INITIAL_WINDOW = 65535
+
+
+class _SendWindows:
+    """Sender-side flow-control accounting (RFC 7540 section 6.9 —
+    review fix: the first cut sent DATA without consulting the peer's
+    windows, a FLOW_CONTROL_ERROR against any conforming peer once a
+    body exceeded 65535 bytes). One per connection; per-stream windows
+    created on first use."""
+
+    def __init__(self) -> None:
+        self.conn = INITIAL_WINDOW
+        self.streams: dict[int, int] = {}
+
+    def stream(self, sid: int) -> int:
+        return self.streams.setdefault(sid, INITIAL_WINDOW)
+
+    def consume(self, sid: int, n: int) -> None:
+        self.conn -= n
+        self.streams[sid] = self.stream(sid) - n
+
+    def replenish(self, stream_id: int, inc: int) -> None:
+        if stream_id == 0:
+            self.conn += inc
+        else:
+            self.streams[stream_id] = (
+                self.streams.get(stream_id, INITIAL_WINDOW) + inc
+            )
+
+
+def _pump_body(
+    sock: socket.socket,
+    sid: int,
+    body: bytes,
+    windows: _SendWindows,
+    end_stream: bool,
+) -> None:
+    """Send ``body`` as DATA frames WITHIN the peer's advertised
+    connection and stream windows; when blocked, read frames (control
+    frames and WINDOW_UPDATEs — the only traffic a synchronous unary
+    peer produces mid-body) until the window opens."""
     if not body:
-        sock.sendall(_frame(F_DATA, FLAG_END_STREAM, stream_id, b""))
+        if end_stream:
+            sock.sendall(_frame(F_DATA, FLAG_END_STREAM, sid, b""))
         return
-    for off in range(0, len(body), MAX_FRAME):
-        chunk = body[off:off + MAX_FRAME]
-        last = off + MAX_FRAME >= len(body)
-        sock.sendall(
-            _frame(F_DATA, FLAG_END_STREAM if last else 0, stream_id, chunk)
+    off = 0
+    while off < len(body):
+        allow = min(
+            MAX_FRAME, windows.conn, windows.stream(sid), len(body) - off
         )
+        if allow <= 0:
+            ftype, flags, stream_id, payload = _read_frame(sock)
+            if ftype == F_WINDOW:
+                (inc,) = struct.unpack(">I", payload)
+                windows.replenish(stream_id, inc & 0x7FFFFFFF)
+            elif ftype == F_SETTINGS:
+                if not flags & FLAG_ACK:
+                    sock.sendall(_frame(F_SETTINGS, FLAG_ACK, 0, b""))
+            elif ftype == F_PING:
+                if not flags & FLAG_ACK:
+                    sock.sendall(_frame(F_PING, FLAG_ACK, 0, payload))
+            elif ftype in (F_RST, F_GOAWAY):
+                raise ConnectionError("peer aborted while window-blocked")
+            else:
+                raise ValueError(
+                    f"unexpected frame type {ftype} while window-blocked"
+                )
+            continue
+        last = end_stream and off + allow >= len(body)
+        sock.sendall(
+            _frame(
+                F_DATA,
+                FLAG_END_STREAM if last else 0,
+                sid,
+                body[off:off + allow],
+            )
+        )
+        windows.consume(sid, allow)
+        off += allow
 
 
 def grpc_wrap(message: bytes) -> bytes:
@@ -267,6 +364,7 @@ class Http2GrpcClient:
         self._authority = authority or f"{host}:{port}"
         self._enc = HpackEncoder()
         self._dec = HpackDecoder()
+        self._windows = _SendWindows()
         self._next_stream = 1
         self._sock.sendall(PREFACE)
         self._sock.sendall(_frame(F_SETTINGS, 0, 0, b""))
@@ -297,7 +395,9 @@ class Http2GrpcClient:
         self._sock.sendall(
             _frame(F_HEADERS, FLAG_END_HEADERS, sid, self._enc.encode(headers))
         )
-        _send_data(self._sock, sid, grpc_wrap(request))
+        _pump_body(
+            self._sock, sid, grpc_wrap(request), self._windows, end_stream=True
+        )
 
         body = bytearray()
         status = grpc_status = None
@@ -310,7 +410,8 @@ class Http2GrpcClient:
                 if not flags & FLAG_ACK:
                     self._sock.sendall(_frame(F_PING, FLAG_ACK, 0, payload))
             elif ftype == F_WINDOW:
-                pass
+                (inc,) = struct.unpack(">I", payload)
+                self._windows.replenish(stream_id, inc & 0x7FFFFFFF)
             elif ftype == F_RST:
                 raise ConnectionError(f"stream {stream_id} reset by server")
             elif ftype == F_GOAWAY:
@@ -331,8 +432,13 @@ class Http2GrpcClient:
                 body += payload
                 if payload:  # replenish flow-control windows
                     inc = struct.pack(">I", len(payload))
-                    self._sock.sendall(_frame(F_WINDOW, 0, 0, inc))
-                    self._sock.sendall(_frame(F_WINDOW, 0, sid, inc))
+                    try:
+                        self._sock.sendall(_frame(F_WINDOW, 0, 0, inc))
+                        self._sock.sendall(_frame(F_WINDOW, 0, sid, inc))
+                    except OSError:
+                        # a peer that half-closed after its final
+                        # frames no longer needs the credit
+                        pass
                 if flags & FLAG_END_STREAM:
                     break
         if status != "200":
@@ -393,6 +499,7 @@ class Http2GrpcServer:
             conn.sendall(_frame(F_SETTINGS, 0, 0, b""))
             dec = HpackDecoder()
             enc = HpackEncoder()
+            windows = _SendWindows()
             streams: dict[int, dict] = {}
             while True:
                 ftype, flags, sid, payload = _read_frame(conn)
@@ -405,14 +512,15 @@ class Http2GrpcServer:
                 elif ftype == F_GOAWAY:
                     return
                 elif ftype == F_WINDOW:
-                    pass
+                    (inc,) = struct.unpack(">I", payload)
+                    windows.replenish(sid, inc & 0x7FFFFFFF)
                 elif ftype == F_HEADERS:
                     if not flags & FLAG_END_HEADERS:
                         raise ValueError("CONTINUATION unsupported (subset)")
                     hdrs = dict(dec.decode(payload))
                     streams[sid] = {"path": hdrs.get(":path"), "body": bytearray()}
                     if flags & FLAG_END_STREAM:
-                        self._respond(conn, enc, sid, streams.pop(sid))
+                        self._respond(conn, enc, windows, sid, streams.pop(sid))
                 elif ftype == F_DATA:
                     st = streams.get(sid)
                     if st is None:
@@ -426,13 +534,15 @@ class Http2GrpcServer:
                         conn.sendall(_frame(F_WINDOW, 0, 0, inc))
                         conn.sendall(_frame(F_WINDOW, 0, sid, inc))
                     if flags & FLAG_END_STREAM:
-                        self._respond(conn, enc, sid, streams.pop(sid))
+                        self._respond(conn, enc, windows, sid, streams.pop(sid))
         except (ConnectionError, ValueError, OSError):
             pass
         finally:
             conn.close()
 
-    def _respond(self, conn, enc: HpackEncoder, sid: int, st: dict) -> None:
+    def _respond(
+        self, conn, enc: HpackEncoder, windows: _SendWindows, sid: int, st: dict
+    ) -> None:
         handler = self.handlers.get(st["path"])
         resp_headers = [(":status", "200"), ("content-type", "application/grpc")]
         if handler is None:
@@ -458,7 +568,9 @@ class Http2GrpcServer:
             _frame(F_HEADERS, FLAG_END_HEADERS, sid, enc.encode(resp_headers))
         )
         if status == "0":
-            _send_data_no_end(conn, sid, grpc_wrap(reply))
+            # gRPC responses end on the trailers HEADERS, not the last
+            # DATA frame, hence end_stream=False
+            _pump_body(conn, sid, grpc_wrap(reply), windows, end_stream=False)
         trailers = [("grpc-status", status)]
         if msg:
             trailers.append(("grpc-message", msg))
@@ -471,9 +583,3 @@ class Http2GrpcServer:
             )
         )
 
-
-def _send_data_no_end(sock: socket.socket, stream_id: int, body: bytes) -> None:
-    """DATA frames WITHOUT END_STREAM (gRPC responses end on the
-    trailers HEADERS frame, not the last DATA frame)."""
-    for off in range(0, max(len(body), 1), MAX_FRAME):
-        sock.sendall(_frame(F_DATA, 0, stream_id, body[off:off + MAX_FRAME]))

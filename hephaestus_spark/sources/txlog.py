@@ -377,18 +377,33 @@ class TxTable:
             for e in self._read_log()
         ]
 
-    def vacuum(self) -> list[str]:
-        """Delete data files no live-or-historical snapshot references
-        is NOT safe while time travel is promised; this vacuum removes
-        only files unreferenced by ANY log version (aborted stages),
-        returning what it deleted."""
+    def vacuum(self, grace_seconds: float = 3600.0) -> list[str]:
+        """Remove files unreferenced by ANY log version (aborted
+        stages), returning what was deleted. Deleting removed-but-
+        historical files would break the time-travel promise, so those
+        always survive.
+
+        ``grace_seconds`` closes the in-flight-commit race (found in
+        review): a concurrent append has ALREADY renamed its staged
+        files into the table root but not yet written its log entry —
+        to vacuum they look identical to aborted junk. Only files
+        older than the grace window are eligible; an in-flight commit
+        cannot be older than its own staging write, so any grace
+        period comfortably above a commit's stage->log latency makes
+        the race impossible (Delta's retention-check reasoning)."""
         referenced = set()
         for entry in self._read_log():
             for a in entry["actions"]:
                 referenced.add(a.get("add") or a.get("remove"))
         deleted = []
+        cutoff = time.time() - grace_seconds
         for f in os.listdir(self.path):
-            if f.endswith(".parquet") and f not in referenced:
-                os.remove(os.path.join(self.path, f))
+            full = os.path.join(self.path, f)
+            if (
+                f.endswith(".parquet")
+                and f not in referenced
+                and os.path.getmtime(full) <= cutoff
+            ):
+                os.remove(full)
                 deleted.append(f)
         return deleted

@@ -192,3 +192,144 @@ def test_prefix_integer_round_trips(value, prefix):
     enc = _int_encode(value, prefix, 0)
     got, pos = _int_decode(enc, 0, prefix)
     assert (got, pos) == (value, len(enc))
+
+
+def test_hpack_dynamic_table_evicts_like_a_conforming_peer():
+    """RFC 7541 section 4 size accounting (review fix): with a 4096-byte
+    table, inserting entries past the limit evicts the OLDEST, exactly
+    mirroring a conforming encoder's index arithmetic."""
+    dec = HpackDecoder()
+    # each entry: name 4 + value 60 + 32 overhead = 96 bytes
+    def ins(i):
+        name = f"h{i:03d}".encode()
+        val = bytes([0x61 + i % 26]) * 60
+        return bytes([0x40, len(name)]) + name + bytes([len(val)]) + val
+
+    n = 60  # 60 * 96 = 5760 > 4096 -> must evict
+    block = b"".join(ins(i) for i in range(n))
+    dec.decode(block)
+    assert dec.size <= dec.max_size
+    assert len(dec.dynamic) == 4096 // 96
+    # newest entry is dynamic index static+1; oldest inserted are gone
+    assert dec._lookup(62) == (f"h{n-1:03d}", chr(0x61 + (n - 1) % 26) * 60)
+    with pytest.raises(ValueError, match="out of range"):
+        dec._lookup(62 + len(dec.dynamic))
+    # size update shrinks the table and future lookups shift accordingly
+    dec.decode(bytes([0x20 | 0x1F, 96 - 31 if 96 >= 31 else 0]))  # max=96+... 
+    # (prefix-5 integer: 0x3F then continuation 65 -> 31+65=96)
+    assert dec.max_size == 96 and len(dec.dynamic) == 1
+
+
+def test_hpack_oversized_entry_empties_table():
+    dec = HpackDecoder()
+    name, val = b"x", b"y" * 30
+    dec.decode(bytes([0x40, len(name)]) + name + bytes([len(val)]) + val)
+    assert len(dec.dynamic) == 1
+    big = b"z" * 120
+    dec.max_size = 100
+    dec._evict_to(dec.max_size)
+    dec.decode(bytes([0x40, 1]) + b"b" + bytes([len(big)]) + big)
+    assert dec.dynamic == [] and dec.size == 0  # section 4.4
+
+
+def test_sender_respects_a_strict_window_peer():
+    """A raw strict-accounting server: it verifies every DATA frame
+    fits its advertised connection AND stream windows (a conforming
+    peer treats an overrun as FLOW_CONTROL_ERROR), and it replenishes
+    LAZILY — only once the client has fully exhausted the window — so
+    a 200 KB request forces the client to block on WINDOW_UPDATEs at
+    least twice. The pre-review sender blasted all frames immediately
+    and fails this peer on the fourth frame."""
+    import socket
+    import struct
+    import threading
+
+    from hephaestus_spark.sources.http2grpc import (
+        FLAG_ACK,
+        FLAG_END_HEADERS,
+        FLAG_END_STREAM,
+        F_DATA,
+        F_HEADERS,
+        F_PING,
+        F_SETTINGS,
+        F_WINDOW,
+        INITIAL_WINDOW,
+        PREFACE,
+        _frame,
+        _read_frame,
+        _recv_exact,
+        grpc_wrap,
+    )
+
+    lsock = socket.socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+    port = lsock.getsockname()[1]
+    violations: list = []
+    starved = [0]
+
+    def strict_server():
+        conn, _ = lsock.accept()
+        try:
+            assert _recv_exact(conn, len(PREFACE)) == PREFACE
+            conn.sendall(_frame(F_SETTINGS, 0, 0, b""))
+            cw = sw = INITIAL_WINDOW
+            body = bytearray()
+            sid = None
+            while True:
+                ftype, flags, stream_id, payload = _read_frame(conn)
+                if ftype == F_SETTINGS and not flags & FLAG_ACK:
+                    conn.sendall(_frame(F_SETTINGS, FLAG_ACK, 0, b""))
+                elif ftype == F_HEADERS:
+                    sid = stream_id
+                elif ftype == F_DATA:
+                    if len(payload) > cw or len(payload) > sw:
+                        violations.append((len(payload), cw, sw))
+                    cw -= len(payload)
+                    sw -= len(payload)
+                    body += payload
+                    if flags & FLAG_END_STREAM:
+                        break
+                    if cw <= 0 or sw <= 0:  # replenish only when dry
+                        starved[0] += 1
+                        inc = struct.pack(">I", INITIAL_WINDOW)
+                        conn.sendall(_frame(F_WINDOW, 0, 0, inc))
+                        conn.sendall(_frame(F_WINDOW, 0, stream_id, inc))
+                        cw = sw = INITIAL_WINDOW
+            # minimal unary gRPC response: echo the byte count back
+            enc = HpackEncoder()
+            conn.sendall(
+                _frame(
+                    F_HEADERS,
+                    FLAG_END_HEADERS,
+                    sid,
+                    enc.encode(
+                        [(":status", "200"), ("content-type", "application/grpc")]
+                    ),
+                )
+            )
+            reply = grpc_wrap(str(len(body)).encode())
+            conn.sendall(_frame(F_DATA, 0, sid, reply))
+            conn.sendall(
+                _frame(
+                    F_HEADERS,
+                    FLAG_END_HEADERS | FLAG_END_STREAM,
+                    sid,
+                    enc.encode([("grpc-status", "0")]),
+                )
+            )
+        finally:
+            conn.close()
+
+    th = threading.Thread(target=strict_server, daemon=True)
+    th.start()
+    client = Http2GrpcClient("127.0.0.1", port)
+    try:
+        request = bytes(200_000)
+        reply = client.call("/x/Echo", request)
+        assert int(reply) == len(grpc_wrap(request))
+        assert not violations, violations[:3]
+        assert starved[0] >= 2  # the client genuinely blocked and resumed
+    finally:
+        client.close()
+        lsock.close()

@@ -267,3 +267,37 @@ def test_mp4_corrupt_box_fails_loudly(spark, sf_dir):
     # truncated mid-moov
     with pytest.raises(Exception, match="bad box size|truncated|missing"):
         decode_mp4_features(bad(payload[: len(payload) // 3])).collect()
+
+
+def test_mp4_box_bodies_are_spec_sized(spark, sf_dir):
+    """Byte-exact ISO 14496-12 layout (caught in review: tkhd was 86
+    bytes): v0 full-box bodies must be exactly mvhd=100, tkhd=84,
+    mdhd=24 so ANY conforming parser reads the same fields."""
+    import struct
+
+    from hephaestus_spark.operators.multimodal import synthesize_mp4_media
+
+    d = load_table(spark, sf_dir, "documents").limit(3)
+    want = {b"mvhd": 100, b"tkhd": 84, b"mdhd": 24}
+    for r in synthesize_mp4_media(d).collect():
+        b = bytes(r["payload"])
+        pos, seen = 0, {}
+
+        def walk(start, end):
+            pos = start
+            while pos < end:
+                (size,) = struct.unpack_from(">I", b, pos)
+                tag = b[pos + 4:pos + 8]
+                if tag in (b"moov", b"trak", b"mdia"):
+                    walk(pos + 8, pos + size)
+                elif tag in want:
+                    seen[tag] = size - 8
+                pos += size
+
+        walk(0, len(b))
+        assert seen == {k: v for k, v in want.items()}, seen
+        # spec offsets: tkhd duration at body+20, width at body+76
+        i = b.index(b"tkhd") + 4
+        (dur,) = struct.unpack_from(">I", b, i + 20)
+        (wfx,) = struct.unpack_from(">I", b, i + 76)
+        assert dur > 0 and (wfx >> 16) >= 160

@@ -101,7 +101,12 @@ def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
     orphan = os.path.join(t.path, "part-orphan-abandoned.parquet")
     with open(orphan, "wb") as f:
         f.write(b"not really parquet")
-    deleted = t.vacuum()
+    # inside the grace window NOTHING unreferenced is deleted — the
+    # in-flight-commit protection (a racing append's staged files look
+    # exactly like this orphan until its log entry lands)
+    assert t.vacuum() == []
+    assert os.path.exists(orphan)
+    deleted = t.vacuum(grace_seconds=0)
     assert deleted == ["part-orphan-abandoned.parquet"]
     # removed-but-historical files survive vacuum: time travel still works
     assert t.read(spark, version=0).collect()[0]["val"] == 1.0
