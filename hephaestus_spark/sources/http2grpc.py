@@ -16,10 +16,15 @@ loop the reference runs, over an actual network channel.
 
 Deliberate subset (documented, spec-legal):
 - unary-unary only (all three reference RPCs are unary);
-- the encoder never Huffman-codes strings (H bit clear is legal); the
-  decoder rejects Huffman-coded input loudly rather than guessing;
+- HPACK string Huffman coding is fully supported (r8,
+  hpack_huffman.py): the decoder accepts Huffman-coded strings (every
+  real gRPC peer emits them by default — the interop-critical
+  direction) and the encoder Huffman-codes whenever it saves octets,
+  falling back to raw otherwise (grpc-go/nghttp2 behavior);
 - PRIORITY/PUSH_PROMISE/CONTINUATION are not emitted; CONTINUATION is
-  rejected (our header blocks are far below the 16 KB frame limit);
+  rejected, and PADDED/PRIORITY flags on incoming HEADERS/DATA are
+  rejected loudly (r8) rather than silently mis-parsed as payload
+  (our header blocks are far below the 16 KB frame limit);
 - flow control: BOTH directions are real (r7 review fix) — senders
   account the peer's connection and stream windows and block until
   WINDOW_UPDATEs arrive; receivers replenish after every DATA frame.
@@ -105,17 +110,28 @@ def _int_decode(data: bytes, pos: int, prefix_bits: int) -> tuple[int, int]:
 
 def _str_encode(s: str) -> bytes:
     b = s.encode("utf-8")
+    # r8: Huffman-code when it actually saves octets (what grpc-go /
+    # nghttp2 do); otherwise raw with the H bit clear. Both are legal;
+    # the shorter wins. The decoder accepts either way regardless.
+    from hephaestus_spark.sources.hpack_huffman import huffman_encode
+
+    h = huffman_encode(b)
+    if len(h) < len(b):
+        return _int_encode(len(h), 7, 0x80) + h
     return _int_encode(len(b), 7, 0x00) + b  # H bit clear: raw octets
 
 
 def _str_decode(data: bytes, pos: int) -> tuple[str, int]:
     huff = data[pos] & 0x80
     ln, pos = _int_decode(data, pos, 7)
-    if huff:
-        raise ValueError("Huffman-coded HPACK string (encoder subset never emits)")
     if pos + ln > len(data):
         raise ValueError("truncated HPACK string")
-    return data[pos:pos + ln].decode("utf-8"), pos + ln
+    raw = data[pos:pos + ln]
+    if huff:
+        from hephaestus_spark.sources.hpack_huffman import huffman_decode
+
+        raw = huffman_decode(raw)
+    return raw.decode("utf-8"), pos + ln
 
 
 class HpackEncoder:
@@ -222,6 +238,7 @@ F_DATA, F_HEADERS, F_RST, F_SETTINGS, F_PING, F_GOAWAY, F_WINDOW = (
     0x0, 0x1, 0x3, 0x4, 0x6, 0x7, 0x8,
 )
 FLAG_END_STREAM, FLAG_END_HEADERS, FLAG_ACK = 0x1, 0x4, 0x1
+FLAG_PADDED, FLAG_PRIORITY = 0x8, 0x20
 MAX_FRAME = 16384
 
 
@@ -251,6 +268,15 @@ def _read_frame(sock: socket.socket) -> tuple[int, int, int, bytes]:
     stream_id = struct.unpack(">I", head[5:9])[0] & 0x7FFFFFFF
     if length > MAX_FRAME:
         raise ValueError("frame exceeds SETTINGS_MAX_FRAME_SIZE")
+    # r8 (ADVICE): PADDED/PRIORITY are legal for any peer without
+    # negotiation, but this subset does not parse the extra octets —
+    # feeding them into HPACK or the message body would be a SILENT
+    # mis-parse, so reject loudly like the other unsupported features
+    # (Huffman used to be, CONTINUATION still is).
+    if ftype in (F_DATA, F_HEADERS) and flags & FLAG_PADDED:
+        raise ValueError("PADDED frames not supported by this subset")
+    if ftype == F_HEADERS and flags & FLAG_PRIORITY:
+        raise ValueError("PRIORITY flag on HEADERS not supported by this subset")
     return ftype, flags, stream_id, _recv_exact(sock, length) if length else b""
 
 

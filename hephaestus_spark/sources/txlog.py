@@ -28,6 +28,31 @@ deletion vectors; the commit protocol — the part this module pins with
 tests — is unchanged. Cloud object stores without atomic
 create-if-absent swap this for a coordination service, same as Delta
 on S3.
+
+r8 — the missing piece of the Delta protocol shape (VERDICT r7 #1):
+**log checkpointing**. Without it every snapshot fold re-opened all V
+prior log files (O(V) opens per op, O(V²) over a stream's life — a
+1-minute-trigger stream writes ~526k commits/year). Now:
+
+- every ``CHECKPOINT_INTERVAL`` commits the winning writer folds the
+  log and writes ``_txlog/<v>.checkpoint.json`` holding the live
+  add-set (with zone maps) AND the per-app latest-batch txn map, then
+  advances the ``_txlog/_last_checkpoint`` pointer — exactly Delta's
+  parquet-checkpoint + ``_last_checkpoint`` design, JSON here because
+  the state is file names, not data;
+- snapshot construction starts from the newest checkpoint ≤ the
+  requested version and folds only the tail (≤ interval entries);
+- each ``TxTable`` instance additionally caches its last fold, so a
+  long-running stream folds only the entries that landed since its
+  previous commit (typically one);
+- ``append_stream_batch`` consults the folded per-app txn map instead
+  of scanning every entry — Delta's txn semantics: a batch id ≤ the
+  app's recorded latest is a replay and is skipped (foreachBatch batch
+  ids are monotonic; a post-restart redelivery is of an old batch).
+
+Checkpoints never replace log entries (history/time travel/vacuum
+still read the full log — audit-path ops, O(V) by nature); they only
+bound the HOT-path fold.
 """
 
 from __future__ import annotations
@@ -50,10 +75,20 @@ class CommitConflict(Exception):
 
 
 _LOG_DIR = "_txlog"
+_CKPT_SUFFIX = ".checkpoint.json"
+_LAST_CKPT = "_last_checkpoint"
+
+# Commits between checkpoints. Delta's default is 10; the fold cost
+# bound is interval × one small JSON read, independent of table age.
+CHECKPOINT_INTERVAL = 10
 
 
 def _log_path(table: str, version: int) -> str:
     return os.path.join(table, _LOG_DIR, f"{version:020d}.json")
+
+
+def _ckpt_path(table: str, version: int) -> str:
+    return os.path.join(table, _LOG_DIR, f"{version:020d}{_CKPT_SUFFIX}")
 
 
 @dataclass
@@ -62,37 +97,153 @@ class TxTable:
 
     path: str
 
+    def __post_init__(self) -> None:
+        # last-fold cache: one (version, adds, txns) tuple — a SINGLE
+        # attribute so concurrent writers racing through one instance
+        # (the tested path) publish it atomically under the GIL. Log
+        # entries are immutable and append-only, so a fold at version
+        # V is forever a valid base for folding toward any V' > V.
+        self._cache: tuple[int, dict[str, dict], dict[str, int]] = (-1, {}, {})
+
     # ---- log plumbing ----
     def _versions(self) -> list[int]:
         d = os.path.join(self.path, _LOG_DIR)
         if not os.path.isdir(d):
             return []
         return sorted(
-            int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+            int(f[:-5])
+            for f in os.listdir(d)
+            if f.endswith(".json") and not f.endswith(_CKPT_SUFFIX)
         )
 
     def latest_version(self) -> int:
         vs = self._versions()
         return vs[-1] if vs else -1
 
+    def _read_entry(self, version: int) -> dict:
+        with open(_log_path(self.path, version)) as f:
+            return json.load(f)
+
     def _read_log(self, upto: int | None = None) -> list[dict]:
+        """FULL log scan — audit-path only (history, vacuum). Hot-path
+        snapshot/txn folds go through ``_fold_state`` which starts from
+        the newest checkpoint instead."""
         entries = []
         for v in self._versions():
             if upto is not None and v > upto:
                 break
-            with open(_log_path(self.path, v)) as f:
-                entries.append(json.load(f))
+            entries.append(self._read_entry(v))
         return entries
 
+    # ---- checkpointing ----
+    def _checkpoint_versions(self) -> list[int]:
+        d = os.path.join(self.path, _LOG_DIR)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[: -len(_CKPT_SUFFIX)])
+            for f in os.listdir(d)
+            if f.endswith(_CKPT_SUFFIX)
+        )
+
+    def _newest_checkpoint(self, upto: int) -> dict | None:
+        """Load the newest checkpoint at version ≤ upto. The
+        ``_last_checkpoint`` pointer is a HINT (one read instead of a
+        directory listing — the Delta design for object stores where
+        LIST is slow); it is verified and the listing is the
+        fallback, so a stale or missing pointer only costs speed."""
+        hint = os.path.join(self.path, _LOG_DIR, _LAST_CKPT)
+        try:
+            with open(hint) as f:
+                v = json.load(f)["version"]
+            if v <= upto:
+                with open(_ckpt_path(self.path, v)) as f:
+                    return json.load(f)
+        except (OSError, ValueError, KeyError):
+            pass
+        for v in reversed(self._checkpoint_versions()):
+            if v <= upto:
+                try:
+                    with open(_ckpt_path(self.path, v)) as f:
+                        return json.load(f)
+                except (OSError, ValueError):
+                    continue
+        return None
+
+    @staticmethod
+    def _apply(entry: dict, adds: dict[str, dict], txns: dict[str, int]) -> None:
+        for a in entry["actions"]:
+            if "add" in a:
+                adds[a["add"]] = a
+            elif "remove" in a:
+                adds.pop(a["remove"], None)
+        t = entry.get("txn")
+        if t:
+            prev = txns.get(t["app"])
+            if prev is None or t["batch"] > prev:
+                txns[t["app"]] = t["batch"]
+
+    def _fold_state(
+        self, upto: int | None = None
+    ) -> tuple[dict[str, dict], dict[str, int]]:
+        """(live add-set, per-app latest-batch txn map) at ``upto``
+        (None = latest). Cost: one directory listing + at most
+        ``CHECKPOINT_INTERVAL`` small JSON reads from the newest
+        checkpoint — or, for a warm instance, only the entries that
+        landed since its last fold. Returned dicts are read-only."""
+        versions = self._versions()
+        latest = versions[-1] if versions else -1
+        if upto is None:
+            upto = latest
+        cache_v, cache_adds, cache_txns = self._cache
+        if upto == cache_v:
+            return cache_adds, cache_txns
+        if 0 <= cache_v < upto:
+            adds, txns, start = dict(cache_adds), dict(cache_txns), cache_v
+        else:
+            ck = self._newest_checkpoint(upto)
+            if ck is not None:
+                adds, txns, start = dict(ck["adds"]), dict(ck["txns"]), ck["version"]
+            else:
+                adds, txns, start = {}, {}, -1
+        for v in versions:
+            if start < v <= upto:
+                self._apply(self._read_entry(v), adds, txns)
+        if upto == latest:
+            self._cache = (upto, adds, txns)
+        return adds, txns
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """Write ``<version>.checkpoint.json`` + advance the
+        ``_last_checkpoint`` pointer after every interval-th commit.
+        Idempotent and race-safe: the state folded at a version is the
+        same for every writer (the log is immutable), the checkpoint
+        file is an exclusive create, and the pointer only moves
+        forward. A crash between commit and checkpoint loses nothing —
+        the next interval boundary writes the next one."""
+        if version <= 0 or version % CHECKPOINT_INTERVAL != 0:
+            return
+        adds, txns = self._fold_state(version)
+        ck = {"version": version, "adds": adds, "txns": txns}
+        try:
+            with open(_ckpt_path(self.path, version), "x") as f:
+                json.dump(ck, f)
+        except FileExistsError:
+            return  # another writer already materialized this one
+        hint = os.path.join(self.path, _LOG_DIR, _LAST_CKPT)
+        try:
+            with open(hint) as f:
+                if json.load(f)["version"] >= version:
+                    return  # never move the pointer backwards
+        except (OSError, ValueError, KeyError):
+            pass
+        tmp = hint + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, hint)
+
     def _snapshot_files(self, version: int | None = None) -> list[str]:
-        live: list[str] = []
-        for entry in self._read_log(version):
-            for a in entry["actions"]:
-                if "add" in a:
-                    live.append(a["add"])
-                elif "remove" in a:
-                    live.remove(a["remove"])
-        return live
+        return list(self._fold_state(version)[0])
 
     def _commit(
         self,
@@ -103,6 +254,13 @@ class TxTable:
     ) -> None:
         """Atomic exclusive create: exactly one writer wins version N."""
         os.makedirs(os.path.join(self.path, _LOG_DIR), exist_ok=True)
+        # r8: stamp each add with the version that created it — the
+        # provenance the native datasource serves as _commit_version.
+        # Checkpoints copy actions verbatim, so the stamp survives the
+        # fold even when the originating entry is no longer read.
+        for a in actions:
+            if "add" in a:
+                a["v"] = version
         entry = {
             "version": version,
             "op": op,
@@ -116,20 +274,42 @@ class TxTable:
                 json.dump(entry, f)
         except FileExistsError as e:
             raise CommitConflict(f"version {version} already committed") from e
+        self._maybe_checkpoint(version)
+
+    # Stored string-bound cap: log entries and checkpoints hold zone
+    # maps for EVERY live file, so unbounded string min/max (a 2 KB
+    # URL, a document body) would bloat the log itself — the same
+    # reason Delta caps stats strings (dataSkippingStringPrefixLength).
+    STRING_STATS_CAP = 32
 
     def _file_stats(self, name: str) -> dict:
-        """Per-column [min, max] zone map read straight from the
-        parquet footer (pyarrow — exact, no Spark job; the stats were
-        already computed at write time by the parquet encoder).
-        Numeric columns only: parquet string min/max may be truncated
-        by writers, and a truncated bound used for skipping would be
-        silently wrong — the classic zone-map trap."""
+        """Per-column zone map read straight from the parquet footer
+        (pyarrow — exact, no Spark job; the stats were already computed
+        at write time by the parquet encoder).
+
+        Numeric columns: ``[min, max]`` (both exact — parquet numeric
+        stats are never truncated).
+
+        String columns (r8, VERDICT r7 item 5): ``{"lo", "hi",
+        "lo_exact", "hi_exact"}``. The classic zone-map trap is a
+        TRUNCATED string bound used as if exact: a prefix of the max is
+        SMALLER than the real max, so "file.max < query.lo ⇒ skip"
+        silently drops matching files. Truncation direction decides
+        safety — a prefix of the min is still a valid LOWER bound
+        (prefix ≤ full string), so a truncated ``lo`` stays usable,
+        while a truncated ``hi`` is marked ``hi_exact: false`` and
+        ``pruned_files`` then refuses to skip on that side (an inexact
+        bound widens, never narrows, the keep-set). Truncation happens
+        here (the ``STRING_STATS_CAP`` byte cap) and is also honoured
+        when the parquet writer itself reports inexact stats
+        (``is_{min,max}_value_exact``, pyarrow ≥ 14)."""
         import numbers
 
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(os.path.join(self.path, name)).metadata
-        stats: dict = {}
+        num: dict = {}
+        strs: dict = {}
         for rg in range(md.num_row_groups):
             row_group = md.row_group(rg)
             for ci in range(row_group.num_columns):
@@ -138,31 +318,46 @@ class TxTable:
                 if st is None or not st.has_min_max:
                     continue
                 mn, mx = st.min, st.max
-                if isinstance(mn, bool) or not isinstance(
-                    mn, numbers.Number
-                ):
-                    continue
                 cname = col.path_in_schema
-                cur = stats.get(cname)
-                if cur is None:
-                    stats[cname] = [mn, mx]
-                else:
-                    stats[cname] = [min(cur[0], mn), max(cur[1], mx)]
-        return stats
+                if isinstance(mn, str) and isinstance(mx, str):
+                    mn_exact = getattr(st, "is_min_value_exact", None)
+                    mx_exact = getattr(st, "is_max_value_exact", None)
+                    cap = self.STRING_STATS_CAP
+                    lo, lo_ex = mn[:cap], (mn_exact is not False) and len(mn) <= cap
+                    hi, hi_ex = mx[:cap], (mx_exact is not False) and len(mx) <= cap
+                    cur = strs.get(cname)
+                    if cur is None:
+                        strs[cname] = {
+                            "lo": lo, "hi": hi,
+                            "lo_exact": lo_ex, "hi_exact": hi_ex,
+                        }
+                    else:
+                        # a truncated bound that merely TIES the kept
+                        # one still poisons exactness (the true value
+                        # behind the tie may extend past the cap)
+                        if lo < cur["lo"]:
+                            cur["lo"], cur["lo_exact"] = lo, lo_ex
+                        elif lo == cur["lo"] and not lo_ex:
+                            cur["lo_exact"] = False
+                        if hi > cur["hi"]:
+                            cur["hi"], cur["hi_exact"] = hi, hi_ex
+                        elif hi == cur["hi"] and not hi_ex:
+                            cur["hi_exact"] = False
+                elif not isinstance(mn, bool) and isinstance(mn, numbers.Number):
+                    cur = num.get(cname)
+                    if cur is None:
+                        num[cname] = [mn, mx]
+                    else:
+                        num[cname] = [min(cur[0], mn), max(cur[1], mx)]
+        num.update(strs)
+        return num
 
     def _add_actions(self, names: list[str]) -> list[dict]:
         return [{"add": n, "stats": self._file_stats(n)} for n in names]
 
     def _snapshot_adds(self, version: int | None = None) -> dict:
         """name -> add action (incl. stats) for the live file set."""
-        live: dict = {}
-        for entry in self._read_log(version):
-            for a in entry["actions"]:
-                if "add" in a:
-                    live[a["add"]] = a
-                elif "remove" in a:
-                    live.pop(a["remove"], None)
-        return live
+        return self._fold_state(version)[0]
 
     def _stage(self, df: DataFrame) -> list[str]:
         """Write df as immutable uniquely-named parquet files inside the
@@ -200,14 +395,28 @@ class TxTable:
     ) -> tuple[list[str], int]:
         """(surviving files, total live files) for a [lo, hi] range
         predicate on ``column`` using the committed zone maps. A file
-        without stats for the column is always kept (safe side)."""
+        without stats for the column is always kept (safe side).
+
+        String zones carry exactness flags: a file is skipped on
+        ``max < lo`` only when its ``hi`` bound is exact (a truncated
+        hi is a prefix — an UNDER-estimate of the real max — so the
+        comparison proves nothing); ``min > hi`` skipping is always
+        sound because truncation produces a prefix, and a prefix of
+        the min is still ≤ the min (a valid lower bound)."""
         adds = self._snapshot_adds(version)
         keep = []
         for name, act in adds.items():
             st = (act.get("stats") or {}).get(column)
             if st is not None:
-                mn, mx = st
-                if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                if isinstance(st, dict):
+                    mn, mx = st["lo"], st["hi"]
+                    hi_usable = st.get("hi_exact", True)
+                else:
+                    mn, mx = st
+                    hi_usable = True
+                if (lo is not None and hi_usable and mx < lo) or (
+                    hi is not None and mn > hi
+                ):
                     continue
             keep.append(name)
         return keep, len(adds)
@@ -237,15 +446,80 @@ class TxTable:
             df = df.filter(F.col(column) <= hi)
         return df
 
+    def pruned_files_in(
+        self, column: str, values, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Set-membership variant of :meth:`pruned_files`: keep a file
+        iff ANY of ``values`` can live inside its committed
+        [min, max] zone for ``column`` (r8 — the IVF-probe shape: a
+        query probing centroid lists {3, 7} reads only files whose
+        zone overlaps one of those ids). Exactness rules mirror the
+        range case: a value above a TRUNCATED hi bound cannot be ruled
+        out (the stored prefix under-estimates the real max), while
+        ``v < min`` rejection is always sound."""
+        adds = self._snapshot_adds(version)
+        keep = []
+        for name, act in adds.items():
+            st = (act.get("stats") or {}).get(column)
+            if st is not None:
+                if isinstance(st, dict):
+                    mn, mx = st["lo"], st["hi"]
+                    hi_usable = st.get("hi_exact", True)
+                else:
+                    mn, mx = st
+                    hi_usable = True
+                if not any(
+                    v >= mn and (not hi_usable or v <= mx) for v in values
+                ):
+                    continue
+            keep.append(name)
+        return keep, len(adds)
+
+    def read_pruned_in(
+        self,
+        spark: SparkSession,
+        column: str,
+        values,
+        version: int | None = None,
+    ) -> DataFrame:
+        """File-skipping IN-list read: scan only files whose zone for
+        ``column`` can contain at least one of ``values``, then apply
+        the residual isin filter."""
+        keep, _total = self.pruned_files_in(column, values, version)
+        if not keep:
+            return self.read(spark, version).filter(F.lit(False))
+        df = spark.read.parquet(*[os.path.join(self.path, f) for f in keep])
+        return df.filter(F.col(column).isin(list(values)))
+
     def append(self, df: DataFrame, max_retries: int = 10) -> int:
         """Blind append: stages files once, then retries the commit
         under conflicts (an append is valid against ANY snapshot)."""
-        names = self._stage(df)
+        return self.commit_names(self._stage(df), max_retries=max_retries)
+
+    def commit_names(
+        self,
+        names: list[str],
+        overwrite: bool = False,
+        max_retries: int = 10,
+    ) -> int:
+        """Commit already-written files in the table dir (r8 — the
+        native datasource's batch writer lands task files directly).
+        ``overwrite=True`` additionally removes the current snapshot's
+        files (mode("overwrite") semantics); the remove set is
+        recomputed on every conflict retry so a racing append's files
+        are replaced too, matching what an overwrite means."""
         actions = self._add_actions(names)
         for _ in range(max_retries):
             v = self.latest_version() + 1
+            removes = (
+                [{"remove": f} for f in self._snapshot_files(v - 1)]
+                if overwrite and v > 0
+                else []
+            )
             try:
-                self._commit(v, "append", actions)
+                self._commit(
+                    v, "overwrite" if overwrite else "append", actions + removes
+                )
                 return v
             except CommitConflict:
                 continue
@@ -307,6 +581,142 @@ class TxTable:
         self._commit(base_version + 1, "merge", actions)
         return base_version + 1
 
+    def delete(
+        self,
+        spark: SparkSession,
+        where: str,
+        prune_column: str | None = None,
+        lo=None,
+        hi=None,
+    ) -> tuple[int, int, int]:
+        """Copy-on-write DELETE (r8 — the Delta DELETE shape): rewrite
+        ONLY the files that actually contain matching rows, leave every
+        other file untouched. Returns (new version, files rewritten,
+        files untouched).
+
+        Two pruning layers keep the rewrite set minimal at 100 TB:
+        1. zone maps — with ``prune_column``/[lo, hi] given, files
+           whose committed zone cannot contain a match are skipped
+           without any I/O (same machinery as ``merge(prune_on_key)``);
+        2. hit scan — surviving candidates are scanned once with
+           ``_metadata.file_path`` and only files with ≥1 matching row
+           are rewritten (a file full of non-matching rows costs one
+           predicate scan, zero writes). The hit-file list is driver
+           state bounded by the file count — already log-sized.
+
+        The commit is add(rewritten) + remove(hit files): snapshot
+        isolation, time travel to pre-delete versions, and concurrent
+        appends all behave exactly as for MERGE."""
+        base_version = self.latest_version()
+        if base_version < 0:
+            raise ValueError(f"table {self.path} is empty")
+        candidates = (
+            self.pruned_files(prune_column, lo, hi, base_version)[0]
+            if prune_column is not None
+            else self._snapshot_files(base_version)
+        )
+        n_live = len(self._snapshot_files(base_version))
+        if not candidates:
+            return base_version, 0, n_live
+        cand_df = spark.read.parquet(
+            *[os.path.join(self.path, f) for f in candidates]
+        )
+        hit_paths = [
+            r[0]
+            for r in cand_df.filter(where)
+            .select(F.col("_metadata.file_path"))
+            .distinct()
+            .collect()
+        ]
+        hits = [os.path.basename(p) for p in hit_paths]
+        if not hits:
+            return base_version, 0, n_live
+        kept_rows = spark.read.parquet(
+            *[os.path.join(self.path, f) for f in hits]
+        ).filter(f"NOT ({where})")
+        names = self._stage(kept_rows)
+        actions = self._add_actions(names) + [{"remove": f} for f in hits]
+        self._commit(base_version + 1, "delete", actions)
+        return base_version + 1, len(hits), n_live - len(hits)
+
+    def live_files(self, version: int | None = None) -> list[tuple[str, int]]:
+        """(file name, version that added it) for the live snapshot —
+        the provenance listing the native datasource serves as
+        ``_commit_version`` (r8). Files from pre-r8 log entries carry
+        -1 (the stamp did not exist yet)."""
+        adds = self._snapshot_adds(version)
+        return [(n, a.get("v", -1)) for n, a in adds.items()]
+
+    def change_files(
+        self, since_version: int, upto: int | None = None
+    ) -> list[tuple[str, int]]:
+        """(file name, commit version) for every file added by
+        append/streamAppend commits in ``(since_version, upto]`` —
+        the file-level change feed ``read_changes`` and the streaming
+        datasource share. OPTIMIZE commits contribute nothing (their
+        files re-house already-delivered rows); row-rewriting
+        merge/delete commits raise (append-only feeds only)."""
+        if upto is None:
+            upto = self.latest_version()
+        out: list[tuple[str, int]] = []
+        for v in self._versions():
+            if not (since_version < v <= upto):
+                continue
+            entry = self._read_entry(v)
+            if entry["op"] == "optimize":
+                continue
+            if entry["op"] not in ("append", "streamAppend"):
+                raise ValueError(
+                    f"change feed crossed a row-rewriting '{entry['op']}' "
+                    f"commit at version {v}; append-only feeds required"
+                )
+            out.extend((a["add"], v) for a in entry["actions"] if "add" in a)
+        return out
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        since_version: int,
+        upto: int | None = None,
+    ) -> DataFrame:
+        """Incremental change feed for APPEND-ONLY consumption (r8 —
+        the Delta CDF idea restricted to the shapes this log can serve
+        row-exactly without per-row change tracking): every row added
+        by append/streamAppend commits in ``(since_version, upto]``,
+        stamped with ``_commit_version``. OPTIMIZE commits are
+        data-identical (pure add+remove bookkeeping) and contribute
+        NOTHING — their added files only re-house rows a consumer
+        already saw. MERGE/DELETE rewrite rows in place; serving those
+        as row-level changes needs the CDC operator family
+        (queries/pipeline.py x_cdc_*), so encountering one here raises
+        rather than silently double-delivering rewritten rows.
+
+        Cost: exactly the log entries in the requested range — the
+        incremental-consumer shape (a downstream index or aggregate
+        pulls each new version once, e.g. TxAnnIndex ingest)."""
+        latest = self.latest_version()
+        if upto is None:
+            upto = latest
+        by_version: dict[int, list[str]] = {}
+        for name, v in self.change_files(since_version, upto):
+            by_version.setdefault(v, []).append(name)
+        dfs = [
+            spark.read.parquet(
+                *[os.path.join(self.path, f) for f in files]
+            ).withColumn("_commit_version", F.lit(v))
+            for v, files in sorted(by_version.items())
+        ]
+        if not dfs:
+            return (
+                self.read(spark, latest)
+                .withColumn("_commit_version", F.lit(-1))
+                .filter(F.lit(False))
+            )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
     def append_stream_batch(
         self, df: DataFrame, app_id: str, batch_id: int, max_retries: int = 10
     ) -> int | None:
@@ -316,11 +726,37 @@ class TxTable:
         whose id is already in the log is SKIPPED instead of appended
         twice. Returns the committed version, or None for a skip.
 
-        The already-committed check re-runs inside the retry loop, so
-        two replicas racing the same batch id end with exactly one
-        commit — the loser's exclusive create fails, it re-reads the
-        log, finds its batch id, and skips."""
-        names: list[str] | None = None
+        The replay check consults the FOLDED per-app txn map (r8:
+        checkpointed + cached, not a full log scan — Delta's
+        latest-txn-per-app design): foreachBatch batch ids are
+        monotonic, so ``batch_id <= latest[app]`` identifies a
+        redelivery. Cost per commit is the fold tail since this
+        instance's last fold — typically one entry — instead of the
+        O(V) scan the r7 version paid (O(V²) over a stream's life).
+
+        The check re-runs inside the retry loop, so two replicas
+        racing the same batch id end with exactly one commit — the
+        loser's exclusive create fails, it re-folds, finds its batch
+        id recorded, and skips."""
+        return self.commit_stream_names(
+            None, app_id, batch_id, max_retries=max_retries, df=df
+        )
+
+    def commit_stream_names(
+        self,
+        names: list[str] | None,
+        app_id: str,
+        batch_id: int,
+        max_retries: int = 10,
+        df: DataFrame | None = None,
+    ) -> int | None:
+        """The exactly-once commit core, decoupled from staging (r8):
+        ``names`` are already-written files in the table dir (the
+        native datasource's stream writer lands task files directly
+        and commits them here). With ``names=None`` and ``df`` given,
+        staging is lazy — only after the dedup check says the batch is
+        genuinely new. A skipped replay leaves pre-staged ``names`` as
+        unreferenced files for vacuum (bounded: one batch's files)."""
         for _ in range(max_retries):
             # Pin the target version BEFORE the dedup check: if a racer
             # lands ANY commit between this check and our commit, our
@@ -330,11 +766,12 @@ class TxTable:
             # un-collided — caught by
             # test_stream_batch_race_lands_exactly_once.
             v = self.latest_version() + 1
-            for entry in self._read_log():
-                t = entry.get("txn")
-                if t and t["app"] == app_id and t["batch"] == batch_id:
-                    return None  # this micro-batch already landed
+            _, txns = self._fold_state()
+            latest = txns.get(app_id)
+            if latest is not None and batch_id <= latest:
+                return None  # this micro-batch already landed
             if names is None:  # stage once, only if genuinely new
+                assert df is not None
                 names = self._stage(df)
             try:
                 self._commit(
@@ -350,7 +787,12 @@ class TxTable:
             f"stream batch {batch_id} lost {max_retries} races on {self.path}"
         )
 
-    def optimize(self, spark: SparkSession, target_files: int = 1) -> int:
+    def optimize(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        cluster_by: str | list[str] | None = None,
+    ) -> int:
         """Small-file compaction (Delta OPTIMIZE shape): rewrite the
         current snapshot's files into ``target_files`` and commit the
         swap as one version. Data is bit-identical (the commit is pure
@@ -358,11 +800,45 @@ class TxTable:
         the old files, and a concurrent writer beats us cleanly via the
         exclusive create. Streaming ingest makes this essential at
         scale: one file per micro-batch per partition turns into
-        thousands of tiny files per day without it."""
+        thousands of tiny files per day without it.
+
+        ``cluster_by`` (r8, VERDICT r7 item 6) is OPTIMIZE ZORDER:
+        a single key range-repartitions + sorts so the rewritten files
+        carry DISJOINT zone-map ranges — the layout that makes
+        ``read_pruned`` / ``merge(prune_on_key=True)`` actually skip
+        files. A LIST of keys clusters on the Morton-interleaved
+        z-order key (operators/layout.py — Delta's OPTIMIZE ZORDER BY
+        shape): every interleaved column keeps locality
+        ~|file_range|^(1/k), so zone maps prune filters on ANY of
+        them, not just the primary sort column. Multi-key columns must
+        be non-negative integers (callers bucketize wider domains, per
+        layout.py). Append order decays clustering; periodic clustered
+        OPTIMIZE restores it. ``tests/test_txlog.py`` pins prune-rate
+        floors on freshly clustered tables for both forms."""
         base_version = self.latest_version()
         if base_version < 0:
             raise ValueError(f"table {self.path} is empty")
-        snapshot = self.read(spark, base_version).coalesce(target_files)
+        snapshot = self.read(spark, base_version)
+        if isinstance(cluster_by, (list, tuple)) and len(cluster_by) > 1:
+            from hephaestus_spark.operators.layout import zorder_key
+
+            snapshot = (
+                snapshot.withColumn("_zkey", zorder_key(list(cluster_by)))
+                .repartitionByRange(target_files, F.col("_zkey"))
+                .sortWithinPartitions("_zkey")
+                .drop("_zkey")
+            )
+        elif cluster_by is not None:
+            key = (
+                cluster_by[0]
+                if isinstance(cluster_by, (list, tuple))
+                else cluster_by
+            )
+            snapshot = snapshot.repartitionByRange(
+                target_files, F.col(key)
+            ).sortWithinPartitions(key)
+        else:
+            snapshot = snapshot.coalesce(target_files)
         names = self._stage(snapshot)
         actions = self._add_actions(names) + [
             {"remove": f} for f in self._snapshot_files(base_version)
@@ -390,7 +866,15 @@ class TxTable:
         older than the grace window are eligible; an in-flight commit
         cannot be older than its own staging write, so any grace
         period comfortably above a commit's stage->log latency makes
-        the race impossible (Delta's retention-check reasoning)."""
+        the race impossible (Delta's retention-check reasoning).
+
+        Also reclaims aborted ``_stage-*`` directories past the grace
+        window (r8, ADVICE): a writer that crashes inside ``_stage``
+        before the renames leaves its whole staging dir behind — no
+        log entry will ever reference it, so without this sweep it is
+        unbounded garbage."""
+        import shutil
+
         referenced = set()
         for entry in self._read_log():
             for a in entry["actions"]:
@@ -405,5 +889,12 @@ class TxTable:
                 and os.path.getmtime(full) <= cutoff
             ):
                 os.remove(full)
+                deleted.append(f)
+            elif (
+                f.startswith("_stage-")
+                and os.path.isdir(full)
+                and os.path.getmtime(full) <= cutoff
+            ):
+                shutil.rmtree(full, ignore_errors=True)
                 deleted.append(f)
         return deleted

@@ -62,9 +62,76 @@ def test_hpack_decoder_handles_incremental_indexing():
     assert dec.decode(block) == [("x-tok", "abc"), ("x-tok", "abc")]
 
 
-def test_hpack_decoder_rejects_huffman():
-    with pytest.raises(ValueError, match="Huffman"):
-        HpackDecoder().decode(bytes([0x00, 0x81, 0xFF, 0x00]))
+def test_hpack_decoder_accepts_huffman_coded_strings():
+    """r8 (VERDICT r7 item 2): real gRPC peers Huffman-code response
+    header strings by default; the decoder now decodes them. Build a
+    literal-header block with H bit set on both name and value."""
+    from hephaestus_spark.sources.hpack_huffman import huffman_encode
+
+    def hstr(s: str) -> bytes:
+        b = huffman_encode(s.encode())
+        from hephaestus_spark.sources.http2grpc import _int_encode
+
+        return _int_encode(len(b), 7, 0x80) + b
+
+    block = bytes([0x00]) + hstr("grpc-status") + hstr("0")
+    assert HpackDecoder().decode(block) == [("grpc-status", "0")]
+
+
+def test_huffman_table_is_the_rfc_7541_code():
+    """Three independent pins on the Appendix B table: Kraft equality
+    (complete prefix code), canonical reconstruction from lengths alone
+    (the RFC assigns codes canonically over (length, symbol)), and the
+    RFC 7541 Appendix C example vectors byte-for-byte."""
+    from hephaestus_spark.sources.hpack_huffman import (
+        HUFFMAN_TABLE,
+        huffman_decode,
+        huffman_encode,
+    )
+
+    assert len(HUFFMAN_TABLE) == 257
+    assert sum(1 << (30 - ln) for _, ln in HUFFMAN_TABLE) == 1 << 30
+    lengths = [ln for _, ln in HUFFMAN_TABLE]
+    code, prev = 0, None
+    for s in sorted(range(257), key=lambda s: (lengths[s], s)):
+        if prev is not None:
+            code = (code + 1) << (lengths[s] - prev)
+        prev = lengths[s]
+        assert HUFFMAN_TABLE[s][0] == code, s
+
+    vectors = [
+        ("www.example.com", "f1e3c2e5f23a6ba0ab90f4ff"),
+        ("no-cache", "a8eb10649cbf"),
+        ("custom-key", "25a849e95ba97d7f"),
+        ("custom-value", "25a849e95bb8e8b4bf"),
+        ("302", "6402"),
+        ("private", "aec3771a4b"),
+        ("Mon, 21 Oct 2013 20:13:21 GMT",
+         "d07abe941054d444a8200595040b8166e082a62d1bff"),
+        ("https://www.example.com", "9d29ad171863c78f0b97c8e9ae82ae43d3"),
+        ("307", "640eff"),
+        ("gzip", "9bd9ab"),
+        ("foo=ASDJKHQKBZXOQWEOPIUAXQWEOIU; max-age=3600; version=1",
+         "94e7821dd7f2e6c7b335dfdfcd5b3960d5af27087f3672c1ab270fb5291f9587"
+         "316065c003ed4ee5b1063d5007"),
+    ]
+    for text, hx in vectors:
+        assert huffman_encode(text.encode()).hex() == hx, text
+        assert huffman_decode(bytes.fromhex(hx)).decode() == text
+
+
+def test_huffman_padding_rules_enforced():
+    from hephaestus_spark.sources.hpack_huffman import huffman_decode
+
+    # padding must be the EOS prefix (all ones)
+    with pytest.raises(ValueError, match="padding"):
+        huffman_decode(bytes.fromhex("f1e3c2e5f23a6ba0ab90f400"))
+    # more than 7 bits of padding is an error even if all ones
+    with pytest.raises(ValueError):
+        huffman_decode(bytes([0xFF, 0xFF, 0xFF, 0xFF]))
+    # EOS never appears in well-formed input (30 one-bits + pad)
+    with pytest.raises(ValueError):
+        huffman_decode(bytes([0xFF, 0xFF, 0xFF, 0xFF, 0xFF]))
 
 
 def test_grpc_framing_round_trip():
