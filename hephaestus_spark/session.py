@@ -27,6 +27,11 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas interchange (vector ops in Q34 etc.).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python Data Source filter pushdown (r8): lets format("txlog")
+    # resolve Catalyst filters against the transaction log's zone maps
+    # and skip whole files (sources/txlog_datasource.py). Runtime-
+    # settable, so externally-created driver sessions get it too.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 
