@@ -515,3 +515,93 @@ def x_quantized_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("micro").cast("double") / 1000000) / F.count("*")
         ).alias("centroid"),
     )
+
+
+@query(
+    "x_txlog_ann_index",
+    oracle="""
+    SELECT CAST(range AS INT) AS query_id,
+           TRUE AS pruned_equals_full,
+           TRUE AS files_were_pruned,
+           TRUE AS snapshot_complete
+    FROM range(3)
+    ORDER BY query_id
+    """,
+)
+def x_txlog_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two r7 layers composed into the 100 TB vector-serving shape
+    (r8, operators/ann_index.py): an IVF-PQ index PERSISTED as
+    transactional txlog tables. Build trains PQ codebooks on ~6/7 of
+    the corpus and commits model + centroid-clustered code files; the
+    remaining slice arrives as an INCREMENTAL APPEND encoded with the
+    committed model (no retraining, no rewrite of existing files — the
+    daily-ingest path); queries probe their 2 nearest lists and the
+    index is read through zone-map file skipping on the probed
+    centroid ids (``read_pruned_in``).
+
+    The oracle pins three booleans computed in-query (the q26
+    pattern — each is a real invariant a bug would flip):
+    - ``pruned_equals_full``: per query, the top-k from the PRUNED
+      read (only files whose centroid_id zone overlaps a probed list)
+      is IDENTICAL — ids, ranks, and exact cosine doubles — to the
+      top-k from scanning every live file. Zone-map soundness at the
+      serving layer.
+    - ``files_were_pruned``: the probe actually skipped files
+      (kept < total over ≥5 live files) — without this, "pruned equals
+      full" would pass vacuously on a no-op prune.
+    - ``snapshot_complete``: the post-append snapshot holds exactly
+      one row per corpus vector — the incremental append lost nothing
+      and duplicated nothing.
+
+    Scale shape: model load is the one driver-sized read (n_lists +
+    m*k rows); probes are a broadcast; the corpus moves only through
+    the pruned file scan. At 100 TB each probe reads ~nprobe/n_lists
+    of the files — the property this query's booleans pin at test SF."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.operators.ann_index import TxAnnIndex
+
+    full = load_table(spark, sf_dir, "embeddings")
+    e = full.select("vec_id", "embedding")
+    initial = full.filter(F.col("vec_id") % 7 != 0)
+    delta = e.filter(F.col("vec_id") % 7 == 0)
+    workdir = tempfile.mkdtemp(prefix="txann-q-")
+    try:
+        idx = TxAnnIndex(f"{workdir}/ann")
+        cent = label_centroids(initial)
+        idx.build(
+            spark, initial.select("vec_id", "embedding"), cent, m=8, k=16, n_iter=3
+        )
+        idx.append(spark, delta)  # committed model, no retrain
+        queries = e.filter(F.col("vec_id").between(0, 2))
+        pr = idx.search(spark, queries, n_probe=2, pruned=True)
+        fl = idx.search(spark, queries, n_probe=2, pruned=False)
+        _probes, ids = idx.probed_centroids(spark, queries, n_probe=2)
+        kept, total = idx.codes.pruned_files_in("centroid_id", ids)
+        topk = F.array_sort(
+            F.collect_list(F.struct("rn", "vec_id", "cos_sim"))
+        )
+        p = pr.groupBy("query_id").agg(topk.alias("pl"))
+        f2 = fl.groupBy("query_id").agg(topk.alias("fl"))
+        counts = (
+            idx.codes.read(spark)
+            .agg(F.count("*").alias("n_idx"))
+            .crossJoin(e.agg(F.count("*").alias("n_corpus")))
+        )
+        out = (
+            p.join(f2, "query_id")
+            .crossJoin(F.broadcast(counts))
+            .select(
+                F.col("query_id").cast("int").alias("query_id"),
+                (F.col("pl") == F.col("fl")).alias("pruned_equals_full"),
+                F.lit(bool(kept) and len(kept) < total and total >= 5).alias(
+                    "files_were_pruned"
+                ),
+                (F.col("n_idx") == F.col("n_corpus")).alias("snapshot_complete"),
+            )
+        )
+        # materialize before the temp table vanishes (x_txlog_* pattern)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
