@@ -730,3 +730,224 @@ def x_txlog_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "x_txlog_delete",
+    oracle="""
+    WITH b AS (
+      SELECT min(c_custkey) + (max(c_custkey) - min(c_custkey)) // 3 AS k1,
+             min(c_custkey) + 2 * ((max(c_custkey) - min(c_custkey)) // 3) AS k2
+      FROM customer
+    )
+    SELECT c_custkey, c_name, c_acctbal,
+           TRUE AS files_untouched, TRUE AS delete_versioned
+    FROM customer, b
+    WHERE c_custkey NOT BETWEEN b.k1 AND b.k2
+    """,
+)
+def x_txlog_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE on the transactional table (r8,
+    sources/txlog.py::delete — the Delta DELETE shape): customers land
+    key-clustered across 8 files, then the middle third of the key
+    range is deleted. Two pruning layers bound the rewrite: zone maps
+    drop files whose [min, max] key zone cannot overlap the range, and
+    a hit scan rewrites only files with >=1 matching row — at 100 TB a
+    targeted delete (GDPR erasure, partition retirement) rewrites a
+    few files, not the table.
+
+    The oracle is the plain NOT BETWEEN filter — the hash pins that
+    the post-delete snapshot lost exactly the predicate rows and kept
+    everything else bit-identically — plus two in-query booleans:
+    ``files_untouched`` (the rewrite genuinely skipped files) and
+    ``delete_versioned`` (the PRE-delete snapshot is still readable at
+    the old version with the full row count — time travel across a
+    destructive op)."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    b = c.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    mn, mx = int(b[0]), int(b[1])
+    k1 = mn + (mx - mn) // 3
+    k2 = mn + 2 * ((mx - mn) // 3)
+    workdir = tempfile.mkdtemp(prefix="txlog-del-")
+    try:
+        t = TxTable(f"{workdir}/customers")
+        t.append(
+            c.repartitionByRange(8, F.col("c_custkey")).sortWithinPartitions(
+                "c_custkey"
+            )
+        )
+        pre_version = t.latest_version()
+        _v, rewritten, untouched = t.delete(
+            spark,
+            f"c_custkey BETWEEN {k1} AND {k2}",
+            prune_column="c_custkey",
+            lo=k1,
+            hi=k2,
+        )
+        versioned = (
+            t.read(spark, pre_version)
+            .agg((F.count("*") == F.lit(c.count())).alias("delete_versioned"))
+        )
+        out = (
+            t.read(spark)
+            .crossJoin(F.broadcast(versioned))
+            .select(
+                "c_custkey",
+                "c_name",
+                "c_acctbal",
+                F.lit(rewritten > 0 and untouched > 0).alias("files_untouched"),
+                "delete_versioned",
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "x_txlog_change_feed",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(CASE event_id % 3 WHEN 1 THEN 1 ELSE 3 END AS INT)
+             AS _commit_version
+    FROM events WHERE event_id % 3 <> 0
+    """,
+)
+def x_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change feed over the transactional log (r8,
+    sources/txlog.py::read_changes — the Delta CDF idea for the
+    append-only case): events land as three commits (event_id % 3 =
+    0, 1, 2 -> versions 0, 1, 3) with an OPTIMIZE compaction wedged in
+    between (version 2). A consumer that already processed version 0
+    pulls ``read_changes(since_version=0)`` and must receive EXACTLY
+    the batch-1 and batch-2 rows stamped with their commit versions —
+    and NOTHING from the optimize, whose added files merely re-house
+    rows the consumer already saw (the classic double-delivery trap in
+    naive file-watching CDC). The oracle reconstructs the expected
+    feed straight from the raw table; the hash pins both the rows and
+    the version stamps. Cost shape: the feed reads only the log
+    entries in the requested range — the incremental-consumer pattern
+    a downstream index (TxAnnIndex ingest) or aggregate runs on."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    workdir = tempfile.mkdtemp(prefix="txlog-cdf-")
+    try:
+        t = TxTable(f"{workdir}/events")
+        for i in range(2):
+            t.append(e.filter(F.col("event_id") % 3 == i))
+        t.optimize(spark, target_files=2)
+        t.append(e.filter(F.col("event_id") % 3 == 2))
+        out = t.read_changes(spark, since_version=0).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("_commit_version").cast("int").alias("_commit_version"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "x_txlog_datasource_roundtrip",
+    oracle="""
+    WITH b AS (
+      SELECT min(event_id) + (max(event_id) - min(event_id)) // 4 AS k1,
+             min(event_id) + (max(event_id) - min(event_id)) // 2 AS k2
+      FROM events
+    )
+    SELECT event_id, user_id, event_type,
+           TRUE AS scan_was_pruned
+    FROM events, b
+    WHERE event_id BETWEEN b.k1 AND b.k2
+    """,
+)
+def x_txlog_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The txlog as a NATIVE Spark format end-to-end (r8,
+    sources/txlog_datasource.py — PySpark 4 Python Data Source API):
+    events land in a key-clustered txlog table; a real Structured
+    Streaming query reads it back through
+    ``spark.readStream.format("txlog")`` (offsets = log versions) and
+    sinks into a SECOND txlog table through
+    ``writeStream.format("txlog")`` (exactly-once via the (app, batch)
+    txn map); finally ``spark.read.format("txlog")`` scans the sink
+    with a range predicate that Catalyst pushes into the connector,
+    where the committed zone maps skip whole files before any I/O.
+
+    The oracle is the plain SQL filter on the raw events table — the
+    hash proves the stream moved every row exactly once AND the pruned
+    connector scan lost and invented nothing — plus
+    ``scan_was_pruned``, pinned from the same zone-map decision the
+    reader makes (files skipped > 0 over >= 5 live files; the sink
+    inherits the source's clustering because the stream moves files
+    partition-per-file).
+
+    Scale shape: the stream ships Arrow batches executor-side in both
+    directions; the batch scan opens ~band/keyspace of the files; the
+    driver holds only the file-name listing (log-sized metadata)."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+    from hephaestus_spark.sources.txlog_datasource import TxLogDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(TxLogDataSource)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    b = e.agg(F.min("event_id"), F.max("event_id")).first()
+    mn, mx = int(b[0]), int(b[1])
+    k1 = mn + (mx - mn) // 4
+    k2 = mn + (mx - mn) // 2
+    workdir = tempfile.mkdtemp(prefix="txlog-dsrc-")
+    try:
+        src = TxTable(f"{workdir}/src")
+        src.append(
+            e.repartitionByRange(8, F.col("event_id")).sortWithinPartitions(
+                "event_id"
+            )
+        )
+        sink_path = f"{workdir}/sink"
+        q = (
+            spark.readStream.format("txlog")
+            .load(src.path)
+            .drop("_commit_version")
+            .writeStream.format("txlog")
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .option("appId", "x-dsrc-roundtrip")
+            .trigger(availableNow=True)
+            .start(sink_path)
+        )
+        q.awaitTermination(300)
+        sink = TxTable(sink_path)
+        kept, total = sink.pruned_files("event_id", k1, k2)
+        out = (
+            spark.read.format("txlog")
+            .load(sink_path)
+            .filter(F.col("event_id").between(k1, k2))
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.lit(total >= 5 and 0 < len(kept) < total).alias(
+                    "scan_was_pruned"
+                ),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
