@@ -23,6 +23,8 @@ import hephaestus_spark.queries  # noqa: F401 — registration
 from hephaestus_spark.registry import QUERIES
 from hephaestus_spark.session import get_session
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
 # Headline set: one representative per operator family, weighted toward
 # the shuffle/window/text-heavy queries that dominate at scale.
 HEADLINE = [
@@ -113,8 +115,6 @@ def main() -> None:
         build_samples = []
         before = None
         for i in range(runs):
-            if i == runs - 1:  # shuffle volume is plan-determined —
-                before = _shuffle_totals(spark)  # one run's delta suffices
             # `queries` times the noop execution only — comparable with
             # every prior round's records, and the number that reflects
             # plan quality at cluster scale. Construction is timed
@@ -125,6 +125,12 @@ def main() -> None:
             # is non-trivial.
             tb = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
+            if i == runs - 1:  # shuffle volume is plan-determined —
+                # one run's delta suffices; snapshot AFTER construction
+                # (r8 ADVICE) so eager build-time jobs (q33 hot-bucket
+                # collect, txlog setup) don't inflate the per-query
+                # shuffle record the docstrings cite.
+                before = _shuffle_totals(spark)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
@@ -171,6 +177,26 @@ def main() -> None:
         if skew:
             out["sf1_skew"] = skew
     print(json.dumps(out))
+    # r8 (VERDICT r7 #2): the driver's BENCH_r{N}.json wrapper keeps
+    # only a 2000-char stdout tail, so recent rounds' per-query numbers
+    # had vanished from _regressions_vs_best history. Persist the FULL
+    # record repo-locally; _bench_history() reads these too. Full runs
+    # only — a `bench.py q33` subset would poison the history — and
+    # only at the canonical sf0.1 (verify-recipe runs at sf0.01 must
+    # not clobber the round's record).
+    if not extra and sf == 0.1:
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            prior = [
+                int(m.group(1))
+                for f in os.listdir(_REPO_DIR)
+                if (m := re.match(r"BENCH(?:_LOCAL)?_r(\d+)\.json$", f))
+            ]
+            rnd = str(max(prior, default=0) + 1)
+        with open(
+            os.path.join(_REPO_DIR, f"BENCH_LOCAL_r{int(rnd):02d}.json"), "w"
+        ) as f:
+            json.dump(out, f)
     spark.stop()
 
 
@@ -263,28 +289,38 @@ def _sf1_skew_section(spark, timings: dict[str, float], sf: float) -> dict | Non
     return section
 
 
+def _best_prior(sf: float) -> dict[str, float]:
+    """Best recorded per-query time at the SAME sf across all prior
+    records: the driver's BENCH_r*.json AND the repo-local
+    BENCH_LOCAL_r*.json (r8 — driver wrappers for r6/r7 truncated to a
+    2000-char stdout tail with ``parsed: null``, silently dropping
+    those rounds from this history; the LOCAL copies are lossless)."""
+    best: dict[str, float] = {}
+    for pattern in ("BENCH_r*.json", "BENCH_LOCAL_r*.json"):
+        for path in sorted(glob.glob(os.path.join(_REPO_DIR, pattern))):
+            try:
+                with open(path) as f:
+                    rec = json.load(f)
+            except (OSError, ValueError):
+                continue
+            # driver records wrap the bench line under "parsed"
+            rec = rec.get("parsed") or rec  # "parsed" may be null
+            if rec.get("sf") != sf:
+                continue
+            for q, t in rec.get("queries", {}).items():
+                if isinstance(t, (int, float)) and t > 0:
+                    best[q] = min(best.get(q, t), t)
+    return best
+
+
 def _regressions_vs_best(
     timings: dict[str, float], sf: float, factor: float = 1.5
 ) -> dict[str, dict[str, float]]:
     """Per-query times regressing > ``factor`` vs the best recorded
-    prior round at the SAME sf (BENCH_r*.json beside this script).
-    Empty dict = healthy; when present, the driver-visible JSON carries
-    the evidence instead of hiding a plan regression in a total."""
-    best: dict[str, float] = {}
-    here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
-        try:
-            with open(path) as f:
-                rec = json.load(f)
-        except (OSError, ValueError):
-            continue
-        # driver records wrap the bench line under "parsed"
-        rec = rec.get("parsed") or rec  # driver wraps; "parsed" may be null
-        if rec.get("sf") != sf:
-            continue
-        for q, t in rec.get("queries", {}).items():
-            if isinstance(t, (int, float)) and t > 0:
-                best[q] = min(best.get(q, t), t)
+    prior round at the SAME sf. Empty dict = healthy; when present,
+    the driver-visible JSON carries the evidence instead of hiding a
+    plan regression in a total."""
+    best = _best_prior(sf)
     return {
         q: {"now": t, "best_prior": best[q]}
         for q, t in timings.items()
@@ -293,20 +329,7 @@ def _regressions_vs_best(
 
 
 def _vs_best_median(timings: dict[str, float], sf: float) -> float | None:
-    best: dict[str, float] = {}
-    here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
-        try:
-            with open(path) as f:
-                rec = json.load(f)
-        except (OSError, ValueError):
-            continue
-        rec = rec.get("parsed") or rec  # driver wraps; "parsed" may be null
-        if rec.get("sf") != sf:
-            continue
-        for q, t in rec.get("queries", {}).items():
-            if isinstance(t, (int, float)) and t > 0:
-                best[q] = min(best.get(q, t), t)
+    best = _best_prior(sf)
     ratios = sorted(t / best[q] for q, t in timings.items() if q in best)
     if not ratios:
         return None

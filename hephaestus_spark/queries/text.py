@@ -515,8 +515,9 @@ def x_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       prediction, Huffman, stuffing) is lossless, so TRUE means the
       bitstream round-trips bit-for-bit.
     - ``err_bounded``: reconstructed pixels stay within the
-      quantization-loss envelope (max |err| <= 160, mean <= 48 — far
-      under the ~85 mean a scrambled decode produces on this data;
+      quantization-loss envelope (max |err| <= 200, mean <= 48 — the
+      enforced bounds below; measured on this corpus max |err| tops out
+      ~160 and the mean far under the ~85 a scrambled decode produces;
       exact IDCT/color inversion is separately unit-pinned at qt=1 in
       tests/test_jpegcodec.py).
 

@@ -69,10 +69,16 @@ def test_bench_regression_parser(tmp_path, monkeypatch):
     (tmp_path / "BENCH_r03.json").write_text(
         json.dumps({"sf": 0.01, "queries": {"qa": 0.01}})
     )
-    monkeypatch.setattr(
-        bench.os.path, "dirname", lambda _p: str(tmp_path)
+    # r8: repo-local lossless records join the history (the driver's
+    # wrapper truncates long stdout to a tail with parsed: null)
+    (tmp_path / "BENCH_LOCAL_r04.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"qb": 1.2}})
     )
+    monkeypatch.setattr(bench, "_REPO_DIR", str(tmp_path))
     out = bench._regressions_vs_best({"qa": 0.9, "qb": 2.1}, sf=0.1)
     # best prior qa = 0.4 (from the wrapped record, NOT the 0.01-sf one);
-    # 0.9 > 0.4*1.5 -> flagged. qb 2.1 < 2.0*1.5 -> not flagged.
-    assert out == {"qa": {"now": 0.9, "best_prior": 0.4}}
+    # qb best = 1.2 (from the LOCAL record); 2.1 > 1.2*1.5 -> flagged.
+    assert out == {
+        "qa": {"now": 0.9, "best_prior": 0.4},
+        "qb": {"now": 2.1, "best_prior": 1.2},
+    }
