@@ -951,3 +951,85 @@ def x_txlog_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "x_txlog_delete_vectors",
+    oracle="""
+    WITH b AS (
+      SELECT min(c_custkey) + (max(c_custkey) - min(c_custkey)) // 3 AS k1,
+             min(c_custkey) + 2 * ((max(c_custkey) - min(c_custkey)) // 3) AS k2
+      FROM customer
+    )
+    SELECT c_custkey, c_name, c_acctbal,
+           TRUE AS zero_write_amplification, TRUE AS delete_versioned
+    FROM customer, b
+    WHERE c_custkey NOT BETWEEN b.k1 AND b.k2
+    """,
+)
+def x_txlog_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (r8,
+    sources/txlog.py::delete_mor — the modern Delta/Iceberg v3 shape,
+    and the at-scale answer the module docstring promised): instead of
+    rewriting files, the delete commits a small parquet of
+    (file, row position) tombstones; every read path applies them as
+    one anti-join until OPTIMIZE materializes the deletes. A targeted
+    erasure on a 100 TB table writes kilobytes.
+
+    Same oracle as the copy-on-write x_txlog_delete — the hash proves
+    the TWO delete strategies are observationally identical — plus two
+    pinned booleans: ``zero_write_amplification`` (the live DATA file
+    set after the delete is bit-identical to before: nothing was
+    rewritten, the zone-pruned hit scan only wrote tombstones) and
+    ``delete_versioned`` (the pre-delete snapshot still reads in full
+    at the old version — time travel ignores later tombstones)."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    b = c.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    mn, mx = int(b[0]), int(b[1])
+    k1 = mn + (mx - mn) // 3
+    k2 = mn + 2 * ((mx - mn) // 3)
+    workdir = tempfile.mkdtemp(prefix="txlog-dv-")
+    try:
+        t = TxTable(f"{workdir}/customers")
+        t.append(
+            c.repartitionByRange(8, F.col("c_custkey")).sortWithinPartitions(
+                "c_custkey"
+            )
+        )
+        pre_version = t.latest_version()
+        files_before = sorted(n for n, _v in t.live_files())
+        _v, covered, n_rows = t.delete_mor(
+            spark,
+            f"c_custkey BETWEEN {k1} AND {k2}",
+            prune_column="c_custkey",
+            lo=k1,
+            hi=k2,
+        )
+        files_after = sorted(n for n, _v in t.live_files())
+        versioned = (
+            t.read(spark, pre_version)
+            .agg((F.count("*") == F.lit(c.count())).alias("delete_versioned"))
+        )
+        out = (
+            t.read(spark)
+            .crossJoin(F.broadcast(versioned))
+            .select(
+                "c_custkey",
+                "c_name",
+                "c_acctbal",
+                F.lit(
+                    files_after == files_before and covered > 0 and n_rows > 0
+                ).alias("zero_write_amplification"),
+                "delete_versioned",
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

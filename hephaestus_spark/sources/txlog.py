@@ -98,12 +98,15 @@ class TxTable:
     path: str
 
     def __post_init__(self) -> None:
-        # last-fold cache: one (version, adds, txns) tuple — a SINGLE
-        # attribute so concurrent writers racing through one instance
-        # (the tested path) publish it atomically under the GIL. Log
-        # entries are immutable and append-only, so a fold at version
-        # V is forever a valid base for folding toward any V' > V.
-        self._cache: tuple[int, dict[str, dict], dict[str, int]] = (-1, {}, {})
+        # last-fold cache: one (version, adds, txns, dvs) tuple — a
+        # SINGLE attribute so concurrent writers racing through one
+        # instance (the tested path) publish it atomically under the
+        # GIL. Log entries are immutable and append-only, so a fold at
+        # version V is forever a valid base for folding toward any
+        # V' > V.
+        self._cache: tuple[
+            int, dict[str, dict], dict[str, int], dict[str, list[str]]
+        ] = (-1, {}, {}, {})
 
     # ---- log plumbing ----
     def _versions(self) -> list[int]:
@@ -171,12 +174,26 @@ class TxTable:
         return None
 
     @staticmethod
-    def _apply(entry: dict, adds: dict[str, dict], txns: dict[str, int]) -> None:
+    def _apply(
+        entry: dict,
+        adds: dict[str, dict],
+        txns: dict[str, int],
+        dvs: dict[str, list[str]],
+    ) -> None:
         for a in entry["actions"]:
             if "add" in a:
                 adds[a["add"]] = a
             elif "remove" in a:
+                # a removed (rewritten/compacted) file takes its
+                # deletion vectors with it: the new files already
+                # materialized the deletes
                 adds.pop(a["remove"], None)
+                dvs.pop(a["remove"], None)
+            elif "dv" in a:
+                # merge-on-read delete (r8): the dv parquet holds
+                # (file, pos) tombstones for the listed data files
+                for f in a["files"]:
+                    dvs.setdefault(f, []).append(a["dv"])
         t = entry.get("txn")
         if t:
             prev = txns.get(t["app"])
@@ -185,33 +202,36 @@ class TxTable:
 
     def _fold_state(
         self, upto: int | None = None
-    ) -> tuple[dict[str, dict], dict[str, int]]:
-        """(live add-set, per-app latest-batch txn map) at ``upto``
-        (None = latest). Cost: one directory listing + at most
-        ``CHECKPOINT_INTERVAL`` small JSON reads from the newest
-        checkpoint — or, for a warm instance, only the entries that
-        landed since its last fold. Returned dicts are read-only."""
+    ) -> tuple[dict[str, dict], dict[str, int], dict[str, list[str]]]:
+        """(live add-set, per-app latest-batch txn map, per-file
+        deletion-vector files) at ``upto`` (None = latest). Cost: one
+        directory listing + at most ``CHECKPOINT_INTERVAL`` small JSON
+        reads from the newest checkpoint — or, for a warm instance,
+        only the entries that landed since its last fold. Returned
+        dicts are read-only."""
         versions = self._versions()
         latest = versions[-1] if versions else -1
         if upto is None:
             upto = latest
-        cache_v, cache_adds, cache_txns = self._cache
+        cache_v, cache_adds, cache_txns, cache_dvs = self._cache
         if upto == cache_v:
-            return cache_adds, cache_txns
+            return cache_adds, cache_txns, cache_dvs
         if 0 <= cache_v < upto:
             adds, txns, start = dict(cache_adds), dict(cache_txns), cache_v
+            dvs = {k: list(v) for k, v in cache_dvs.items()}
         else:
             ck = self._newest_checkpoint(upto)
             if ck is not None:
                 adds, txns, start = dict(ck["adds"]), dict(ck["txns"]), ck["version"]
+                dvs = {k: list(v) for k, v in ck.get("dvs", {}).items()}
             else:
-                adds, txns, start = {}, {}, -1
+                adds, txns, dvs, start = {}, {}, {}, -1
         for v in versions:
             if start < v <= upto:
-                self._apply(self._read_entry(v), adds, txns)
+                self._apply(self._read_entry(v), adds, txns, dvs)
         if upto == latest:
-            self._cache = (upto, adds, txns)
-        return adds, txns
+            self._cache = (upto, adds, txns, dvs)
+        return adds, txns, dvs
 
     def _maybe_checkpoint(self, version: int) -> None:
         """Write ``<version>.checkpoint.json`` + advance the
@@ -223,8 +243,8 @@ class TxTable:
         the next interval boundary writes the next one."""
         if version <= 0 or version % CHECKPOINT_INTERVAL != 0:
             return
-        adds, txns = self._fold_state(version)
-        ck = {"version": version, "adds": adds, "txns": txns}
+        adds, txns, dvs = self._fold_state(version)
+        ck = {"version": version, "adds": adds, "txns": txns, "dvs": dvs}
         try:
             with open(_ckpt_path(self.path, version), "x") as f:
                 json.dump(ck, f)
@@ -377,6 +397,100 @@ class TxTable:
         shutil.rmtree(tmp, ignore_errors=True)
         return names
 
+    # ---- deletion vectors (r8, merge-on-read) ----
+    def dv_map(self, version: int | None = None) -> dict[str, list[str]]:
+        """data file name -> deletion-vector parquet names, live at
+        ``version`` (folded with the snapshot; a rewritten/compacted
+        file drops its vectors because the new files materialized the
+        deletes)."""
+        return self._fold_state(version)[2]
+
+    def _scan(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        version: int | None = None,
+        keep_keys: bool = False,
+    ) -> DataFrame:
+        """Scan specific live data files with deletion vectors applied
+        — EVERY data-serving path goes through here, because a row
+        tombstoned by ``delete_mor`` must be invisible to reads,
+        merges, compactions and copy-on-write deletes alike (a single
+        missed path would resurrect it). Tombstone application is one
+        left-anti join on (file name, row position) against the DV
+        parquets; with no vectors live the plan is the plain scan.
+        ``keep_keys=True`` leaves the ``_f``/``_p`` provenance columns
+        for callers that need per-row file identity (the delete paths).
+        """
+        # mergeSchema: widening appends (r8 schema evolution) — older
+        # files surface the new columns as nulls; parquet merges
+        # footers, no data rewrite
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
+        dvs = self.dv_map(version)
+        dv_names = sorted({d for f in files for d in dvs.get(f, [])})
+        if not dv_names and not keep_keys:
+            return df
+        keyed = df.withColumn(
+            "_f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        ).withColumn("_p", F.col("_metadata.row_index"))
+        if dv_names:
+            dv = spark.read.parquet(
+                *[os.path.join(self.path, n) for n in dv_names]
+            ).select(F.col("file").alias("_dvf"), F.col("pos").alias("_dvp"))
+            keyed = keyed.join(
+                dv,
+                (F.col("_f") == F.col("_dvf")) & (F.col("_p") == F.col("_dvp")),
+                "left_anti",
+            )
+        return keyed if keep_keys else keyed.drop("_f", "_p")
+
+    def delete_mor(
+        self,
+        spark: SparkSession,
+        where: str,
+        prune_column: str | None = None,
+        lo=None,
+        hi=None,
+    ) -> tuple[int, int, int]:
+        """Merge-on-read DELETE (r8 — the modern Delta/Iceberg v3
+        shape): instead of rewriting files, write a deletion-vector
+        parquet of (file, pos) tombstones and commit it as a ``dv``
+        action. Zero write amplification — a targeted delete on a
+        100 TB table writes kilobytes — at the cost of one anti-join
+        per read until OPTIMIZE materializes the deletes (compaction
+        reads through :meth:`_scan`, so rewritten files shed their
+        vectors in the same commit). Returns (version, files covered,
+        rows tombstoned); (base, 0, 0) when nothing matches.
+
+        Conflict semantics match ``merge``: tombstone positions are
+        only valid against the snapshot that was read, so a racing
+        commit raises CommitConflict instead of blind-retrying."""
+        base_version = self.latest_version()
+        if base_version < 0:
+            raise ValueError(f"table {self.path} is empty")
+        candidates = (
+            self.pruned_files(prune_column, lo, hi, base_version)[0]
+            if prune_column is not None
+            else self._snapshot_files(base_version)
+        )
+        if not candidates:
+            return base_version, 0, 0
+        cand = self._scan(spark, candidates, base_version, keep_keys=True)
+        hits = cand.filter(where).select(
+            F.col("_f").alias("file"), F.col("_p").alias("pos")
+        )
+        covered = sorted(r[0] for r in hits.select("file").distinct().collect())
+        if not covered:
+            return base_version, 0, 0
+        n_rows = hits.count()
+        # one small tombstone file per commit: DV size ~ deleted rows
+        names = self._stage(hits.repartition(1))
+        actions = [{"dv": n, "files": covered} for n in names]
+        self._commit(base_version + 1, "deleteMor", actions)
+        return base_version + 1, len(covered), n_rows
+
     # ---- public API ----
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read, optionally pinned to a past version (time
@@ -384,7 +498,7 @@ class TxTable:
         files = self._snapshot_files(version)
         if not files:
             raise ValueError(f"table {self.path} has no data at version {version}")
-        return spark.read.parquet(*[os.path.join(self.path, f) for f in files])
+        return self._scan(spark, files, version)
 
     def pruned_files(
         self,
@@ -439,7 +553,7 @@ class TxTable:
         if not keep:
             base = self.read(spark, version)
             return base.filter(F.lit(False))
-        df = spark.read.parquet(*[os.path.join(self.path, f) for f in keep])
+        df = self._scan(spark, keep, version)
         if lo is not None:
             df = df.filter(F.col(column) >= lo)
         if hi is not None:
@@ -488,7 +602,7 @@ class TxTable:
         keep, _total = self.pruned_files_in(column, values, version)
         if not keep:
             return self.read(spark, version).filter(F.lit(False))
-        df = spark.read.parquet(*[os.path.join(self.path, f) for f in keep])
+        df = self._scan(spark, keep, version)
         return df.filter(F.col(column).isin(list(values)))
 
     def append(self, df: DataFrame, max_retries: int = 10) -> int:
@@ -568,9 +682,7 @@ class TxTable:
                 touched = set(touch)
                 old_files = [f for f in old_files if f in touched]
             if old_files:
-                snapshot = spark.read.parquet(
-                    *[os.path.join(self.path, f) for f in old_files]
-                ).select(*cols)
+                snapshot = self._scan(spark, old_files, base_version).select(*cols)
                 merged = scd1_merge(
                     snapshot, staged.select(*cols), key, compare_cols
                 ).drop("action")
@@ -618,22 +730,20 @@ class TxTable:
         n_live = len(self._snapshot_files(base_version))
         if not candidates:
             return base_version, 0, n_live
-        cand_df = spark.read.parquet(
-            *[os.path.join(self.path, f) for f in candidates]
-        )
-        hit_paths = [
+        cand_df = self._scan(spark, candidates, base_version, keep_keys=True)
+        hits = [
             r[0]
-            for r in cand_df.filter(where)
-            .select(F.col("_metadata.file_path"))
-            .distinct()
-            .collect()
+            for r in cand_df.filter(where).select("_f").distinct().collect()
         ]
-        hits = [os.path.basename(p) for p in hit_paths]
         if not hits:
             return base_version, 0, n_live
-        kept_rows = spark.read.parquet(
-            *[os.path.join(self.path, f) for f in hits]
-        ).filter(f"NOT ({where})")
+        # DV-aware rewrite: tombstoned rows must NOT resurrect, and the
+        # rewritten files shed their vectors (they are removed below)
+        kept_rows = (
+            self._scan(spark, hits, base_version, keep_keys=True)
+            .filter(f"NOT ({where})")
+            .drop("_f", "_p")
+        )
         names = self._stage(kept_rows)
         actions = self._add_actions(names) + [{"remove": f} for f in hits]
         self._commit(base_version + 1, "delete", actions)
@@ -701,9 +811,9 @@ class TxTable:
         for name, v in self.change_files(since_version, upto):
             by_version.setdefault(v, []).append(name)
         dfs = [
-            spark.read.parquet(
-                *[os.path.join(self.path, f) for f in files]
-            ).withColumn("_commit_version", F.lit(v))
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(self.path, f) for f in files])
+            .withColumn("_commit_version", F.lit(v))
             for v, files in sorted(by_version.items())
         ]
         if not dfs:
@@ -714,7 +824,8 @@ class TxTable:
             )
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            # allowMissingColumns: a feed may cross a widening append
+            out = out.unionByName(d, allowMissingColumns=True)
         return out
 
     def append_stream_batch(
@@ -766,7 +877,7 @@ class TxTable:
             # un-collided — caught by
             # test_stream_batch_race_lands_exactly_once.
             v = self.latest_version() + 1
-            _, txns = self._fold_state()
+            _, txns, _dvs = self._fold_state()
             latest = txns.get(app_id)
             if latest is not None and batch_id <= latest:
                 return None  # this micro-batch already landed
@@ -878,7 +989,7 @@ class TxTable:
         referenced = set()
         for entry in self._read_log():
             for a in entry["actions"]:
-                referenced.add(a.get("add") or a.get("remove"))
+                referenced.add(a.get("add") or a.get("remove") or a.get("dv"))
         deleted = []
         cutoff = time.time() - grace_seconds
         for f in os.listdir(self.path):

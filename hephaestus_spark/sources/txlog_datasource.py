@@ -74,6 +74,12 @@ VERSION_COL = "_commit_version"
 class TxLogPartition(InputPartition):
     file_path: str
     commit_version: int
+    # deletion-vector parquet paths covering this file (r8 merge-on-
+    # read deletes); the task masks tombstoned row positions locally
+    dv_paths: tuple = ()
+    # target arrow schema (sans version column) for widening-append
+    # schema evolution: older files surface missing columns as nulls
+    target_schema: object = None
 
 
 @dataclass
@@ -81,33 +87,80 @@ class TxLogCommitMessage(WriterCommitMessage):
     names: list[str]
 
 
-def _table_schema(table: TxTable) -> "pa.Schema":
+def _table_schema(table: TxTable, version: int | None = None) -> "pa.Schema":
     """Arrow schema of the live data files (footer read, no Spark
-    job). The newest-added file wins, matching parquet's mergeSchema
-    last-writer precedence for the append-only evolution this layer
-    allows."""
+    job). The newest-added file wins — widening-append evolution's
+    last-writer precedence; older files are aligned at read time
+    (missing columns as nulls, see ``_align``)."""
     import pyarrow.parquet as pq
 
-    files = table.live_files()
+    files = table.live_files(version)
     if not files:
         raise ValueError(f"txlog table {table.path} has no data")
     newest = max(files, key=lambda nv: nv[1])[0]
     return pq.read_schema(os.path.join(table.path, newest))
 
 
+def _align(batch: "pa.RecordBatch", target: "pa.Schema") -> "pa.RecordBatch":
+    """Project a batch onto the target schema: missing columns (an
+    older file before a widening append) become nulls, compatible
+    type drift is cast, extra columns are dropped."""
+    import pyarrow as pa
+
+    if batch.schema == target:
+        return batch
+    arrays = []
+    for field in target:
+        idx = batch.schema.get_field_index(field.name)
+        if idx >= 0:
+            col = batch.column(idx)
+            if col.type != field.type:
+                col = col.cast(field.type)
+        else:
+            col = pa.nulls(batch.num_rows, field.type)
+        arrays.append(col)
+    return pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
 def _read_file_batches(
-    file_path: str, commit_version: int
+    file_path: str,
+    commit_version: int,
+    dv_paths: tuple = (),
+    target_schema: "pa.Schema | None" = None,
 ) -> Iterator["pa.RecordBatch"]:
     """Executor-side: stream a parquet file as Arrow batches with the
-    provenance column appended. No Spark state, no row materialization."""
+    provenance column appended and deletion-vector tombstones masked
+    out (positions are file-local row indices; a running offset maps
+    them onto each batch). No Spark state, no row materialization."""
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    tombstones: set[int] = set()
+    if dv_paths:
+        base = os.path.basename(file_path)
+        for dvp in dv_paths:
+            t = pq.read_table(dvp, columns=["file", "pos"])
+            mask = pc.equal(t.column("file"), base)
+            tombstones.update(t.filter(mask).column("pos").to_pylist())
     pf = pq.ParquetFile(file_path)
+    offset = 0
     for batch in pf.iter_batches():
-        yield batch.append_column(
-            VERSION_COL, pa.array([commit_version] * batch.num_rows, pa.int64())
-        )
+        n = batch.num_rows
+        if tombstones:
+            keep = [
+                i for i in range(n) if (offset + i) not in tombstones
+            ]
+            if len(keep) < n:
+                batch = batch.take(pa.array(keep, pa.int64()))
+        offset += n
+        if batch.num_rows:
+            if target_schema is not None:
+                batch = _align(batch, target_schema)
+            yield batch.append_column(
+                VERSION_COL,
+                pa.array([commit_version] * batch.num_rows, pa.int64()),
+            )
 
 
 def _zone_prunable(filters: list[Filter]) -> dict[str, list]:
@@ -134,10 +187,23 @@ def _zone_prunable(filters: list[Filter]) -> dict[str, list]:
     return probes
 
 
+def _declared_arrow_schema(schema: StructType) -> "pa.Schema":
+    """The query's declared schema (minus the provenance column) as
+    the arrow alignment target — honors an explicit .schema(...) and
+    keeps stream batches stable across mid-stream widening appends."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    data_fields = [f for f in schema.fields if f.name != VERSION_COL]
+    return to_arrow_schema(StructType(data_fields))
+
+
 class TxLogBatchReader(DataSourceReader):
-    def __init__(self, table: TxTable, version: int | None):
+    def __init__(
+        self, table: TxTable, version: int | None, target_schema=None
+    ):
         self.table = table
         self.version = version
+        self.target_schema = target_schema
         self._keep: set[str] | None = None
 
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
@@ -162,20 +228,41 @@ class TxLogBatchReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         live = self.table.live_files(self.version)
         keep = self._keep if self._keep is not None else {n for n, _ in live}
+        dvs = self.table.dv_map(self.version)
+        target = (
+            self.target_schema
+            if self.target_schema is not None
+            else _table_schema(self.table, self.version)
+        )
         return [
-            TxLogPartition(os.path.join(self.table.path, n), v)
+            TxLogPartition(
+                os.path.join(self.table.path, n),
+                v,
+                tuple(
+                    os.path.join(self.table.path, d) for d in dvs.get(n, ())
+                ),
+                target,
+            )
             for n, v in live
             if n in keep
         ]
 
     def read(self, partition: TxLogPartition):  # type: ignore[override]
-        yield from _read_file_batches(partition.file_path, partition.commit_version)
+        yield from _read_file_batches(
+            partition.file_path,
+            partition.commit_version,
+            partition.dv_paths,
+            partition.target_schema,
+        )
 
 
 class TxLogStreamReader(DataSourceStreamReader):
-    def __init__(self, table: TxTable, starting_version: int):
+    def __init__(
+        self, table: TxTable, starting_version: int, target_schema=None
+    ):
         self.table = table
         self.starting_version = starting_version
+        self.target_schema = target_schema
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
@@ -185,12 +272,19 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         return [
-            TxLogPartition(os.path.join(self.table.path, n), v)
+            TxLogPartition(
+                os.path.join(self.table.path, n), v, (), self.target_schema
+            )
             for n, v in self.table.change_files(start["version"], end["version"])
         ]
 
     def read(self, partition: TxLogPartition):  # type: ignore[override]
-        yield from _read_file_batches(partition.file_path, partition.commit_version)
+        yield from _read_file_batches(
+            partition.file_path,
+            partition.commit_version,
+            partition.dv_paths,
+            partition.target_schema,
+        )
 
     def commit(self, end: dict) -> None:
         pass  # the log is the source of truth; nothing to release
@@ -268,14 +362,17 @@ class TxLogDataSource(DataSource):
 
     def reader(self, schema: StructType) -> TxLogBatchReader:
         v = self.options.get("version")
-        return self._reader_for(None if v is None else int(v))
-
-    def _reader_for(self, version: int | None) -> TxLogBatchReader:
-        return TxLogBatchReader(self._table(), version)
+        return TxLogBatchReader(
+            self._table(),
+            None if v is None else int(v),
+            _declared_arrow_schema(schema),
+        )
 
     def streamReader(self, schema: StructType) -> TxLogStreamReader:
         return TxLogStreamReader(
-            self._table(), int(self.options.get("startingversion", -1))
+            self._table(),
+            int(self.options.get("startingversion", -1)),
+            _declared_arrow_schema(schema),
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> TxLogStreamWriter:
