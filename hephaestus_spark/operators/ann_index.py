@@ -166,6 +166,19 @@ class TxAnnIndex:
         centroids, cbs, _v = self.load_model(spark)
         return self.codes.append(self._encode(delta, centroids, cbs))
 
+    def append_stream(
+        self, spark: SparkSession, delta: DataFrame, app_id: str, batch_id: int
+    ) -> int | None:
+        """Streaming ingest (r8): the foreachBatch body for keeping
+        the index current off a live feed — encode with the committed
+        model, land through the exactly-once (app, batch) txn commit.
+        A redelivered micro-batch after a restart indexes nothing
+        twice. Returns the committed version, or None for a replay."""
+        centroids, cbs, _v = self.load_model(spark)
+        return self.codes.append_stream_batch(
+            self._encode(delta, centroids, cbs), app_id, batch_id
+        )
+
     # ---- serving ----
     def probed_centroids(
         self,

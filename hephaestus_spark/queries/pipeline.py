@@ -1033,3 +1033,45 @@ def x_txlog_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "x_txlog_metadata_stats",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           TRUE AS answered_from_metadata
+    FROM orders
+    """,
+)
+def x_txlog_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates (r8, TxTable.stats_summary — Delta's
+    metadata-query shape): COUNT(*)/MIN/MAX answered entirely from the
+    transaction log — per-file footer row counts recorded in each add
+    action, bounds folded from the committed zone maps — with ZERO
+    data files scanned. On a 100 TB table this is the difference
+    between an instant answer and a full scan. The oracle computes the
+    same three values BY scanning, so the hash proves the log's
+    bookkeeping agrees with the data exactly; the pinned boolean
+    carries stats_summary's own exactness verdict (row counts present,
+    bounds exact, no live deletion vectors)."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    workdir = tempfile.mkdtemp(prefix="txlog-meta-")
+    try:
+        t = TxTable(f"{workdir}/orders")
+        t.append(o.repartitionByRange(8, F.col("o_orderkey")))
+        s = t.stats_summary("o_totalprice")
+        ok = bool(s["count_exact"] and s["bounds_exact"])
+        return spark.createDataFrame(
+            [(int(s["count"]), float(s["min"]), float(s["max"]), ok)],
+            "n_rows bigint, min_price double, max_price double,"
+            " answered_from_metadata boolean",
+        )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -225,6 +225,15 @@ class TxTable:
                 adds, txns, start = dict(ck["adds"]), dict(ck["txns"]), ck["version"]
                 dvs = {k: list(v) for k, v in ck.get("dvs", {}).items()}
             else:
+                # r8 retention: folding from nothing is only sound when
+                # the log genuinely starts at version 0 — after
+                # expire_log, versions below the horizon are GONE and a
+                # fold would silently produce a wrong snapshot
+                if versions and versions[0] > 0:
+                    raise ValueError(
+                        f"version {upto} of {self.path} predates the log "
+                        f"horizon {versions[0]} (expired by expire_log)"
+                    )
                 adds, txns, dvs, start = {}, {}, {}, -1
         for v in versions:
             if start < v <= upto:
@@ -372,8 +381,18 @@ class TxTable:
         num.update(strs)
         return num
 
+    def _file_rows(self, name: str) -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(os.path.join(self.path, name)).metadata.num_rows
+
     def _add_actions(self, names: list[str]) -> list[dict]:
-        return [{"add": n, "stats": self._file_stats(n)} for n in names]
+        # rows: per-file row count from the footer (r8) — the log can
+        # then answer COUNT(*) without touching data (stats_summary)
+        return [
+            {"add": n, "stats": self._file_stats(n), "rows": self._file_rows(n)}
+            for n in names
+        ]
 
     def _snapshot_adds(self, version: int | None = None) -> dict:
         """name -> add action (incl. stats) for the live file set."""
@@ -404,6 +423,58 @@ class TxTable:
         file drops its vectors because the new files materialized the
         deletes)."""
         return self._fold_state(version)[2]
+
+    def stats_summary(
+        self, column: str | None = None, version: int | None = None
+    ) -> dict:
+        """Metadata-only COUNT/MIN/MAX (r8 — Delta's metadata query
+        shape: ``SELECT count(*)`` on a 100 TB table answers from the
+        log, zero data scanned). Returns ``{"count", "count_exact"}``
+        plus, with ``column``, ``{"min", "max", "bounds_exact"}``.
+
+        - count = Σ per-file footer row counts (recorded in each add
+          action) − live tombstones (deletion-vector parquets are
+          KB-sized by design, read driver-side). ``count_exact`` is
+          False when pre-r8 add actions lack the row count.
+        - min/max fold the committed zone maps; ``bounds_exact`` is
+          False when any live file lacks stats for the column, carries
+          truncated string bounds, or deletion vectors are live (a
+          tombstone may have removed the extreme row — the bounds then
+          only BRACKET the truth, they never lie inward)."""
+        adds, _txns, dvs = self._fold_state(version)
+        missing_rows = any("rows" not in a for a in adds.values())
+        count = sum(a.get("rows", 0) for a in adds.values())
+        dv_names = sorted({d for ds in dvs.values() for d in ds})
+        if dv_names:
+            import pyarrow.parquet as pq
+
+            live = set(adds)
+            for n in dv_names:
+                t = pq.read_table(
+                    os.path.join(self.path, n), columns=["file"]
+                )
+                count -= sum(
+                    1 for f in t.column("file").to_pylist() if f in live
+                )
+        out: dict = {"count": count, "count_exact": not missing_rows}
+        if column is not None:
+            lo = hi = None
+            exact = not dv_names
+            for a in adds.values():
+                st = (a.get("stats") or {}).get(column)
+                if st is None:
+                    exact = False
+                    continue
+                if isinstance(st, dict):
+                    mn, mx = st["lo"], st["hi"]
+                    if not (st.get("lo_exact", True) and st.get("hi_exact", True)):
+                        exact = False
+                else:
+                    mn, mx = st
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            out.update({"min": lo, "max": hi, "bounds_exact": exact})
+        return out
 
     def _scan(
         self,
@@ -768,8 +839,18 @@ class TxTable:
         merge/delete commits raise (append-only feeds only)."""
         if upto is None:
             upto = self.latest_version()
+        versions = self._versions()
+        # r8 retention: serving a range that reaches below the log
+        # horizon would silently DROP the expired commits' rows — the
+        # one thing a change feed must never do. Fail loudly instead.
+        if versions and versions[0] > 0 and since_version < versions[0] - 1:
+            raise ValueError(
+                f"change feed from {since_version} reaches below the log "
+                f"horizon {versions[0]} of {self.path} (expired by "
+                f"expire_log); restart from a version >= {versions[0] - 1}"
+            )
         out: list[tuple[str, int]] = []
-        for v in self._versions():
+        for v in versions:
             if not (since_version < v <= upto):
                 continue
             entry = self._read_entry(v)
@@ -964,11 +1045,48 @@ class TxTable:
             for e in self._read_log()
         ]
 
+    def expire_log(self, retain_versions: int = 0) -> list[int]:
+        """Log retention (r8 — Delta's logRetentionDuration, counted in
+        versions): delete log entries BELOW the newest checkpoint
+        (minus ``retain_versions`` of slack), plus superseded
+        checkpoint files. Checkpointing bounds the FOLD cost but not
+        log storage — a year-long 1-minute stream leaves ~526k entry
+        files; this is the other half of the lifecycle.
+
+        The newest checkpoint subsumes everything below it, so current
+        reads, time travel at/after the horizon, and the exactly-once
+        txn map are unaffected (all fold from the checkpoint). Time
+        travel BELOW the horizon raises a clear error (``_fold_state``
+        horizon guard), ``history()`` starts at the horizon, and the
+        next ``vacuum`` reclaims data files that only pre-horizon
+        versions referenced — the storage point of expiry. Returns the
+        expired entry versions."""
+        cks = self._checkpoint_versions()
+        if not cks:
+            return []
+        horizon = cks[-1] - retain_versions
+        expired = []
+        for v in self._versions():
+            if v < horizon:
+                try:
+                    os.remove(_log_path(self.path, v))
+                    expired.append(v)
+                except OSError:
+                    pass
+        for cv in cks[:-1]:  # superseded checkpoints
+            if cv < horizon:
+                try:
+                    os.remove(_ckpt_path(self.path, cv))
+                except OSError:
+                    pass
+        return expired
+
     def vacuum(self, grace_seconds: float = 3600.0) -> list[str]:
         """Remove files unreferenced by ANY log version (aborted
         stages), returning what was deleted. Deleting removed-but-
         historical files would break the time-travel promise, so those
-        always survive.
+        always survive — until ``expire_log`` moves the horizon past
+        them.
 
         ``grace_seconds`` closes the in-flight-commit race (found in
         review): a concurrent append has ALREADY renamed its staged
@@ -990,6 +1108,20 @@ class TxTable:
         for entry in self._read_log():
             for a in entry["actions"]:
                 referenced.add(a.get("add") or a.get("remove") or a.get("dv"))
+        # r8 retention: after expire_log, files live at the horizon are
+        # referenced ONLY by the surviving checkpoints' add-sets —
+        # without this union vacuum would delete live data. Files
+        # removed before the horizon appear in no surviving record and
+        # are reclaimed here: that is the storage point of expiry.
+        for cv in self._checkpoint_versions():
+            try:
+                with open(_ckpt_path(self.path, cv)) as f:
+                    ck = json.load(f)
+            except (OSError, ValueError):
+                continue
+            referenced.update(ck["adds"])
+            for ds in ck.get("dvs", {}).values():
+                referenced.update(ds)
         deleted = []
         cutoff = time.time() - grace_seconds
         for f in os.listdir(self.path):

@@ -31,6 +31,10 @@ express in Scala):
   micro-batch after a restart commits nothing (its orphan task files
   are vacuum-bounded). Exactly-once with ZERO coordination beyond the
   log's atomic create.
+- **batch write** ``df.write.format("txlog").mode("append" |
+  "overwrite").save(path)``: same task-side file landing; the driver
+  commit is a blind append, or a one-commit add+remove overwrite that
+  keeps every earlier version time-travel-readable.
 
 Executor-side reads/writes use pyarrow directly (Arrow RecordBatches
 in both directions — the Python data source fast path), so no Spark
@@ -47,6 +51,7 @@ from typing import TYPE_CHECKING, Iterable, Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
@@ -290,6 +295,35 @@ class TxLogStreamReader(DataSourceStreamReader):
         pass  # the log is the source of truth; nothing to release
 
 
+def _write_task_file(path: str, iterator) -> TxLogCommitMessage:
+    """Executor-side: land this task's Arrow batches as ONE parquet
+    file in the table dir. Invisible until a log entry references it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark import TaskContext
+
+    batches = [b for b in iterator if b.num_rows]
+    if not batches:
+        return TxLogCommitMessage(names=[])
+    pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+    name = f"part-stream-{uuid.uuid4().hex[:12]}-{pid:05d}.parquet"
+    os.makedirs(path, exist_ok=True)  # first write creates the table
+    pq.write_table(pa.Table.from_batches(batches), os.path.join(path, name))
+    return TxLogCommitMessage(names=[name])
+
+
+def _remove_task_files(path: str, messages) -> None:
+    for m in messages:
+        if m is None:
+            continue
+        for n in m.names:
+            try:
+                os.remove(os.path.join(path, n))
+            except OSError:
+                pass
+
+
 class TxLogStreamWriter(DataSourceStreamArrowWriter):
     """Exactly-once streaming sink. Tasks write parquet directly into
     the table dir (invisible until committed — readers trust the log);
@@ -303,33 +337,38 @@ class TxLogStreamWriter(DataSourceStreamArrowWriter):
         self.app_id = app_id
 
     def write(self, iterator) -> TxLogCommitMessage:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        from pyspark import TaskContext
-
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
-            return TxLogCommitMessage(names=[])
-        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        name = f"part-stream-{uuid.uuid4().hex[:12]}-{pid:05d}.parquet"
-        os.makedirs(self.path, exist_ok=True)  # first batch creates the table
-        pq.write_table(pa.Table.from_batches(batches), os.path.join(self.path, name))
-        return TxLogCommitMessage(names=[name])
+        return _write_task_file(self.path, iterator)
 
     def commit(self, messages, batchId: int) -> None:
         names = [n for m in messages if m is not None for n in m.names]
         TxTable(self.path).commit_stream_names(names, self.app_id, batchId)
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is None:
-                continue
-            for n in m.names:
-                try:
-                    os.remove(os.path.join(self.path, n))
-                except OSError:
-                    pass
+        _remove_task_files(self.path, messages)
+
+
+class TxLogBatchWriter(DataSourceArrowWriter):
+    """Batch write path: ``df.write.format("txlog").mode("append" |
+    "overwrite").save(path)``. Tasks land Arrow batches as parquet in
+    the table dir (invisible until the log references them); the
+    driver commit is a blind append, or an overwrite committing
+    add(new)+remove(current snapshot) in one version — time travel to
+    pre-overwrite versions keeps working."""
+
+    def __init__(self, path: str, overwrite: bool):
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> TxLogCommitMessage:
+        return _write_task_file(self.path, iterator)
+
+    def commit(self, messages) -> None:
+        names = [n for m in messages if m is not None for n in m.names]
+        if names or self.overwrite:
+            TxTable(self.path).commit_names(names, overwrite=self.overwrite)
+
+    def abort(self, messages) -> None:
+        _remove_task_files(self.path, messages)
 
 
 class TxLogDataSource(DataSource):
@@ -374,6 +413,12 @@ class TxLogDataSource(DataSource):
             int(self.options.get("startingversion", -1)),
             _declared_arrow_schema(schema),
         )
+
+    def writer(self, schema: StructType, overwrite: bool) -> TxLogBatchWriter:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("txlog batch sink requires .save(<table path>)")
+        return TxLogBatchWriter(path, overwrite)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> TxLogStreamWriter:
         if overwrite:

@@ -112,6 +112,13 @@ SF1_ORACLE_SUBSET = [
     "x_attribution_position",  # caught a same-instant-orders tie bug here
     "x_funnel",
     "x_weighted_sample",
+    # r8: the lakehouse write paths at volume — a 1.5M-row customer
+    # table lands in the txlog, a third of the key range is deleted
+    # (copy-on-write vs deletion-vector), and the result hash-matches
+    # the relational oracle; proves zone-pruned rewrites and the DV
+    # anti-join hold past toy scale
+    "x_txlog_delete",
+    "x_txlog_delete_vectors",
 ]
 
 

@@ -147,3 +147,23 @@ def test_stream_sink_is_exactly_once_across_checkpoint_loss(spark, tmp_path):
     # vacuum must NOT touch the committed ones
     st.vacuum(grace_seconds=0.0)
     assert st.read(spark).count() == 110
+
+
+def test_batch_writer_append_and_overwrite(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(20)],
+        "id long, bucket long, val double",
+    )
+    df.write.format("txlog").mode("append").save(path)
+    df.filter(F.col("id") < 5).write.format("txlog").mode("append").save(path)
+    t = TxTable(path)
+    assert t.read(spark).count() == 25
+    assert [h["op"] for h in t.history()] == ["append", "append"]
+    # overwrite replaces the snapshot in ONE commit; history survives
+    df.filter(F.col("id") >= 18).write.format("txlog").mode("overwrite").save(path)
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [18, 19]
+    assert t.read(spark, version=1).count() == 25  # time travel intact
+    # the written table round-trips through the native reader
+    got = spark.read.format("txlog").load(path)
+    assert sorted(r["id"] for r in got.collect()) == [18, 19]

@@ -158,3 +158,112 @@ def test_widening_append_schema_evolution(spark, tmp_path):
     # zone maps on the NEW column: files without stats are kept (safe),
     # and the residual filter still returns exactly the right rows
     assert [r["id"] for r in t.read_pruned(spark, "tag", "x", "x").collect()] == [3]
+
+
+def test_stats_summary_counts_and_bounds(spark, tmp_path):
+    """Metadata-only aggregates: exact before DVs, honestly inexact
+    bounds after, count still exact by subtracting live tombstones."""
+    t = _seed(spark, str(tmp_path / "t"))
+    s = t.stats_summary("id")
+    assert (s["count"], s["count_exact"]) == (40, True)
+    assert (s["min"], s["max"], s["bounds_exact"]) == (0, 39, True)
+    t.delete_mor(spark, "id >= 35")
+    s2 = t.stats_summary("id")
+    assert (s2["count"], s2["count_exact"]) == (35, True)
+    # the max row was tombstoned: bounds still BRACKET (never lie
+    # inward) but are flagged inexact
+    assert s2["max"] == 39 and s2["bounds_exact"] is False
+    # compaction materializes: everything exact again
+    t.optimize(spark, target_files=2, cluster_by="id")
+    s3 = t.stats_summary("id")
+    assert (s3["count"], s3["max"], s3["bounds_exact"]) == (35, 34, True)
+
+
+def test_ann_index_stream_ingest_exactly_once(spark, tmp_path):
+    from hephaestus_spark.operators.ann_index import TxAnnIndex
+    from hephaestus_spark.queries.similarity import label_centroids
+    from hephaestus_spark.sources import load_table
+
+    full = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    initial = full.filter(F.col("vec_id") % 5 != 0)
+    delta = full.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    idx = TxAnnIndex(str(tmp_path / "ann"))
+    idx.build(spark, initial.select("vec_id", "embedding"),
+              label_centroids(initial), m=8, k=16, n_iter=2)
+    v = idx.append_stream(spark, delta, app_id="feed", batch_id=0)
+    assert v is not None
+    n = idx.codes.read(spark).count()
+    # a redelivered micro-batch (restart replay) indexes nothing twice
+    assert idx.append_stream(spark, delta, app_id="feed", batch_id=0) is None
+    assert idx.codes.read(spark).count() == n
+    twin = delta.select(F.min("vec_id")).first()[0]
+    probe = delta.filter(F.col("vec_id") == twin).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    assert idx.search(spark, probe, k_final=1).first()["vec_id"] == twin
+
+
+def test_expire_log_retention_lifecycle(spark, tmp_path):
+    """Log retention: expire_log deletes pre-horizon entries +
+    superseded checkpoints; reads at/after the horizon (and the
+    exactly-once txn map) survive via the newest checkpoint; time
+    travel below the horizon and feeds reaching below it fail loudly;
+    vacuum then reclaims data files only pre-horizon versions
+    referenced."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(0, "seed", 0.0)]))
+    t.append_stream_batch(_df(spark, [(1, "s", 1.0)]), "app", 0)
+    # drive past a checkpoint with merges so files get REMOVED (the
+    # reclamation candidates)
+    i = 2
+    while t.latest_version() < CHECKPOINT_INTERVAL:
+        t.merge(spark, _df(spark, [(0, "seed", float(i))]), "id", ["name", "val"])
+        i += 1
+    ck = t._checkpoint_versions()[-1]
+    pre_files = set(os.listdir(t.path))
+    expired = t.expire_log()
+    assert expired and max(expired) == ck - 1
+    # current read unaffected, cold instance too
+    cold = TxTable(t.path)
+    got = {r["id"]: r["val"] for r in cold.read(spark).collect()}
+    assert got[0] == float(i - 1) and got[1] == 1.0
+    # exactly-once map survives expiry (lives in the checkpoint)
+    assert cold.append_stream_batch(_df(spark, [(1, "s", 1.0)]), "app", 0) is None
+    # time travel below the horizon: loud error, not a wrong snapshot
+    with pytest.raises(ValueError, match="horizon"):
+        cold.read(spark, version=1)
+    with pytest.raises(ValueError, match="horizon"):
+        cold.read_changes(spark, since_version=0)
+    # history starts at the horizon
+    assert cold.history()[0]["version"] == ck
+    # vacuum reclaims the pre-horizon rewritten files, keeps live data
+    deleted = cold.vacuum(grace_seconds=0.0)
+    assert deleted, "expected pre-horizon files to be reclaimed"
+    assert {r["id"] for r in cold.read(spark).collect()} == {0, 1}
+    assert set(deleted) <= pre_files
+
+
+def test_delete_mor_conflicts_instead_of_blind_retry(spark, tmp_path):
+    """Tombstone positions are only valid against the snapshot that
+    was read: a commit that lands in between must surface as
+    CommitConflict (blind retry could tombstone rows the winner just
+    rewrote)."""
+    from hephaestus_spark.sources.txlog import CommitConflict, _log_path
+
+    t = _seed(spark, str(tmp_path / "t"))
+    # inject a racing commit AFTER delete_mor reads its snapshot but
+    # before it commits (during tombstone staging — deterministic)
+    import json
+
+    orig_stage = t._stage
+
+    def stage_and_race(df):
+        names = orig_stage(df)
+        winner = {"version": 1, "op": "append", "actions": [], "ts": 0.0}
+        with open(_log_path(t.path, 1), "x") as f:
+            json.dump(winner, f)
+        return names
+
+    t._stage = stage_and_race
+    with pytest.raises(CommitConflict):
+        t.delete_mor(spark, "id = 0")
