@@ -401,11 +401,13 @@ class TxLogDataSource(DataSource):
 
     def reader(self, schema: StructType) -> TxLogBatchReader:
         v = self.options.get("version")
-        return TxLogBatchReader(
-            self._table(),
-            None if v is None else int(v),
-            _declared_arrow_schema(schema),
-        )
+        table = self._table()
+        # pin "latest" NOW: pushFilters and partitions() are separate
+        # planning calls, and a commit landing between them must not
+        # make the scan a mix of two snapshots (files added after the
+        # prune would be silently dropped by the stale keep-set)
+        version = table.latest_version() if v is None else int(v)
+        return TxLogBatchReader(table, version, _declared_arrow_schema(schema))
 
     def streamReader(self, schema: StructType) -> TxLogStreamReader:
         return TxLogStreamReader(
