@@ -1075,3 +1075,80 @@ def x_txlog_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "x_txlog_lifecycle",
+    oracle="""
+    WITH b AS (
+      SELECT min(c_custkey) + (max(c_custkey) - min(c_custkey)) // 3 AS k1,
+             min(c_custkey) + 2 * ((max(c_custkey) - min(c_custkey)) // 3) AS k2
+      FROM customer
+    )
+    SELECT c_custkey, c_name, c_acctbal,
+           TRUE AS log_trimmed, TRUE AS vectors_cleared,
+           TRUE AS storage_reclaimed
+    FROM customer, b
+    WHERE c_custkey NOT BETWEEN b.k1 AND b.k2
+    """,
+)
+def x_txlog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table's WHOLE life under one hash (r8): ten fragmented
+    ingest commits (crossing the checkpoint interval), a compaction, a
+    merge-on-read delete of the middle key third, then one
+    ``maintain`` housekeeping tick — compact (materializing the
+    tombstones), expire the pre-horizon log, vacuum the files only
+    expired versions referenced. The oracle states the surviving rows
+    straight from the raw table, so a bug ANYWHERE in the lifecycle —
+    checkpoint fold, tombstone application, horizon arithmetic, or a
+    vacuum that eats a live file — breaks the hash. Three pinned
+    booleans carry the lifecycle evidence: the log genuinely shrank to
+    the horizon, no deletion vector survived the compaction, and
+    vacuum reclaimed real files."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    b = c.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    mn, mx = int(b[0]), int(b[1])
+    k1 = mn + (mx - mn) // 3
+    k2 = mn + 2 * ((mx - mn) // 3)
+    workdir = tempfile.mkdtemp(prefix="txlog-life-")
+    try:
+        t = TxTable(f"{workdir}/customers")
+        for i in range(9):  # v0..v8: the fragmented ingest
+            t.append(c.filter(F.col("c_custkey") % 9 == i).coalesce(1))
+        # v9: compaction REMOVES the nine ingest files — below the
+        # coming horizon, so the expiry unreferences them for vacuum
+        t.optimize(spark, target_files=4, cluster_by="c_custkey")
+        t.delete_mor(
+            spark,
+            f"c_custkey BETWEEN {k1} AND {k2}",
+            prune_column="c_custkey",
+            lo=k1,
+            hi=k2,
+        )  # v10 -> the checkpoint lands here
+        report = t.maintain(
+            spark,
+            max_files=2,  # force the compaction branch (4 files + DV)
+            target_files=4,
+            cluster_by="c_custkey",
+            retain_versions=0,
+            vacuum_grace=0.0,
+        )
+        horizon = t.history()[0]["version"]
+        out = t.read(spark).select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.lit(bool(report["expired"]) and horizon == 10).alias("log_trimmed"),
+            F.lit(t.dv_map() == {}).alias("vectors_cleared"),
+            F.lit(len(report["vacuumed"]) > 0).alias("storage_reclaimed"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

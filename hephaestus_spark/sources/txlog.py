@@ -1045,6 +1045,33 @@ class TxTable:
             for e in self._read_log()
         ]
 
+    def maintain(
+        self,
+        spark: SparkSession,
+        max_files: int = 64,
+        target_files: int = 8,
+        cluster_by: str | list[str] | None = None,
+        retain_versions: int = 2 * CHECKPOINT_INTERVAL,
+        vacuum_grace: float = 3600.0,
+    ) -> dict:
+        """The steady-state housekeeping tick (r8) — what a scheduler
+        runs against every table, composing the lifecycle ops in their
+        only safe order: compact WHEN FRAGMENTED (file count or live
+        deletion vectors past threshold — compaction also materializes
+        tombstones), then expire pre-horizon log entries, then vacuum
+        (after expiry, so newly-unreferenced pre-horizon files are
+        reclaimed in the same tick). Mirrors the reference's periodic
+        maintenance loop shape (internal/services scheduler), applied
+        to the table layer. Returns what each step did."""
+        out: dict = {}
+        n_files = len(self._snapshot_files())
+        if n_files > max_files or self.dv_map():
+            self.optimize(spark, target_files=target_files, cluster_by=cluster_by)
+            out["compacted"] = {"files_before": n_files, "target": target_files}
+        out["expired"] = self.expire_log(retain_versions)
+        out["vacuumed"] = self.vacuum(vacuum_grace)
+        return out
+
     def expire_log(self, retain_versions: int = 0) -> list[int]:
         """Log retention (r8 — Delta's logRetentionDuration, counted in
         versions): delete log entries BELOW the newest checkpoint

@@ -267,3 +267,31 @@ def test_delete_mor_conflicts_instead_of_blind_retry(spark, tmp_path):
     t._stage = stage_and_race
     with pytest.raises(CommitConflict):
         t.delete_mor(spark, "id = 0")
+
+
+def test_maintain_composes_the_lifecycle(spark, tmp_path):
+    """One housekeeping tick: compaction fires on fragmentation OR
+    live deletion vectors (materializing them), expiry trims the log
+    behind the checkpoint, vacuum reclaims what expiry unreferenced —
+    and a cheap tick on a healthy table is a no-op compaction-wise."""
+    t = TxTable(str(tmp_path / "t"))
+    for i in range(9):  # v0..v8: nine tiny files
+        t.append(_df(spark, [(i, "a", float(i))]))
+    t.optimize(spark, target_files=1)  # v9: removes the nine originals
+    t.append(_df(spark, [(9, "a", 9.0)]))  # v10 -> checkpoint lands
+    t.delete_mor(spark, "id = 0")  # v11: a live tombstone
+    report = t.maintain(
+        spark, max_files=1, target_files=2, cluster_by="id",
+        retain_versions=0, vacuum_grace=0.0,
+    )
+    assert "compacted" in report  # fired on the live DV alone
+    # horizon moved to the v10 checkpoint: entries v0..v9 trimmed...
+    assert report["expired"] and max(report["expired"]) == 9
+    # ...which unreferences the nine pre-horizon originals (their
+    # remove actions lived in the expired entries) -> reclaimed now
+    assert len(report["vacuumed"]) >= 9
+    assert t.dv_map() == {}  # tombstones materialized by the compact
+    assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(1, 10))
+    # healthy table: second tick compacts nothing
+    report2 = t.maintain(spark, max_files=4, retain_versions=0, vacuum_grace=0.0)
+    assert "compacted" not in report2
