@@ -87,6 +87,24 @@ def _shuffle_totals(spark) -> tuple[int, int, int] | None:
     )
 
 
+def _calibration() -> dict[str, float]:
+    """Fixed host-speed reference workloads, recorded with every run.
+
+    r9 (VERDICT r8 #1): the r8 record showed a uniform ~1.4-1.9x
+    inflation over the all-time bests on EVERY query — including
+    scan-bound q02 — which a controlled interleaved A/B
+    (BENCH_AB_88f4b8d_vs_HEAD.json) attributed to ambient host state,
+    not plans. These numbers make that separation mechanical for
+    future records: if the calibration time scales with the per-query
+    inflation, the drift is the machine; a query whose ratio far
+    exceeds the calibration ratio is a genuine plan regression."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i * i
+    return {"py_loop_1t_sec": round(time.perf_counter() - t0, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -153,6 +171,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration": _calibration(),
     }
     if builds:
         out["build_sec"] = builds
@@ -187,10 +206,17 @@ def main() -> None:
     if not extra and sf == 0.1:
         rnd = os.environ.get("SPARK_GRAFT_ROUND")
         if rnd is None:
+            # r9 (ADVICE r8): derive the local record's round from the
+            # DRIVER's records only. The driver writes BENCH_rN at the
+            # END of round N, so during round N the newest BENCH_r* is
+            # N-1 and max+1 labels this run correctly. Counting
+            # BENCH_LOCAL_r* too made each local full run drift one
+            # round ahead of the driver (the r7-line run landed as
+            # BENCH_LOCAL_r08, the r8 run as BENCH_LOCAL_r09).
             prior = [
                 int(m.group(1))
                 for f in os.listdir(_REPO_DIR)
-                if (m := re.match(r"BENCH(?:_LOCAL)?_r(\d+)\.json$", f))
+                if (m := re.match(r"BENCH_r(\d+)\.json$", f))
             ]
             rnd = str(max(prior, default=0) + 1)
         with open(

@@ -301,29 +301,25 @@ class JdbcEmployeeSyncPipeline:
     semantic difference between A11/A12 and a blanket upsert, asserted
     against real Postgres in tests/test_postgres_integration.py.
 
-    The insert/update sets are collected driver-side: both are bounded
-    by the employee DIMENSION (the reference's feed is a staff
-    snapshot), the same budget as the type-id read-back. The
-    fact-sized path (tasks) writes executor-side via
-    JdbcMergeTarget.foreachPartition instead."""
+    r9 (VERDICT r8 #2): the insert/update sets write EXECUTOR-side
+    through the same ``JdbcMergeTarget.foreachPartition`` path the
+    fact-sized task sink uses (mode="insert_update") — no row ever
+    materializes on the driver; history counts come from a 2-row
+    action aggregate. Only the dimension READ-back (`_existing`)
+    remains a bounded driver transfer, the same budget as the type-id
+    read-back."""
 
     feed_dir: str
     checkpoint_dir: str
     connection_factory: object = None
     placeholder: str = "%s"
     last_hash: str | None = None
+    # sink-side write parallelism, forwarded to JdbcMergeTarget:
+    # None = batch partitioning (Postgres: one connection/partition);
+    # 1 = single-writer engines and deterministic statement mirrors.
+    partitions: int | None = None
 
     _COLS = EMPLOYEE_COMPARE_COLS  # fullname shortname position email phone
-
-    def _exec_many(self, sql: str, argsets: list) -> None:
-        if not argsets:
-            return
-        conn = self.connection_factory()
-        try:
-            conn.cursor().executemany(sql, argsets)
-            conn.commit()
-        finally:
-            conn.close()
 
     def _existing(self, spark: SparkSession) -> DataFrame:
         conn = self.connection_factory()
@@ -353,11 +349,19 @@ class JdbcEmployeeSyncPipeline:
         )
 
     def run_available_now(self, spark: SparkSession) -> list:
-        from hephaestus_spark.streaming.sinks import batch_fingerprint
+        from hephaestus_spark.streaming.sinks import JdbcMergeTarget, batch_fingerprint
 
-        ph = self.placeholder
         cols = self._COLS
         history: list = []
+        target = JdbcMergeTarget(
+            table="employees",
+            key="id",
+            cols=cols,
+            connection_factory=self.connection_factory,
+            placeholder=self.placeholder,
+            mode="insert_update",
+            partitions=self.partitions,
+        )
 
         def body(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
@@ -367,39 +371,30 @@ class JdbcEmployeeSyncPipeline:
                 history.append({"batch_id": batch_id, "skipped": True})
                 return
             staged = clean_employees(batch_df).dropDuplicates(["id"])
-            old = self._existing(spark).alias("old")
+            # A9/A10: one broadcast left join against the read-back
+            # dimension decides each row's fate — 'insert' (absent),
+            # 'update' (present but null-safe-different), or no row at
+            # all (unchanged ⇒ NO statement, updated_at untouched).
+            old = F.broadcast(self._existing(spark)).alias("old")
             new = staged.alias("new")
             j = new.join(old, F.col("new.id") == F.col("old.id"), "left")
-            to_insert = j.filter(F.col("old.id").isNull()).select("new.*")
             changed = F.lit(False)
             for c in cols:
                 changed = changed | ~F.col(f"new.{c}").eqNullSafe(F.col(f"old.{c}"))
-            to_update = j.filter(F.col("old.id").isNotNull() & changed).select("new.*")
-            ins_rows = [
-                [r["id"]] + [r[c] for c in cols] for r in to_insert.collect()
-            ]
-            upd_rows = [
-                [r["id"]] + [r[c] for c in cols] for r in to_update.collect()
-            ]
-            self._exec_many(
-                f"INSERT INTO employees (id, {', '.join(cols)})"
-                f" VALUES ({', '.join([ph] * (len(cols) + 1))})"
-                f" ON CONFLICT (id) DO NOTHING",
-                ins_rows,
-            )
-            self._exec_many(
-                f"UPDATE employees SET "
-                + ", ".join(f"{c} = {ph}" for c in cols)
-                + f", updated_at = CURRENT_TIMESTAMP WHERE id = {ph}",
-                [r[1:] + [r[0]] for r in upd_rows],
-            )
+            actions = j.select(
+                "new.*",
+                F.when(F.col("old.id").isNull(), F.lit("insert"))
+                .when(changed, F.lit("update"))
+                .alias("action"),
+            ).filter(F.col("action").isNotNull())
+            counts = target.merge_batch(spark, actions)
             self.last_hash = h
             history.append(
                 {
                     "batch_id": batch_id,
                     "skipped": False,
-                    "inserted": len(ins_rows),
-                    "updated": len(upd_rows),
+                    "inserted": counts.get("insert", 0),
+                    "updated": counts.get("update", 0),
                 }
             )
 

@@ -163,7 +163,14 @@ class JdbcMergeTarget:
     # "delete_insert" = the reference's A15 bridge rewrite
     # (internal/repository/task.go:125-151) — also the portable path for
     # engines whose ON CONFLICT binder can't update composite columns
-    # (DuckDB refuses list-column updates; Postgres text[] is fine).
+    # (DuckDB refuses list-column updates; Postgres text[] is fine);
+    # "insert_update" (r9, VERDICT r8 #2) = the reference's A11+A12
+    # employee pair — INSERT … ON CONFLICT DO NOTHING for rows the
+    # change-detection marked 'insert' (employee.go:13-35) and
+    # UPDATE-by-key for rows marked 'update' (employee.go:38-60),
+    # UNCHANGED rows issue no statement at all. The staged frame must
+    # carry an `action` column ('insert'|'update'); each statement
+    # round binds only its action's rows.
     mode: str = "upsert"
     # rows per executemany round trip (SURVEY §4 P3: batched JDBC — the
     # reference's row-at-a-time writes are the N+1 anti-pattern; at sink
@@ -177,14 +184,36 @@ class JdbcMergeTarget:
     def merge_batch(self, spark: SparkSession, staged: DataFrame) -> dict[str, int]:
         extra = list(self.insert_only_cols or [])
         ph = self.placeholder
+        # stmts: (sql, bind column order, action filter) — action None
+        # binds every row of the chunk; 'insert'/'update' bind only the
+        # rows the change-detection marked with that action.
         if self.mode == "delete_insert":
             ins = [self.key] + self.cols + extra
             stmts = [
-                (f"DELETE FROM {self.table} WHERE {self.key} = {ph}", [self.key]),
+                (f"DELETE FROM {self.table} WHERE {self.key} = {ph}", [self.key], None),
                 (
                     f"INSERT INTO {self.table} ({', '.join(ins)}) "
                     f"VALUES ({', '.join([ph] * len(ins))})",
                     ins,
+                    None,
+                ),
+            ]
+        elif self.mode == "insert_update":
+            ins = [self.key] + self.cols + extra
+            stmts = [
+                (
+                    f"INSERT INTO {self.table} ({', '.join(ins)})"
+                    f" VALUES ({', '.join([ph] * len(ins))})"
+                    f" ON CONFLICT ({self.key}) DO NOTHING",
+                    ins,
+                    "insert",
+                ),
+                (
+                    f"UPDATE {self.table} SET "
+                    + ", ".join(f"{c} = {ph}" for c in self.cols)
+                    + f", updated_at = CURRENT_TIMESTAMP WHERE {self.key} = {ph}",
+                    self.cols + [self.key],
+                    "update",
                 ),
             ]
         else:
@@ -194,12 +223,14 @@ class JdbcMergeTarget:
                         self.table, self.key, self.cols, self.reset_rule, ph, extra
                     ),
                     [self.key] + self.cols + extra,
+                    None,
                 )
             ]
         factory = self.connection_factory
         key, cols = self.key, self.cols
         batch_size = max(1, self.batch_size)
         delete_insert = self.mode == "delete_insert"
+        insert_update = self.mode == "insert_update"
 
         def flush(cur, buf, deleted_keys):
             # one executemany per statement per chunk: for delete_insert
@@ -209,17 +240,23 @@ class JdbcMergeTarget:
             # re-deleted in the second chunk (that would erase the first
             # chunk's inserts — caught by test_postgres_integration.py
             # against real Postgres, invisible to single-chunk fixtures).
-            for sql, params in stmts:
-                if params == [key]:  # delete round: once per key, keep order
+            for sql, params, action in stmts:
+                rows_in = (
+                    buf
+                    if action is None
+                    else [r for r in buf if r["action"] == action]
+                )
+                if delete_insert and params == [key]:
+                    # delete round: once per key, keep order
                     argsets = []
-                    for r in buf:
+                    for r in rows_in:
                         if r[key] not in deleted_keys:
                             deleted_keys.add(r[key])
                             argsets.append([r[key]])
-                    if not argsets:
-                        continue
                 else:
-                    argsets = [[r[c] for c in params] for r in buf]
+                    argsets = [[r[c] for c in params] for r in rows_in]
+                if not argsets:
+                    continue
                 cur.executemany(sql, argsets)
 
         def write_partition(rows):
@@ -242,7 +279,9 @@ class JdbcMergeTarget:
         missing = [c for c in extra if c not in staged.columns]
         for c in missing:
             staged = staged.withColumn(c, F.lit(None))
-        staged = staged.select(key, *cols, *extra)
+        staged = staged.select(
+            key, *cols, *extra, *(["action"] if insert_update else [])
+        )
         if self.partitions is not None:
             staged = staged.repartition(self.partitions, F.col(key))
         elif delete_insert:
@@ -252,6 +291,24 @@ class JdbcMergeTarget:
             # B's INSERT and silently drop B's rows. Hash-repartition on
             # the key — the same co-location a cluster JDBC sink needs.
             staged = staged.repartition(F.col(key))
+        if insert_update:
+            # The caller's history wants per-action counts but rows must
+            # never materialize on the driver (VERDICT r8 #2): persist
+            # the plan, take a 2-row aggregate collect (bounded by the
+            # action vocabulary, not the data), then write executor-side
+            # from the same cached partitions.
+            staged = staged.persist()
+            counts = {
+                r["action"]: r["n"]
+                for r in staged.groupBy("action")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            try:
+                staged.foreachPartition(write_partition)
+            finally:
+                staged.unpersist()
+            return counts
         staged.foreachPartition(write_partition)
         return {}
 
