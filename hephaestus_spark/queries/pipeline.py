@@ -1152,3 +1152,76 @@ def x_txlog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "x_txlog_rename",
+    oracle="""
+    SELECT c_custkey, c_acctbal AS balance,
+           TRUE AS rename_was_metadata_only,
+           TRUE AS time_travel_names_ok,
+           TRUE AS resurrection_refused
+    FROM customer
+    """,
+)
+def x_txlog_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column rename/drop under one hash (r9, VERDICT r8 #5 —
+    sources/txlog.py column mapping): half the customers land, the
+    account column is RENAMED c_acctbal -> balance (a metadata-only
+    commit — not one data file changes), the other half appends under
+    the NEW logical name (same physical column, so old and new files
+    read as one), then c_name is DROPPED. The oracle states the final
+    logical content straight from the raw table — every customer's
+    balance — so a mapping bug anywhere (projection, append
+    translation, time-travel resolution) breaks the hash. Pinned
+    booleans: the rename touched zero data files, the pre-rename
+    snapshot still reads under its OLD names with the original
+    values, and re-adding a retired column name is refused (dropped
+    bytes can never resurrect under a fresh logical column)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    workdir = tempfile.mkdtemp(prefix="txlog-ren-")
+    try:
+        t = TxTable(f"{workdir}/customers")
+        t.append(c.filter(F.col("c_custkey") % 2 == 0))
+        listing = lambda: sorted(  # noqa: E731 — two-use local probe
+            f for f in _os.listdir(t.path) if f.endswith(".parquet")
+        )
+        before = listing()
+        v_ren = t.rename_column(spark, "c_acctbal", "balance")
+        metadata_only = listing() == before
+        t.append(
+            c.filter(F.col("c_custkey") % 2 == 1).withColumnRenamed(
+                "c_acctbal", "balance"
+            )
+        )
+        t.drop_column(spark, "c_name")
+        old = t.read(spark, version=v_ren - 1)
+        tt_ok = old.columns == ["c_custkey", "c_name", "c_acctbal"]
+        try:
+            t.append(
+                spark.createDataFrame(
+                    [(0, "ghost", 0.0)],
+                    "c_custkey long, c_name string, balance double",
+                )
+            )
+            refused = False
+        except ValueError:
+            refused = True
+        out = t.read(spark).select(
+            "c_custkey",
+            "balance",
+            F.lit(metadata_only).alias("rename_was_metadata_only"),
+            F.lit(tt_ok).alias("time_travel_names_ok"),
+            F.lit(refused).alias("resurrection_refused"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -134,8 +134,12 @@ class TxTable:
         # version V is forever a valid base for folding toward any
         # V' > V.
         self._cache: tuple[
-            int, dict[str, dict], dict[str, int], dict[str, list[str]]
-        ] = (-1, {}, {}, {})
+            int,
+            dict[str, dict],
+            dict[str, int],
+            dict[str, list[str]],
+            dict | None,
+        ] = (-1, {}, {}, {}, None)
 
     # ---- log plumbing ----
     def _versions(self) -> list[int]:
@@ -226,6 +230,7 @@ class TxTable:
             adds: dict[str, dict] = {}
             txns: dict[str, int] = {}
             dvs: dict[str, list[str]] = {}
+            meta = None
             try:
                 for p in parts:
                     t = pq.read_table(p, columns=["kind", "path", "payload"])
@@ -240,9 +245,17 @@ class TxTable:
                             txns[path_] = int(payload)
                         elif kind == "dv":
                             dvs[path_] = json.loads(payload)
+                        elif kind == "meta":
+                            meta = json.loads(payload)
             except (OSError, ValueError, KeyError):
                 return None
-            return {"version": version, "adds": adds, "txns": txns, "dvs": dvs}
+            return {
+                "version": version,
+                "adds": adds,
+                "txns": txns,
+                "dvs": dvs,
+                "meta": meta,
+            }
         try:
             with open(_ckpt_path(self.path, version)) as f:
                 return json.load(f)
@@ -278,10 +291,16 @@ class TxTable:
         adds: dict[str, dict],
         txns: dict[str, int],
         dvs: dict[str, list[str]],
+        meta_box: list,
     ) -> None:
         for a in entry["actions"]:
             if "add" in a:
                 adds[a["add"]] = a
+            elif "meta" in a:
+                # r9 column mapping: the latest metadata action wins —
+                # it carries the COMPLETE logical->physical mapping +
+                # dropped-physical list, so folding needs no history
+                meta_box[0] = a["meta"]
             elif "remove" in a:
                 # a removed (rewritten/compacted) file takes its
                 # deletion vectors with it: the new files already
@@ -301,28 +320,32 @@ class TxTable:
 
     def _fold_state(
         self, upto: int | None = None
-    ) -> tuple[dict[str, dict], dict[str, int], dict[str, list[str]]]:
+    ) -> tuple[
+        dict[str, dict], dict[str, int], dict[str, list[str]], dict | None
+    ]:
         """(live add-set, per-app latest-batch txn map, per-file
-        deletion-vector files) at ``upto`` (None = latest). Cost: one
-        directory listing + at most ``CHECKPOINT_INTERVAL`` small JSON
-        reads from the newest checkpoint — or, for a warm instance,
-        only the entries that landed since its last fold. Returned
-        dicts are read-only."""
+        deletion-vector files, column-mapping metadata) at ``upto``
+        (None = latest). Cost: one directory listing + at most
+        ``CHECKPOINT_INTERVAL`` small JSON reads from the newest
+        checkpoint — or, for a warm instance, only the entries that
+        landed since its last fold. Returned dicts are read-only."""
         versions = self._versions()
         latest = versions[-1] if versions else -1
         if upto is None:
             upto = latest
-        cache_v, cache_adds, cache_txns, cache_dvs = self._cache
+        cache_v, cache_adds, cache_txns, cache_dvs, cache_meta = self._cache
         if upto == cache_v:
-            return cache_adds, cache_txns, cache_dvs
+            return cache_adds, cache_txns, cache_dvs, cache_meta
         if 0 <= cache_v < upto:
             adds, txns, start = dict(cache_adds), dict(cache_txns), cache_v
             dvs = {k: list(v) for k, v in cache_dvs.items()}
+            meta_box = [cache_meta]
         else:
             ck = self._newest_checkpoint(upto)
             if ck is not None:
                 adds, txns, start = dict(ck["adds"]), dict(ck["txns"]), ck["version"]
                 dvs = {k: list(v) for k, v in ck.get("dvs", {}).items()}
+                meta_box = [ck.get("meta")]
             else:
                 # r8 retention: folding from nothing is only sound when
                 # the log genuinely starts at version 0 — after
@@ -334,12 +357,13 @@ class TxTable:
                         f"horizon {versions[0]} (expired by expire_log)"
                     )
                 adds, txns, dvs, start = {}, {}, {}, -1
+                meta_box = [None]
         for v in versions:
             if start < v <= upto:
-                self._apply(self._read_entry(v), adds, txns, dvs)
+                self._apply(self._read_entry(v), adds, txns, dvs, meta_box)
         if upto == latest:
-            self._cache = (upto, adds, txns, dvs)
-        return adds, txns, dvs
+            self._cache = (upto, adds, txns, dvs, meta_box[0])
+        return adds, txns, dvs, meta_box[0]
 
     def _maybe_checkpoint(self, version: int) -> None:
         """Write ``<version>.checkpoint.parquet`` (parts when large)
@@ -357,7 +381,7 @@ class TxTable:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        adds, txns, dvs = self._fold_state(version)
+        adds, txns, dvs, meta = self._fold_state(version)
         # One row per live file / txn app / dv'd file. ``rows`` and
         # ``v`` are REAL typed columns so ``checkpoint_df`` metadata
         # queries (COUNT(*), commit provenance) never touch JSON; the
@@ -371,6 +395,7 @@ class TxTable:
             ]
             + [("txn", app, None, None, str(b)) for app, b in txns.items()]
             + [("dv", p, None, None, json.dumps(ds)) for p, ds in dvs.items()]
+            + ([("meta", "", None, None, json.dumps(meta))] if meta else [])
         )
         schema = pa.schema(
             [
@@ -561,10 +586,123 @@ class TxTable:
         """name -> add action (incl. stats) for the live file set."""
         return self._fold_state(version)[0]
 
+    # ---- column mapping (r9, Delta column-mapping "name mode") ----
+    @staticmethod
+    def _project_logical(df: DataFrame, meta: dict | None) -> DataFrame:
+        """Physical columns -> logical view under ``meta``. Identity
+        when no mapping metadata exists (the common case — zero plan
+        overhead). Dropped physical columns vanish; physical columns
+        the mapping doesn't know (e.g. ``_metadata`` provenance or a
+        widening append without a rename since) pass through by
+        name."""
+        if not meta:
+            return df
+        rev = {p: l for l, p in (meta.get("mapping") or {}).items()}
+        dropped = set(meta.get("dropped") or [])
+        return df.select(
+            *[F.col(c).alias(rev.get(c, c)) for c in df.columns if c not in dropped]
+        )
+
+    @staticmethod
+    def _to_physical(df: DataFrame, meta: dict | None) -> DataFrame:
+        """Logical writer columns -> physical storage names. A new
+        logical column whose name collides with a RETIRED physical
+        name (renamed-away or dropped) is rejected loudly: writing it
+        would resurrect the old column's data in pre-rename files
+        (Delta avoids this with GUID physical names; here physical
+        names stay human-readable and the collision is refused
+        instead)."""
+        if not meta:
+            return df
+        mapping = meta.get("mapping") or {}
+        owned = set(mapping.values()) | set(meta.get("dropped") or [])
+        cols = []
+        for c in df.columns:
+            if c in mapping:
+                cols.append(F.col(c).alias(mapping[c]))
+            elif c in owned:
+                raise ValueError(
+                    f"column {c!r} collides with a physical column owned by"
+                    " a renamed or dropped column; pick a different name"
+                )
+            else:
+                cols.append(F.col(c))
+        return df.select(*cols)
+
+    def column_mapping(self, version: int | None = None) -> dict | None:
+        """The column-mapping metadata at ``version`` (None until a
+        rename/drop has been committed)."""
+        return self._fold_state(version)[3]
+
+    def _evolve_mapping(self, spark: SparkSession, mutate) -> int:
+        """Commit a metadata-only schema change: fold the current
+        logical schema, let ``mutate(mapping, dropped)`` edit it, and
+        commit the COMPLETE new mapping as one ``meta`` action (no
+        data file is touched — rename/drop on a 100 TB table is one
+        small log write). Retries cleanly under commit races; the
+        mapping is rebuilt from the fresh snapshot each attempt."""
+        for _ in range(10):
+            base = self.latest_version()
+            if base < 0:
+                raise ValueError(f"table {self.path} is empty")
+            meta = self._fold_state(base)[3] or {}
+            mapping = dict(meta.get("mapping") or {})
+            dropped = list(meta.get("dropped") or [])
+            # every CURRENT logical column gets an explicit entry the
+            # first time metadata is committed
+            for c in self.read(spark, base).columns:
+                mapping.setdefault(c, mapping.get(c, c))
+            op = mutate(mapping, dropped)
+            try:
+                self._commit(
+                    base + 1,
+                    op,
+                    [{"meta": {"mapping": mapping, "dropped": dropped}}],
+                )
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"schema change lost 10 races on {self.path}")
+
+    def rename_column(self, spark: SparkSession, old: str, new: str) -> int:
+        """Metadata-only column RENAME (Delta column-mapping idea):
+        the physical name in every data file stays; only the
+        logical->physical mapping changes. Pre-rename snapshots keep
+        the old name under time travel; post-rename appends write the
+        SAME physical column, so old and new files stay one column."""
+
+        def mutate(mapping: dict, dropped: list) -> str:
+            if old not in mapping:
+                raise ValueError(f"no such column: {old!r}")
+            if new in mapping:
+                raise ValueError(f"column already exists: {new!r}")
+            mapping[new] = mapping.pop(old)
+            return "rename_column"
+
+        return self._evolve_mapping(spark, mutate)
+
+    def drop_column(self, spark: SparkSession, name: str) -> int:
+        """Metadata-only column DROP: data files keep the physical
+        bytes (historical snapshots still serve them); current reads
+        stop projecting the column. Re-adding a column with the same
+        name is refused (``_to_physical``) so old bytes can never
+        resurrect under a new logical column."""
+
+        def mutate(mapping: dict, dropped: list) -> str:
+            if name not in mapping:
+                raise ValueError(f"no such column: {name!r}")
+            dropped.append(mapping.pop(name))
+            return "drop_column"
+
+        return self._evolve_mapping(spark, mutate)
+
     def _stage(self, df: DataFrame) -> list[str]:
         """Write df as immutable uniquely-named parquet files inside the
         table dir; returns their names. Staged files are invisible until
-        a log entry references them (readers trust the log only)."""
+        a log entry references them (readers trust the log only).
+        Under an active column mapping the writer's logical names are
+        translated to physical storage names first."""
+        df = self._to_physical(df, self._fold_state()[3])
         stage_id = uuid.uuid4().hex[:12]
         tmp = os.path.join(self.path, f"_stage-{stage_id}")
         df.write.mode("overwrite").parquet(tmp)
@@ -604,7 +742,9 @@ class TxTable:
           truncated string bounds, or deletion vectors are live (a
           tombstone may have removed the extreme row — the bounds then
           only BRACKET the truth, they never lie inward)."""
-        adds, _txns, dvs = self._fold_state(version)
+        adds, _txns, dvs, meta = self._fold_state(version)
+        if column is not None and meta:  # zone maps key on PHYSICAL names
+            column = (meta.get("mapping") or {}).get(column, column)
         missing_rows = any("rows" not in a for a in adds.values())
         count = sum(a.get("rows", 0) for a in adds.values())
         dv_names = sorted({d for ds in dvs.values() for d in ds})
@@ -662,10 +802,17 @@ class TxTable:
         df = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, f) for f in files]
         )
+        # r9 column mapping: physical file columns -> the LOGICAL view
+        # at this version. Time travel reads the mapping of its own
+        # version, so a pre-rename snapshot keeps its old names. The
+        # projection is applied AFTER any _metadata derivation (a
+        # select would hide the scan's hidden metadata column); the
+        # helper passes the _f/_p provenance columns through untouched.
+        meta = self._fold_state(version)[3]
         dvs = self.dv_map(version)
         dv_names = sorted({d for f in files for d in dvs.get(f, [])})
         if not dv_names and not keep_keys:
-            return df
+            return self._project_logical(df, meta)
         keyed = df.withColumn(
             "_f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
         ).withColumn("_p", F.col("_metadata.row_index"))
@@ -678,6 +825,7 @@ class TxTable:
                 (F.col("_f") == F.col("_dvf")) & (F.col("_p") == F.col("_dvp")),
                 "left_anti",
             )
+        keyed = self._project_logical(keyed, meta)
         return keyed if keep_keys else keyed.drop("_f", "_p")
 
     def delete_mor(
@@ -751,6 +899,9 @@ class TxTable:
         comparison proves nothing); ``min > hi`` skipping is always
         sound because truncation produces a prefix, and a prefix of
         the min is still ≤ the min (a valid lower bound)."""
+        meta = self._fold_state(version)[3]
+        if meta:  # zone maps key on PHYSICAL names (r9 column mapping)
+            column = (meta.get("mapping") or {}).get(column, column)
         adds = self._snapshot_adds(version)
         keep = []
         for name, act in adds.items():
@@ -805,6 +956,9 @@ class TxTable:
         range case: a value above a TRUNCATED hi bound cannot be ruled
         out (the stored prefix under-estimates the real max), while
         ``v < min`` rejection is always sound."""
+        meta = self._fold_state(version)[3]
+        if meta:  # zone maps key on PHYSICAL names (r9 column mapping)
+            column = (meta.get("mapping") or {}).get(column, column)
         adds = self._snapshot_adds(version)
         keep = []
         for name, act in adds.items():
@@ -1121,7 +1275,7 @@ class TxTable:
             # un-collided — caught by
             # test_stream_batch_race_lands_exactly_once.
             v = self.latest_version() + 1
-            _, txns, _dvs = self._fold_state()
+            _, txns, _dvs, _meta = self._fold_state()
             latest = txns.get(app_id)
             if latest is not None and batch_id <= latest:
                 return None  # this micro-batch already landed

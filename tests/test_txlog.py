@@ -545,7 +545,7 @@ def test_parquet_checkpoints_format_parts_and_legacy(spark, tmp_path, monkeypatc
     for i in range(tx.CHECKPOINT_INTERVAL + 1):
         t2.append_stream_batch(df.coalesce(1), "ingest", i)
     v = t2._checkpoint_versions()[-1]
-    adds, txns, dvs = t2._fold_state(v)
+    adds, txns, dvs, _meta = t2._fold_state(v)
     legacy = {"version": v, "adds": adds, "txns": txns, "dvs": dvs}
     for p in t2._checkpoint_paths(v):
         os.remove(p)
@@ -556,3 +556,97 @@ def test_parquet_checkpoints_format_parts_and_legacy(spark, tmp_path, monkeypatc
     cold._read_entry = lambda vv: (opened2.append(vv), orig(cold, vv))[1]
     assert len(cold._snapshot_files()) == tx.CHECKPOINT_INTERVAL + 1
     assert all(x > v for x in opened2), opened2
+
+
+def test_column_mapping_rename_drop_and_time_travel(spark, tmp_path):
+    """r9 (VERDICT r8 #5): metadata-only column rename/drop via a
+    logical->physical mapping (Delta column-mapping idea). A rename
+    touches no data file; pre-rename snapshots keep their names under
+    time travel; post-rename appends write the SAME physical column;
+    a drop hides the bytes without rewriting; name resurrection is
+    refused; zone-map pruning follows the logical name; the mapping
+    survives checkpoints into a cold instance."""
+    from hephaestus_spark.sources import txlog as tx
+
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    data_files_before = sorted(
+        f for f in os.listdir(t.path) if f.endswith(".parquet")
+    )
+
+    v_ren = t.rename_column(spark, "val", "amount")
+    # metadata-only: not one data file changed
+    assert sorted(
+        f for f in os.listdir(t.path) if f.endswith(".parquet")
+    ) == data_files_before
+    assert t.read(spark).columns == ["id", "name", "amount"]
+    # time travel: the pre-rename snapshot keeps its old name AND data
+    old = t.read(spark, version=v_ren - 1)
+    assert old.columns == ["id", "name", "val"]
+    assert {r["val"] for r in old.collect()} == {1.0, 2.0}
+
+    # post-rename append under the NEW logical name: lands in the same
+    # physical column, so old and new files read as ONE column
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 30.0)], "id long, name string, amount double"
+        )
+    )
+    got = {r["id"]: r["amount"] for r in t.read(spark).collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 30.0}
+
+    # zone-map pruning translates the logical name to the physical one
+    kept, total = t.pruned_files("amount", 25.0, 35.0)
+    assert total >= 2 and len(kept) < total
+    assert {r["id"] for r in t.read_pruned(spark, "amount", 25.0, 35.0).collect()} == {3}
+
+    # merge on the renamed column goes through the same logical view
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [(2, "b", 200.0), (4, "d", 4.0)], "id long, name string, amount double"
+        ),
+        "id",
+        ["name", "amount"],
+    )
+    assert {r["id"]: r["amount"] for r in t.read(spark).collect()} == {
+        1: 1.0, 2: 200.0, 3: 30.0, 4: 4.0,
+    }
+
+    # drop: bytes stay, current reads lose the column, history keeps it
+    v_drop = t.drop_column(spark, "name")
+    assert t.read(spark).columns == ["id", "amount"]
+    assert t.read(spark, version=v_drop - 1).columns == ["id", "name", "amount"]
+
+    # resurrection refused for BOTH retired physicals ('val' renamed
+    # away, 'name' dropped)
+    with pytest.raises(ValueError, match="collides"):
+        t.append(
+            spark.createDataFrame([(9, "zz", 9.0)], "id long, name string, amount double")
+        )
+    with pytest.raises(ValueError, match="collides"):
+        t.append(
+            spark.createDataFrame([(9, 9.0, 9.0)], "id long, val double, amount double")
+        )
+
+    # a genuinely new column still widens in
+    t.append(
+        spark.createDataFrame([(5, 5.0, "ok")], "id long, amount double, note string")
+    )
+    assert set(t.read(spark).columns) == {"id", "amount", "note"}
+
+    # mapping survives checkpoints: push past an interval boundary and
+    # fold COLD from the checkpoint only (no full log scan)
+    small = spark.createDataFrame([(100, 0.0)], "id long, amount double").coalesce(1)
+    while t.latest_version() % tx.CHECKPOINT_INTERVAL != 0:
+        t.append(small)
+    cold = TxTable(str(tmp_path / "t"))
+    opened: list[int] = []
+    orig = TxTable._read_entry
+    cold._read_entry = lambda v: (opened.append(v), orig(cold, v))[1]
+    assert "amount" in cold.read(spark).columns
+    assert "name" not in cold.read(spark).columns
+    ck = cold._checkpoint_versions()[-1]
+    assert all(v > ck for v in opened), (ck, opened)
+    # and time travel across the rename still resolves from cold state
+    assert cold.read(spark, version=v_ren - 1).columns == ["id", "name", "val"]
