@@ -94,29 +94,74 @@ class TxLogCommitMessage(WriterCommitMessage):
 
 def _table_schema(table: TxTable, version: int | None = None) -> "pa.Schema":
     """Arrow schema of the live data files (footer read, no Spark
-    job). The newest-added file wins — widening-append evolution's
-    last-writer precedence; older files are aligned at read time
-    (missing columns as nulls, see ``_align``)."""
+    job), served under the LOGICAL names of the version's column
+    mapping (r9): renamed fields carry their physical source name as
+    ``phys`` field metadata so ``_align`` can find the column in the
+    files, dropped physicals vanish. The newest-added file wins —
+    widening-append evolution's last-writer precedence; older files
+    are aligned at read time (missing columns as nulls, see
+    ``_align``)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     files = table.live_files(version)
     if not files:
         raise ValueError(f"txlog table {table.path} has no data")
     newest = max(files, key=lambda nv: nv[1])[0]
-    return pq.read_schema(os.path.join(table.path, newest))
+    schema = pq.read_schema(os.path.join(table.path, newest))
+    meta = table._fold_state(version)[3]
+    if meta:
+        mapping = meta.get("mapping") or {}
+        rev = {p: l for l, p in mapping.items()}
+        dropped = set(meta.get("dropped") or [])
+        schema = pa.schema(
+            [
+                pa.field(rev.get(f.name, f.name), f.type, f.nullable, {"phys": f.name})
+                for f in schema
+                if f.name not in dropped
+            ]
+        )
+    return schema
+
+
+def _attach_physical(
+    schema: "pa.Schema", table: TxTable, version: int | None
+) -> "pa.Schema":
+    """Stamp a DECLARED (logical-name) alignment schema with each
+    field's physical source name from the version's column mapping —
+    without this, an explicit .schema(...) over a renamed table would
+    null-fill the renamed column instead of reading its bytes."""
+    meta = table._fold_state(version)[3]
+    if not meta:
+        return schema
+    import pyarrow as pa
+
+    mapping = meta.get("mapping") or {}
+    return pa.schema(
+        [
+            pa.field(f.name, f.type, f.nullable, {"phys": mapping.get(f.name, f.name)})
+            for f in schema
+        ]
+    )
 
 
 def _align(batch: "pa.RecordBatch", target: "pa.Schema") -> "pa.RecordBatch":
     """Project a batch onto the target schema: missing columns (an
     older file before a widening append) become nulls, compatible
-    type drift is cast, extra columns are dropped."""
+    type drift is cast, extra columns are dropped. A target field
+    carrying ``phys`` metadata reads its bytes from that PHYSICAL
+    column name (column-mapping renames) while serving its own
+    logical name."""
     import pyarrow as pa
 
     if batch.schema == target:
         return batch
     arrays = []
     for field in target:
-        idx = batch.schema.get_field_index(field.name)
+        src = field.name
+        if field.metadata and b"phys" in field.metadata:
+            src = field.metadata[b"phys"].decode()
+        idx = batch.schema.get_field_index(src)
         if idx >= 0:
             col = batch.column(idx)
             if col.type != field.type:
@@ -295,15 +340,46 @@ class TxLogStreamReader(DataSourceStreamReader):
         pass  # the log is the source of truth; nothing to release
 
 
+def _to_physical_batch(batch: "pa.RecordBatch", meta: dict | None):
+    """Writer-side column mapping (r9): rename the incoming LOGICAL
+    column names to their physical storage names; refuse a new column
+    whose name collides with a retired physical (same rule as
+    ``TxTable._to_physical`` — dropped bytes must not resurrect)."""
+    import pyarrow as pa
+
+    if not meta:
+        return batch
+    mapping = meta.get("mapping") or {}
+    owned = set(mapping.values()) | set(meta.get("dropped") or [])
+    names = []
+    for n in batch.schema.names:
+        if n in mapping:
+            names.append(mapping[n])
+        elif n in owned:
+            raise ValueError(
+                f"column {n!r} collides with a physical column owned by"
+                " a renamed or dropped column; pick a different name"
+            )
+        else:
+            names.append(n)
+    if names == list(batch.schema.names):
+        return batch
+    return pa.RecordBatch.from_arrays(list(batch.columns), names=names)
+
+
 def _write_task_file(path: str, iterator) -> TxLogCommitMessage:
     """Executor-side: land this task's Arrow batches as ONE parquet
-    file in the table dir. Invisible until a log entry references it."""
+    file in the table dir. Invisible until a log entry references it.
+    Under an active column mapping the task translates logical ->
+    physical names (the mapping is read once from the table's own log
+    — a filesystem path the task already has)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from pyspark import TaskContext
 
-    batches = [b for b in iterator if b.num_rows]
+    meta = TxTable(path)._fold_state()[3] if os.path.isdir(path) else None
+    batches = [_to_physical_batch(b, meta) for b in iterator if b.num_rows]
     if not batches:
         return TxLogCommitMessage(names=[])
     pid = TaskContext.get().partitionId() if TaskContext.get() else 0
@@ -394,7 +470,10 @@ class TxLogDataSource(DataSource):
     def schema(self) -> StructType:
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        base = from_arrow_schema(_table_schema(self._table()))
+        v = self.options.get("version")
+        base = from_arrow_schema(
+            _table_schema(self._table(), None if v is None else int(v))
+        )
         return StructType(
             list(base.fields) + [StructField(VERSION_COL, LongType(), False)]
         )
@@ -407,13 +486,18 @@ class TxLogDataSource(DataSource):
         # make the scan a mix of two snapshots (files added after the
         # prune would be silently dropped by the stale keep-set)
         version = table.latest_version() if v is None else int(v)
-        return TxLogBatchReader(table, version, _declared_arrow_schema(schema))
+        return TxLogBatchReader(
+            table,
+            version,
+            _attach_physical(_declared_arrow_schema(schema), table, version),
+        )
 
     def streamReader(self, schema: StructType) -> TxLogStreamReader:
+        table = self._table()
         return TxLogStreamReader(
-            self._table(),
+            table,
             int(self.options.get("startingversion", -1)),
-            _declared_arrow_schema(schema),
+            _attach_physical(_declared_arrow_schema(schema), table, None),
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> TxLogBatchWriter:

@@ -167,3 +167,58 @@ def test_batch_writer_append_and_overwrite(spark, tmp_path):
     # the written table round-trips through the native reader
     got = spark.read.format("txlog").load(path)
     assert sorted(r["id"] for r in got.collect()) == [18, 19]
+
+
+def test_datasource_serves_column_mapping(spark, tmp_path):
+    """r9: the native connector honors the column mapping end to end —
+    batch reads serve LOGICAL names (renamed fields read their
+    physical bytes, dropped fields vanish), time travel via
+    .option("version", ...) serves the contemporary names, filter
+    pushdown prunes on the logical name, and the Arrow batch WRITER
+    translates logical->physical so post-rename appends land in the
+    same physical column (with retired-name resurrection refused)."""
+    path = str(tmp_path / "t")
+    t = TxTable(path)
+    t.append(
+        spark.createDataFrame(
+            [(i, f"n{i}", float(i)) for i in range(40)],
+            "id long, name string, val double",
+        ).repartitionByRange(4, F.col("id"))
+    )
+    v_ren = t.rename_column(spark, "val", "amount")
+    t.drop_column(spark, "name")
+
+    # batch read: logical view
+    cur = spark.read.format("txlog").load(path)
+    assert set(cur.columns) == {"id", "amount", "_commit_version"}
+    assert cur.count() == 40
+    # renamed column reads the ORIGINAL bytes, not nulls
+    assert cur.agg(F.sum("amount")).first()[0] == float(sum(range(40)))
+
+    # writer path: append under the NEW logical name through the
+    # connector; lands in the same physical column
+    spark.createDataFrame(
+        [(100, 100.5)], "id long, amount double"
+    ).write.format("txlog").mode("append").save(path)
+    got = spark.read.format("txlog").load(path)
+    assert got.count() == 41
+    assert got.filter(F.col("id") == 100).first()["amount"] == 100.5
+
+    # filter pushdown on the LOGICAL name prunes files and loses nothing
+    sub = spark.read.format("txlog").load(path).filter(F.col("amount") >= 35.0)
+    assert {r["id"] for r in sub.select("id").collect()} == set(range(35, 40)) | {100}
+
+    # time travel serves the PRE-RENAME names through the connector
+    old = (
+        spark.read.format("txlog")
+        .option("version", v_ren - 1)
+        .load(path)
+    )
+    assert set(old.columns) == {"id", "name", "val", "_commit_version"}
+    assert old.agg(F.sum("val")).first()[0] == float(sum(range(40)))
+
+    # resurrection refused on the connector write path too
+    with pytest.raises(Exception, match="collides"):
+        spark.createDataFrame(
+            [(1, "zz", 1.0)], "id long, name string, amount double"
+        ).write.format("txlog").mode("append").save(path)
