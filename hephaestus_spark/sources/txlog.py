@@ -92,6 +92,14 @@ _CKPT_PQ_RE = re.compile(
     r"^(\d{20})\.checkpoint(?:\.(\d{4})-of-(\d{4}))?\.parquet$"
 )
 
+# Reader features this code understands (Delta's protocol-action idea,
+# r9): a table whose metadata demands a feature outside this set must
+# FAIL to read, not silently serve wrong results — e.g. a
+# column-mapped table read by code that doesn't know mappings would
+# quietly serve physical names. Schema-evolution commits stamp their
+# required features into the metadata; the fold checks on every read.
+SUPPORTED_READER_FEATURES = {"column_mapping"}
+
 # Commits between checkpoints. Delta's default is 10; the fold cost
 # bound is interval × one small JSON read, independent of table age.
 CHECKPOINT_INTERVAL = 10
@@ -361,6 +369,14 @@ class TxTable:
         for v in versions:
             if start < v <= upto:
                 self._apply(self._read_entry(v), adds, txns, dvs, meta_box)
+        feats = set((meta_box[0] or {}).get("features") or [])
+        unknown = feats - SUPPORTED_READER_FEATURES
+        if unknown:
+            raise ValueError(
+                f"table {self.path} requires reader features {sorted(unknown)}"
+                " this version of the code does not implement — refusing to"
+                " serve a potentially wrong snapshot"
+            )
         if upto == latest:
             self._cache = (upto, adds, txns, dvs, meta_box[0])
         return adds, txns, dvs, meta_box[0]
@@ -657,7 +673,19 @@ class TxTable:
                 self._commit(
                     base + 1,
                     op,
-                    [{"meta": {"mapping": mapping, "dropped": dropped}}],
+                    [
+                        {
+                            "meta": {
+                                "mapping": mapping,
+                                "dropped": dropped,
+                                # protocol stamp: any reader lacking
+                                # column-mapping support must refuse
+                                # the table rather than serve the
+                                # physical names (_fold_state check)
+                                "features": ["column_mapping"],
+                            }
+                        }
+                    ],
                 )
                 return base + 1
             except CommitConflict:

@@ -650,3 +650,36 @@ def test_column_mapping_rename_drop_and_time_travel(spark, tmp_path):
     assert all(v > ck for v in opened), (ck, opened)
     # and time travel across the rename still resolves from cold state
     assert cold.read(spark, version=v_ren - 1).columns == ["id", "name", "val"]
+
+
+def test_unknown_reader_feature_refuses_to_serve(spark, tmp_path):
+    """r9 protocol guard: a table whose metadata demands a feature this
+    code doesn't implement must FAIL on read — the alternative is
+    silently serving a wrong snapshot (the exact failure mode a
+    column-mapped table causes in mapping-unaware code)."""
+    import json as _json
+
+    from hephaestus_spark.sources import txlog as tx
+
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a", 1.0)]))
+    t.rename_column(spark, "val", "amount")  # stamps column_mapping
+    assert t.read(spark).columns == ["id", "name", "amount"]  # supported
+
+    # forge a future feature the current code does not know
+    v = t.latest_version() + 1
+    entry = {
+        "version": v,
+        "op": "future_op",
+        "actions": [
+            {"meta": {"mapping": {}, "dropped": [], "features": ["row_tracking_v9"]}}
+        ],
+        "ts": 0,
+    }
+    with open(os.path.join(t.path, "_txlog", f"{v:020d}.json"), "w") as f:
+        _json.dump(entry, f)
+    cold = TxTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="row_tracking_v9"):
+        cold.read(spark)
+    # time travel BELOW the forged commit still serves fine
+    assert cold.read(spark, version=v - 1).count() == 1
