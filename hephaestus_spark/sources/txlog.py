@@ -98,7 +98,48 @@ _CKPT_PQ_RE = re.compile(
 # column-mapped table read by code that doesn't know mappings would
 # quietly serve physical names. Schema-evolution commits stamp their
 # required features into the metadata; the fold checks on every read.
-SUPPORTED_READER_FEATURES = {"column_mapping"}
+SUPPORTED_READER_FEATURES = {"column_mapping", "partitioning"}
+
+# Hive's sentinel directory value for a NULL partition key — what
+# Spark's own partitioned writer emits and its reader parses back.
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _parse_partition_values(name: str) -> dict[str, str | None]:
+    """``date=2024-01-01/region=EU%2FWEST/part-x.parquet`` ->
+    ``{"date": "2024-01-01", "region": "EU/WEST"}``. Values are the
+    hive-unescaped raw strings (Spark's writer percent-encodes); a
+    ``__HIVE_DEFAULT_PARTITION__`` component decodes to None. Files
+    at the table root (unpartitioned tables) return ``{}``."""
+    from urllib.parse import unquote
+
+    out: dict[str, str | None] = {}
+    for comp in name.split("/")[:-1]:
+        if "=" not in comp:
+            continue
+        col, _, raw = comp.partition("=")
+        out[unquote(col)] = None if raw == _HIVE_NULL else unquote(raw)
+    return out
+
+
+def _typed_partition_stat(raw: str, dtype: str):
+    """A partition value as a zone-map stat entry typed per the
+    DECLARED partition schema (exact singleton zone: lo == hi), or
+    None for types the zone maps don't cover. Dates/timestamps are
+    kept as their ISO strings — lexicographic compare on ISO-8601 is
+    order-correct, so range pruning with string bounds stays sound."""
+    if dtype in ("byte", "short", "integer", "long"):
+        return [int(raw), int(raw)]
+    if dtype in ("float", "double"):
+        return [float(raw), float(raw)]
+    if dtype in ("string", "date", "timestamp"):
+        cap = TxTable.STRING_STATS_CAP
+        exact = len(raw) <= cap
+        return {
+            "lo": raw[:cap], "hi": raw[:cap],
+            "lo_exact": exact, "hi_exact": exact,
+        }
+    return None
 
 # Commits between checkpoints. Delta's default is 10; the fold cost
 # bound is interval × one small JSON read, independent of table age.
@@ -590,13 +631,50 @@ class TxTable:
 
         return pq.ParquetFile(os.path.join(self.path, name)).metadata.num_rows
 
-    def _add_actions(self, names: list[str]) -> list[dict]:
+    @staticmethod
+    def _partition_dtypes(meta: dict | None) -> dict[str, str]:
+        """PHYSICAL partition column -> simple type name, from the
+        log-owned schema (empty for unpartitioned tables)."""
+        if not meta or not meta.get("partition_columns"):
+            return {}
+        pset = set(meta["partition_columns"])
+        fields = json.loads(meta["schema"])["fields"]
+        return {
+            f["name"]: f["type"] for f in fields if f["name"] in pset
+        }
+
+    def _add_actions(
+        self, names: list[str], pschema: dict[str, str] | None = None
+    ) -> list[dict]:
         # rows: per-file row count from the footer (r8) — the log can
-        # then answer COUNT(*) without touching data (stats_summary)
-        return [
-            {"add": n, "stats": self._file_stats(n), "rows": self._file_rows(n)}
-            for n in names
-        ]
+        # then answer COUNT(*) without touching data (stats_summary).
+        # Partitioned files (r9) additionally record partitionValues
+        # (the Delta add-action field) parsed from their hive path,
+        # and inject each value as an EXACT singleton zone (lo == hi)
+        # into the stats — partition pruning then IS zone-map pruning:
+        # pruned_files/pruned_files_in skip whole partitions with zero
+        # new machinery and zero I/O (the columns aren't in the file
+        # bytes at all).
+        if pschema is None:
+            pschema = self._partition_dtypes(self._fold_state()[3])
+        out = []
+        for n in names:
+            act = {
+                "add": n,
+                "stats": self._file_stats(n),
+                "rows": self._file_rows(n),
+            }
+            pvals = _parse_partition_values(n)
+            if pvals:
+                act["partitionValues"] = pvals
+                for col, raw in pvals.items():
+                    if raw is None:
+                        continue  # null partition: no zone, never skipped
+                    st = _typed_partition_stat(raw, pschema.get(col, ""))
+                    if st is not None:
+                        act["stats"][col] = st
+            out.append(act)
+        return out
 
     def _snapshot_adds(self, version: int | None = None) -> dict:
         """name -> add action (incl. stats) for the live file set."""
@@ -669,24 +747,25 @@ class TxTable:
             for c in self.read(spark, base).columns:
                 mapping.setdefault(c, mapping.get(c, c))
             op = mutate(mapping, dropped)
+            # the meta action carries COMPLETE table metadata (latest
+            # wins in the fold) — partitioning/schema keys (r9) must
+            # ride along or a rename would silently un-partition the
+            # table; the feature stamp is a UNION for the same reason
+            new_meta = dict(meta)
+            new_meta.update(
+                {
+                    "mapping": mapping,
+                    "dropped": dropped,
+                    # protocol stamp: any reader lacking column-mapping
+                    # support must refuse the table rather than serve
+                    # the physical names (_fold_state check)
+                    "features": sorted(
+                        set(meta.get("features") or []) | {"column_mapping"}
+                    ),
+                }
+            )
             try:
-                self._commit(
-                    base + 1,
-                    op,
-                    [
-                        {
-                            "meta": {
-                                "mapping": mapping,
-                                "dropped": dropped,
-                                # protocol stamp: any reader lacking
-                                # column-mapping support must refuse
-                                # the table rather than serve the
-                                # physical names (_fold_state check)
-                                "features": ["column_mapping"],
-                            }
-                        }
-                    ],
-                )
+                self._commit(base + 1, op, [{"meta": new_meta}])
                 return base + 1
             except CommitConflict:
                 continue
@@ -716,29 +795,66 @@ class TxTable:
         name is refused (``_to_physical``) so old bytes can never
         resurrect under a new logical column."""
 
+        pcols = set((self._fold_state()[3] or {}).get("partition_columns") or [])
+
         def mutate(mapping: dict, dropped: list) -> str:
             if name not in mapping:
                 raise ValueError(f"no such column: {name!r}")
+            if mapping[name] in pcols:
+                # the hive directory layout keys on this column — every
+                # live file would lose its partition value
+                raise ValueError(
+                    f"cannot drop partition column {name!r}; partitioning"
+                    " is fixed at creation"
+                )
             dropped.append(mapping.pop(name))
             return "drop_column"
 
         return self._evolve_mapping(spark, mutate)
 
-    def _stage(self, df: DataFrame) -> list[str]:
+    def _stage(self, df: DataFrame, pcols="auto") -> list[str]:
         """Write df as immutable uniquely-named parquet files inside the
-        table dir; returns their names. Staged files are invisible until
-        a log entry references them (readers trust the log only).
-        Under an active column mapping the writer's logical names are
-        translated to physical storage names first."""
-        df = self._to_physical(df, self._fold_state()[3])
+        table dir; returns their names (paths relative to the table
+        root). Staged files are invisible until a log entry references
+        them (readers trust the log only). Under an active column
+        mapping the writer's logical names are translated to physical
+        storage names first.
+
+        ``pcols`` — partition columns (PHYSICAL names). The default
+        ``"auto"`` stages table data under the table's declared
+        partitioning (r9): Spark's own ``partitionBy`` writes the hive
+        layout (``col=value/`` dirs, values percent-escaped, nulls as
+        the hive sentinel), files keep their partition subdirs when
+        renamed into the table root, and the relative name — which is
+        what the log records — carries the partition values. Pass
+        ``None`` for sidecar files that are NOT table data (deletion
+        vectors, change-data files): they must never be split by the
+        table's partitioning."""
+        meta = self._fold_state()[3]
+        df = self._to_physical(df, meta)
+        if pcols == "auto":
+            pcols = (meta or {}).get("partition_columns") or None
         stage_id = uuid.uuid4().hex[:12]
         tmp = os.path.join(self.path, f"_stage-{stage_id}")
-        df.write.mode("overwrite").parquet(tmp)
+        w = df.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(tmp)
         names = []
-        for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
+        for dirpath, _dirs, fnames in os.walk(tmp):
+            rel_dir = os.path.relpath(dirpath, tmp)
+            for f in fnames:
+                if not f.endswith(".parquet"):
+                    continue
                 name = f"part-{stage_id}-{f}"
-                os.rename(os.path.join(tmp, f), os.path.join(self.path, name))
+                if rel_dir != ".":
+                    os.makedirs(
+                        os.path.join(self.path, rel_dir), exist_ok=True
+                    )
+                    name = f"{rel_dir}/{name}"
+                os.rename(
+                    os.path.join(dirpath, f), os.path.join(self.path, name)
+                )
                 names.append(name)
         import shutil
 
@@ -824,19 +940,39 @@ class TxTable:
         ``keep_keys=True`` leaves the ``_f``/``_p`` provenance columns
         for callers that need per-row file identity (the delete paths).
         """
-        # mergeSchema: widening appends (r8 schema evolution) — older
-        # files surface the new columns as nulls; parquet merges
-        # footers, no data rewrite
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.path, f) for f in files]
-        )
+        meta = self._fold_state(version)[3]
+        schema_json = (meta or {}).get("schema")
+        if schema_json:
+            # r9 partitioned tables: the LOG owns the schema (Delta's
+            # metaData action). An explicit reader schema (a) types the
+            # hive partition-directory values exactly as declared —
+            # Spark casts the raw path strings per the user schema, no
+            # inference, so a string partition value that happens to
+            # look numeric survives byte-exact — and (b) replaces the
+            # mergeSchema footer merge: at millions of files the read
+            # plan needs ZERO footer I/O to resolve the schema. Files
+            # written before a widening append simply lack the new
+            # physical columns and serve them as nulls (by-name parquet
+            # resolution). basePath makes the partition dirs columns.
+            from pyspark.sql.types import StructType
+
+            reader = spark.read.schema(
+                StructType.fromJson(json.loads(schema_json))
+            )
+            if meta.get("partition_columns"):
+                reader = reader.option("basePath", os.path.abspath(self.path))
+        else:
+            # mergeSchema: widening appends (r8 schema evolution) —
+            # older files surface the new columns as nulls; parquet
+            # merges footers, no data rewrite
+            reader = spark.read.option("mergeSchema", "true")
+        df = reader.parquet(*[os.path.join(self.path, f) for f in files])
         # r9 column mapping: physical file columns -> the LOGICAL view
         # at this version. Time travel reads the mapping of its own
         # version, so a pre-rename snapshot keeps its old names. The
         # projection is applied AFTER any _metadata derivation (a
         # select would hide the scan's hidden metadata column); the
         # helper passes the _f/_p provenance columns through untouched.
-        meta = self._fold_state(version)[3]
         dvs = self.dv_map(version)
         dv_names = sorted({d for f in files for d in dvs.get(f, [])})
         if not dv_names and not keep_keys:
@@ -891,15 +1027,79 @@ class TxTable:
         hits = cand.filter(where).select(
             F.col("_f").alias("file"), F.col("_p").alias("pos")
         )
-        covered = sorted(r[0] for r in hits.select("file").distinct().collect())
+        # tombstones key on the basename (matches _scan's _f); the
+        # action's covered-files list keys on the table-relative path
+        # so the dv fold lines up with the add actions (r9 partitioning)
+        base2rel = {os.path.basename(f): f for f in candidates}
+        covered = sorted(
+            base2rel[r[0]] for r in hits.select("file").distinct().collect()
+        )
         if not covered:
             return base_version, 0, 0
         n_rows = hits.count()
-        # one small tombstone file per commit: DV size ~ deleted rows
-        names = self._stage(hits.repartition(1))
+        # one small tombstone file per commit: DV size ~ deleted rows;
+        # pcols=None — a sidecar, never split by the table partitioning
+        names = self._stage(hits.repartition(1), pcols=None)
         actions = [{"dv": n, "files": covered} for n in names]
         self._commit(base_version + 1, "deleteMor", actions)
         return base_version + 1, len(covered), n_rows
+
+    # ---- partitioning (r9) ----
+    def partition_columns(self, version: int | None = None) -> list[str]:
+        """LOGICAL partition column names at ``version`` (empty for
+        unpartitioned tables). Physical names from the meta are
+        translated through the column mapping, so a renamed partition
+        column reports its current logical name."""
+        meta = self._fold_state(version)[3] or {}
+        pcols = meta.get("partition_columns") or []
+        rev = {p: l for l, p in (meta.get("mapping") or {}).items()}
+        return [rev.get(p, p) for p in pcols]
+
+    def partitions(self, version: int | None = None) -> list[dict]:
+        """Distinct live partition-value combinations — SHOW PARTITIONS
+        answered ENTIRELY from the log (zero data I/O at any scale):
+        every add action carries its partitionValues. Keys are logical
+        column names; values are the raw hive strings (None = null
+        partition)."""
+        meta = self._fold_state(version)[3] or {}
+        rev = {p: l for l, p in (meta.get("mapping") or {}).items()}
+        seen: dict[tuple, dict] = {}
+        for act in self._snapshot_adds(version).values():
+            pv = act.get("partitionValues")
+            if pv is None:
+                continue
+            key = tuple(sorted(pv.items()))
+            if key not in seen:
+                seen[key] = {rev.get(c, c): v for c, v in pv.items()}
+        return sorted(
+            seen.values(), key=lambda d: tuple(str(v) for v in d.values())
+        )
+
+    def overwrite_partitions(self, spark: SparkSession, df: DataFrame) -> int:
+        """Dynamic partition overwrite (Spark's
+        ``partitionOverwriteMode=dynamic`` / Delta ``replaceWhere`` by
+        partition): replace EXACTLY the partitions present in ``df``,
+        leave every other partition untouched. The idempotent-backfill
+        shape — re-running a day's pipeline replaces that day. The
+        remove set depends on the snapshot read, so a racing commit
+        raises CommitConflict rather than blind-retrying."""
+        pcols = (self._fold_state()[3] or {}).get("partition_columns") or []
+        if not pcols:
+            raise ValueError(f"table {self.path} is not partitioned")
+        base = self.latest_version()
+        names = self._stage(df)
+        incoming = {
+            tuple(sorted(_parse_partition_values(n).items())) for n in names
+        }
+        removes = [
+            {"remove": f}
+            for f, act in self._snapshot_adds(base).items()
+            if tuple(sorted((act.get("partitionValues") or {}).items()))
+            in incoming
+        ]
+        actions = self._add_actions(names) + removes
+        self._commit(base + 1, "overwritePartitions", actions)
+        return base + 1
 
     # ---- public API ----
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -1021,10 +1221,130 @@ class TxTable:
         df = self._scan(spark, keep, version)
         return df.filter(F.col(column).isin(list(values)))
 
-    def append(self, df: DataFrame, max_retries: int = 10) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        max_retries: int = 10,
+        partition_by: list[str] | None = None,
+    ) -> int:
         """Blind append: stages files once, then retries the commit
-        under conflicts (an append is valid against ANY snapshot)."""
-        return self.commit_names(self._stage(df), max_retries=max_retries)
+        under conflicts (an append is valid against ANY snapshot).
+
+        ``partition_by`` on the FIRST append declares hive
+        partitioning for the table's whole life (r9 — Delta's
+        partitionColumns): appends split into ``col=value/`` dirs, the
+        log records partitionValues per file, and partition predicates
+        prune whole partitions from the metadata alone. On a non-empty
+        table it must match the declared partitioning (or be omitted
+        — staging partitions automatically)."""
+        meta = self._fold_state()[3]
+        declared = (meta or {}).get("partition_columns") or []
+        if partition_by:
+            mapping = (meta or {}).get("mapping") or {}
+            phys = [mapping.get(c, c) for c in partition_by]
+            if self.latest_version() < 0:
+                return self._create_partitioned(df, phys)
+            if phys != declared:
+                raise ValueError(
+                    f"table {self.path} is partitioned by {declared}, "
+                    f"not {phys}; partitioning is fixed at creation"
+                )
+        names = self._stage(df)
+        if (meta or {}).get("schema"):
+            return self._commit_schema_tracked(df, names, meta, max_retries)
+        return self.commit_names(names, max_retries=max_retries)
+
+    def _create_partitioned(self, df: DataFrame, pcols: list[str]) -> int:
+        """First commit of a partitioned table: data files + the meta
+        action declaring partition columns and the log-owned schema
+        (data fields in writer order, partition fields last — the
+        order every read serves). Creation races are NOT blindly
+        retryable (two creators may declare different layouts), so a
+        lost race raises CommitConflict for the caller to resolve."""
+        from pyspark.sql.types import StructType
+
+        missing = [c for c in pcols if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition columns {missing} not in {df.columns}")
+        if len(pcols) == len(df.columns):
+            raise ValueError("cannot partition by every column")
+        pset = set(pcols)
+        fields = [f for f in df.schema.fields if f.name not in pset] + [
+            df.schema[c] for c in pcols
+        ]
+        schema_json = StructType(fields).json()
+        pschema = {
+            f["name"]: f["type"]
+            for f in json.loads(schema_json)["fields"]
+            if f["name"] in pset
+        }
+        names = self._stage(df, pcols=pcols)
+        meta = {
+            "partition_columns": pcols,
+            "schema": schema_json,
+            # protocol stamp: a reader that doesn't understand
+            # partitionValues would scan the files WITHOUT the
+            # partition columns (they are not in the bytes) — it must
+            # refuse the table, not serve a narrower schema
+            "features": ["partitioning"],
+        }
+        actions = self._add_actions(names, pschema) + [{"meta": meta}]
+        self._commit(0, "createPartitioned", actions)
+        return 0
+
+    def _commit_schema_tracked(
+        self,
+        df: DataFrame,
+        names: list[str],
+        meta_at_stage: dict,
+        max_retries: int,
+    ) -> int:
+        """Append commit for a table whose schema lives in the log: a
+        widening append (new columns) must publish the widened schema
+        in the SAME commit, or explicit-schema reads would hide the
+        new columns. The union is recomputed against the fresh
+        snapshot on every conflict retry — two appends racing with
+        DIFFERENT new columns each fold the other's widening in, so
+        the last meta action always carries the full union (the lost-
+        update hazard a stage-time-only union would have)."""
+        staged = {
+            f.name: f
+            for f in self._to_physical(df.limit(0), meta_at_stage).schema.fields
+        }
+        actions = self._add_actions(names)
+        for _ in range(max_retries):
+            v = self.latest_version() + 1
+            meta = self._fold_state()[3] or {}
+            from pyspark.sql.types import StructType
+
+            cur = StructType.fromJson(json.loads(meta["schema"]))
+            have = {f.name: f for f in cur.fields}
+            for name, f in staged.items():
+                if name in have:
+                    if have[name].dataType != f.dataType:
+                        raise ValueError(
+                            f"column {name!r} is {have[name].dataType} in "
+                            f"table {self.path}, staged as {f.dataType}; "
+                            "type changes need an explicit migration"
+                        )
+                else:
+                    have[name] = f
+            if len(have) != len(cur.fields):
+                pcols = meta.get("partition_columns") or []
+                ordered = [f for n, f in have.items() if n not in pcols] + [
+                    have[c] for c in pcols
+                ]
+                new_meta = dict(meta)
+                new_meta["schema"] = StructType(ordered).json()
+                extra = [{"meta": new_meta}]
+            else:
+                extra = []
+            try:
+                self._commit(v, "append", actions + extra)
+                return v
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"append lost {max_retries} races on {self.path}")
 
     def commit_names(
         self,
@@ -1038,6 +1358,14 @@ class TxTable:
         files (mode("overwrite") semantics); the remove set is
         recomputed on every conflict retry so a racing append's files
         are replaced too, matching what an overwrite means."""
+        declared = (self._fold_state()[3] or {}).get("partition_columns") or []
+        bad = [n for n in names if set(_parse_partition_values(n)) != set(declared)]
+        if bad:
+            raise ValueError(
+                f"table {self.path} is partitioned by {declared}; committed"
+                f" files must carry exactly those hive path components"
+                f" (got {bad[:3]}...) — stage through TxTable.append"
+            )
         actions = self._add_actions(names)
         for _ in range(max_retries):
             v = self.latest_version() + 1
@@ -1147,8 +1475,12 @@ class TxTable:
         if not candidates:
             return base_version, 0, n_live
         cand_df = self._scan(spark, candidates, base_version, keep_keys=True)
+        # _f provenance is the file BASENAME (unique via the stage id);
+        # log actions key on the table-relative path, which for
+        # partitioned tables (r9) includes the hive dirs — map back
+        base2rel = {os.path.basename(f): f for f in candidates}
         hits = [
-            r[0]
+            base2rel[r[0]]
             for r in cand_df.filter(where).select("_f").distinct().collect()
         ]
         if not hits:
@@ -1294,6 +1626,29 @@ class TxTable:
         staging is lazy — only after the dedup check says the batch is
         genuinely new. A skipped replay leaves pre-staged ``names`` as
         unreferenced files for vacuum (bounded: one batch's files)."""
+        meta0 = self._fold_state()[3] or {}
+        declared = meta0.get("partition_columns") or []
+        if names is not None:
+            bad = [
+                n for n in names if set(_parse_partition_values(n)) != set(declared)
+            ]
+            if bad:
+                raise ValueError(
+                    f"table {self.path} is partitioned by {declared}; stream"
+                    f" files must carry those hive path components (got"
+                    f" {bad[:3]}...) — stage through append_stream_batch"
+                )
+        # r9: on a schema-tracked (partitioned) table a widening
+        # micro-batch must publish the widened schema with its commit,
+        # same as _commit_schema_tracked (recomputed per retry below)
+        staged_fields = (
+            {
+                f.name: f
+                for f in self._to_physical(df.limit(0), meta0).schema.fields
+            }
+            if df is not None and meta0.get("schema")
+            else None
+        )
         for _ in range(max_retries):
             # Pin the target version BEFORE the dedup check: if a racer
             # lands ANY commit between this check and our commit, our
@@ -1310,11 +1665,34 @@ class TxTable:
             if names is None:  # stage once, only if genuinely new
                 assert df is not None
                 names = self._stage(df)
+            extra: list[dict] = []
+            if staged_fields is not None:
+                from pyspark.sql.types import StructType
+
+                meta = self._fold_state()[3] or {}
+                cur = StructType.fromJson(json.loads(meta["schema"]))
+                have = {f.name: f for f in cur.fields}
+                for name, f in staged_fields.items():
+                    if name not in have:
+                        have[name] = f
+                    elif have[name].dataType != f.dataType:
+                        raise ValueError(
+                            f"column {name!r} is {have[name].dataType} in "
+                            f"table {self.path}, staged as {f.dataType}"
+                        )
+                if len(have) != len(cur.fields):
+                    pcols = meta.get("partition_columns") or []
+                    ordered = [
+                        f for n, f in have.items() if n not in pcols
+                    ] + [have[c] for c in pcols]
+                    new_meta = dict(meta)
+                    new_meta["schema"] = StructType(ordered).json()
+                    extra = [{"meta": new_meta}]
             try:
                 self._commit(
                     v,
                     "streamAppend",
-                    self._add_actions(names),
+                    self._add_actions(names) + extra,
                     txn={"app": app_id, "batch": batch_id},
                 )
                 return v
@@ -1498,17 +1876,27 @@ class TxTable:
         for f in os.listdir(self.path):
             full = os.path.join(self.path, f)
             if (
-                f.endswith(".parquet")
-                and f not in referenced
-                and os.path.getmtime(full) <= cutoff
-            ):
-                os.remove(full)
-                deleted.append(f)
-            elif (
                 f.startswith("_stage-")
                 and os.path.isdir(full)
                 and os.path.getmtime(full) <= cutoff
             ):
                 shutil.rmtree(full, ignore_errors=True)
                 deleted.append(f)
+        # data files live at the root or, for partitioned tables (r9),
+        # under hive col=value/ dirs — walk everything but the log and
+        # staging dirs; the log references table-RELATIVE paths
+        for dirpath, dirs, fnames in os.walk(self.path):
+            dirs[:] = [
+                d for d in dirs if d != _LOG_DIR and not d.startswith("_stage-")
+            ]
+            for f in fnames:
+                full = os.path.join(dirpath, f)
+                rel = os.path.relpath(full, self.path)
+                if (
+                    f.endswith(".parquet")
+                    and rel not in referenced
+                    and os.path.getmtime(full) <= cutoff
+                ):
+                    os.remove(full)
+                    deleted.append(rel)
         return deleted

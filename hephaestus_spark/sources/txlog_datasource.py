@@ -107,6 +107,16 @@ def _table_schema(table: TxTable, version: int | None = None) -> "pa.Schema":
     files = table.live_files(version)
     if not files:
         raise ValueError(f"txlog table {table.path} has no data")
+    if table.partition_columns(version):
+        # r9: partition values live in the hive paths/log, not the file
+        # bytes — serving the footer schema would silently DROP those
+        # columns. Until this connector materializes partitionValues
+        # per input split, refuse loudly (TxTable.read serves them).
+        raise NotImplementedError(
+            f"txlog table {table.path} is hive-partitioned; the native"
+            " format('txlog') connector does not serve partitioned"
+            " tables yet — read through TxTable.read"
+        )
     newest = max(files, key=lambda nv: nv[1])[0]
     schema = pq.read_schema(os.path.join(table.path, newest))
     meta = table._fold_state(version)[3]

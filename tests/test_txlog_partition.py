@@ -1,0 +1,267 @@
+"""Hive-partitioned transactional tables (sources/txlog.py, r9):
+creation, exact partition-value typing under the log-owned schema,
+metadata-only partition pruning, dynamic partition overwrite, schema
+widening, DV/CoW deletes across partition dirs, vacuum, column
+mapping on partition columns, and checkpointed cold reconstruction."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hephaestus_spark.sources.txlog import CommitConflict, TxTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, day string, val double")
+
+
+def _pt(spark, tmp_path, name="t"):
+    t = TxTable(str(tmp_path / name))
+    t.append(
+        _df(
+            spark,
+            [
+                (1, "2024-01-01", 1.0),
+                (2, "2024-01-01", 2.0),
+                (3, "2024-01-02", 3.0),
+                (4, "2024-01-03", 4.0),
+            ],
+        ),
+        partition_by=["day"],
+    )
+    return t
+
+
+def test_create_read_roundtrip_and_layout(spark, tmp_path):
+    t = _pt(spark, tmp_path)
+    got = {r["id"]: (r["day"], r["val"]) for r in t.read(spark).collect()}
+    assert got == {
+        1: ("2024-01-01", 1.0),
+        2: ("2024-01-01", 2.0),
+        3: ("2024-01-02", 3.0),
+        4: ("2024-01-03", 4.0),
+    }
+    # hive layout on disk, partition column in the path not the bytes
+    assert os.path.isdir(os.path.join(t.path, "day=2024-01-01"))
+    assert t.partition_columns() == ["day"]
+    # declared column order: data fields then partition fields
+    assert t.read(spark).columns == ["id", "val", "day"]
+
+
+def test_partition_values_type_exact(spark, tmp_path):
+    """The log-owned schema types hive path strings exactly: an int
+    partition comes back long, and a STRING partition value that looks
+    numeric ('00123') survives byte-exact (no inference)."""
+    t = TxTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, 7, "00123"), (2, 8, "zz")], "id long, bucket int, tag string"
+    )
+    t.append(df, partition_by=["bucket", "tag"])
+    rows = {r["id"]: r for r in t.read(spark).collect()}
+    assert rows[1]["bucket"] == 7 and isinstance(rows[1]["bucket"], int)
+    assert rows[1]["tag"] == "00123"
+    assert rows[2]["tag"] == "zz"
+    assert dict(t.read(spark).dtypes)["bucket"] == "int"
+
+
+def test_null_partition_roundtrip(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0)], "id long, day string, val double"
+    )
+    t.append(df, partition_by=["day"])
+    got = {r["id"]: r["day"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: None}
+    # the null partition has no zone for `day`, so it is never skipped
+    keep, total = t.pruned_files("day", lo="zzz", hi="zzz")
+    assert total == 2 and len(keep) == 1
+
+
+def test_partition_pruning_is_metadata_only(spark, tmp_path):
+    """Partition predicates prune whole files from the log alone —
+    the add actions carry exact singleton zones for partition values,
+    so the generic zone-map pruning skips partitions with zero I/O."""
+    t = _pt(spark, tmp_path)
+    keep, total = t.pruned_files("day", lo="2024-01-02", hi="2024-01-02")
+    assert len(keep) < total  # real skipping happened
+    assert keep and all(k.startswith("day=2024-01-02/") for k in keep)
+    got = t.read_pruned(spark, "day", "2024-01-02", "2024-01-02").collect()
+    assert {r["id"] for r in got} == {3}
+    # IN-list pruning too
+    keep_in, _ = t.pruned_files_in("day", ["2024-01-01", "2024-01-03"])
+    assert {k.split("/")[0] for k in keep_in} == {
+        "day=2024-01-01",
+        "day=2024-01-03",
+    }
+
+
+def test_partitions_listing_and_append_validation(spark, tmp_path):
+    t = _pt(spark, tmp_path)
+    assert t.partitions() == [
+        {"day": "2024-01-01"},
+        {"day": "2024-01-02"},
+        {"day": "2024-01-03"},
+    ]
+    # appends partition automatically; a mismatched declaration raises
+    t.append(_df(spark, [(5, "2024-01-04", 5.0)]))
+    assert {d["day"] for d in t.partitions()} >= {"2024-01-04"}
+    with pytest.raises(ValueError, match="partitioned by"):
+        t.append(_df(spark, [(6, "x", 6.0)]), partition_by=["val"])
+    with pytest.raises(ValueError, match="partition columns"):
+        TxTable(str(tmp_path / "bad")).append(
+            _df(spark, [(1, "a", 1.0)]), partition_by=["nope"]
+        )
+
+
+def test_overwrite_partitions_replaces_exactly_matching(spark, tmp_path):
+    t = _pt(spark, tmp_path)
+    v = t.overwrite_partitions(
+        spark, _df(spark, [(20, "2024-01-01", 20.0), (30, "2024-01-02", 30.0)])
+    )
+    got = {r["id"] for r in t.read(spark).collect()}
+    assert got == {20, 30, 4}  # 01/02 replaced, 03 untouched
+    # time travel still serves the pre-overwrite rows
+    assert {r["id"] for r in t.read(spark, version=v - 1).collect()} == {
+        1, 2, 3, 4,
+    }
+    with pytest.raises(ValueError, match="not partitioned"):
+        TxTable(str(tmp_path / "u")).overwrite_partitions(
+            spark, _df(spark, [(1, "a", 1.0)])
+        )
+
+
+def test_widening_append_updates_log_schema(spark, tmp_path):
+    t = _pt(spark, tmp_path)
+    wide = spark.createDataFrame(
+        [(9, "2024-01-09", 9.0, "extra")],
+        "id long, day string, val double, note string",
+    )
+    t.append(wide)
+    rows = {r["id"]: r["note"] for r in t.read(spark).collect()}
+    assert rows[9] == "extra" and rows[1] is None
+    # partition fields stay last in the declared order
+    assert t.read(spark).columns == ["id", "val", "note", "day"]
+    # a type conflict is refused loudly
+    bad = spark.createDataFrame([(1, "d", "oops")], "id long, day string, val string")
+    with pytest.raises(ValueError, match="type changes"):
+        t.append(bad)
+
+
+def test_delete_cow_and_mor_across_partitions(spark, tmp_path):
+    t = _pt(spark, tmp_path)
+    # copy-on-write delete inside one partition: other files untouched
+    n_live = len(t._snapshot_files())
+    v, rewritten, untouched = t.delete(
+        spark, "id = 1", prune_column="day", lo="2024-01-01", hi="2024-01-01"
+    )
+    assert rewritten == 1 and untouched == n_live - 1
+    assert {r["id"] for r in t.read(spark).collect()} == {2, 3, 4}
+    # the rewrite stayed inside the partition dir
+    assert all(
+        f.startswith("day=") for f in t._snapshot_files()
+    )
+    # merge-on-read delete: tombstones apply across the partition scan
+    v2, covered, n = t.delete_mor(spark, "id = 3")
+    assert (covered, n) == (1, 1)
+    assert {r["id"] for r in t.read(spark).collect()} == {2, 4}
+    # pre-delete snapshots intact
+    assert {r["id"] for r in t.read(spark, version=v).collect()} == {2, 3, 4}
+
+
+def test_vacuum_walks_partition_dirs(spark, tmp_path):
+    t = _pt(spark, tmp_path)
+    # an aborted stage: unreferenced parquet inside a partition dir
+    orphan = os.path.join(t.path, "day=2024-01-01", "part-orphan.parquet")
+    live = [f for f in t._snapshot_files() if f.startswith("day=2024-01-01/")]
+    import shutil
+
+    shutil.copy(os.path.join(t.path, live[0]), orphan)
+    old = t.vacuum(grace_seconds=0.0)
+    assert old == ["day=2024-01-01/part-orphan.parquet"]
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2, 3, 4}
+
+
+def test_rename_partition_column_and_drop_refused(spark, tmp_path):
+    t = _pt(spark, tmp_path)
+    t.rename_column(spark, "day", "event_day")
+    assert t.partition_columns() == ["event_day"]
+    assert {r["event_day"] for r in t.read(spark).collect()} == {
+        "2024-01-01", "2024-01-02", "2024-01-03",
+    }
+    # pruning translates the logical name back to the physical dirs
+    keep, _ = t.pruned_files("event_day", "2024-01-02", "2024-01-02")
+    assert len(keep) == 1
+    # appends under the new logical name land in the same physical dirs
+    t.append(
+        spark.createDataFrame(
+            [(7, "2024-01-02", 7.0)], "id long, event_day string, val double"
+        )
+    )
+    assert len(t.pruned_files("event_day", "2024-01-02", "2024-01-02")[0]) == 2
+    with pytest.raises(ValueError, match="partition column"):
+        t.drop_column(spark, "event_day")
+
+
+def test_optimize_keeps_partition_layout(spark, tmp_path):
+    t = _pt(spark, tmp_path)
+    for i in range(5, 9):
+        t.append(_df(spark, [(i, "2024-01-01", float(i))]))
+    before = len(t.pruned_files("day", "2024-01-01", "2024-01-01")[0])
+    assert before >= 5
+    t.optimize(spark, target_files=1)
+    keep, total = t.pruned_files("day", "2024-01-01", "2024-01-01")
+    assert len(keep) == 1 and total == 3  # one file per partition again
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2, 3, 4, 5, 6, 7, 8}
+
+
+def test_stream_append_partitions_and_replays_skip(spark, tmp_path):
+    t = _pt(spark, tmp_path)
+    v = t.append_stream_batch(_df(spark, [(10, "2024-01-05", 10.0)]), "app", 0)
+    assert v is not None
+    assert t.append_stream_batch(
+        _df(spark, [(10, "2024-01-05", 10.0)]), "app", 0
+    ) is None  # replay skipped
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2, 3, 4, 10}
+    keep, _ = t.pruned_files("day", "2024-01-05", "2024-01-05")
+    assert len(keep) == 1 and keep[0].startswith("day=2024-01-05/")
+
+
+def test_checkpointed_cold_reader_reconstructs_partitioned_table(
+    spark, tmp_path
+):
+    """Past the checkpoint interval, a COLD TxTable instance folds the
+    snapshot from the parquet checkpoint alone — partitionValues, the
+    log-owned schema, and the feature stamp all survive the fold."""
+    t = _pt(spark, tmp_path)
+    for i in range(12):  # cross the interval-10 checkpoint boundary
+        t.append(_df(spark, [(100 + i, f"2024-02-{i + 1:02d}", float(i))]))
+    cold = TxTable(t.path)
+    assert cold.partition_columns() == ["day"]
+    assert {r["id"] for r in cold.read(spark).collect()} == {1, 2, 3, 4} | {
+        100 + i for i in range(12)
+    }
+    keep, _ = cold.pruned_files("day", "2024-02-03", "2024-02-03")
+    assert len(keep) == 1
+
+
+def test_commit_names_refuses_unpartitioned_files(spark, tmp_path):
+    t = _pt(spark, tmp_path)
+    stray = os.path.join(t.path, "part-stray.parquet")
+    import shutil
+
+    shutil.copy(os.path.join(t.path, t._snapshot_files()[0]), stray)
+    with pytest.raises(ValueError, match="hive path components"):
+        t.commit_names(["part-stray.parquet"])
+
+
+def test_native_datasource_refuses_partitioned_tables(spark, tmp_path):
+    t = _pt(spark, tmp_path)
+    from hephaestus_spark.sources.txlog_datasource import TxLogDataSource
+
+    spark.dataSource.register(TxLogDataSource)
+    with pytest.raises(Exception, match="partitioned"):
+        spark.read.format("txlog").load(t.path).collect()
