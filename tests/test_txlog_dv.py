@@ -257,8 +257,8 @@ def test_delete_mor_conflicts_instead_of_blind_retry(spark, tmp_path):
 
     orig_stage = t._stage
 
-    def stage_and_race(df):
-        names = orig_stage(df)
+    def stage_and_race(df, **kw):
+        names = orig_stage(df, **kw)
         winner = {"version": 1, "op": "append", "actions": [], "ts": 0.0}
         with open(_log_path(t.path, 1), "x") as f:
             json.dump(winner, f)
