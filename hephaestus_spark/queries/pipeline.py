@@ -862,6 +862,132 @@ def x_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_txlog_cdf_dv",
+    oracle="""
+    WITH ins AS (
+      SELECT c_custkey, c_name, c_acctbal,
+             'insert' AS _change_type,
+             CASE WHEN c_custkey % 2 = 0 THEN 0 ELSE 1 END AS _commit_version
+      FROM customer
+    ), del AS (
+      SELECT c_custkey, c_name, c_acctbal,
+             'delete' AS _change_type, 2 AS _commit_version
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT * FROM ins UNION ALL SELECT * FROM del
+    """,
+)
+def x_txlog_cdf_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV-aware change feed (r10, sources/txlog.py::read_changes —
+    Delta CDF over deletion vectors): customers land as two append
+    commits (even keys -> v0, odd -> v1), then a merge-on-read DELETE
+    tombstones every 7th key (v2) WITHOUT rewriting any data file. An
+    incremental consumer pulling ``read_changes(since_version=-1)``
+    must receive every appended row as ``_change_type='insert'``
+    stamped with its commit version AND every tombstoned row as
+    ``_change_type='delete'`` — reconstructed by semi-joining the
+    covered files against the commit's (file, pos) tombstone parquet.
+    The oracle replays the same lifecycle in SQL; the hash pins rows,
+    change types, and version stamps together. At 100 TB the feed
+    reads only the requested log range plus the tombstoned files —
+    never the table."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    workdir = tempfile.mkdtemp(prefix="txlog-cdf-dv-")
+    try:
+        t = TxTable(f"{workdir}/customers")
+        t.append(c.filter(F.col("c_custkey") % 2 == 0))
+        t.append(c.filter(F.col("c_custkey") % 2 == 1))
+        t.delete_mor(spark, "c_custkey % 7 = 0")
+        out = t.read_changes(spark, since_version=-1).select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            "_change_type",
+            F.col("_commit_version").cast("int").alias("_commit_version"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "x_txlog_restore",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal,
+           TRUE AS restore_versioned, TRUE AS vacuum_safe
+    FROM customer WHERE c_custkey % 11 <> 0
+    """,
+)
+def x_txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE lifecycle (r10, sources/txlog.py::restore — Delta
+    RESTORE semantics): customers land key-clustered (v0), a
+    copy-on-write DELETE rewrites the middle key-third away (v1), then
+    ``restore(0)`` rolls the table back AS A NEW COMMIT (v2) and a
+    merge-on-read delete of every 11th key (v3) proves the restored
+    table keeps working. The oracle is the final filter; two in-query
+    booleans pin the lifecycle guarantees: ``restore_versioned`` (the
+    pre-restore v1 snapshot still serves exactly the post-delete rows
+    — rollback rewrote nothing) and ``vacuum_safe`` (a zero-grace
+    vacuum reclaims nothing — every restored file is referenced by
+    the restore commit's adds)."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    b = c.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    mn, mx = int(b[0]), int(b[1])
+    k1 = mn + (mx - mn) // 3
+    k2 = mn + 2 * ((mx - mn) // 3)
+    workdir = tempfile.mkdtemp(prefix="txlog-restore-")
+    try:
+        t = TxTable(f"{workdir}/customers")
+        t.append(
+            c.repartitionByRange(8, F.col("c_custkey")).sortWithinPartitions(
+                "c_custkey"
+            )
+        )
+        t.delete(
+            spark,
+            f"c_custkey BETWEEN {k1} AND {k2}",
+            prune_column="c_custkey",
+            lo=k1,
+            hi=k2,
+        )
+        t.restore(spark, 0)
+        t.delete_mor(spark, "c_custkey % 11 = 0")
+        v1 = t.read(spark, 1)
+        expected = c.filter(
+            f"NOT (c_custkey BETWEEN {k1} AND {k2})"
+        ).count()
+        restore_versioned = (
+            v1.count() == expected
+            and v1.filter(f"c_custkey BETWEEN {k1} AND {k2}").count() == 0
+        )
+        vacuum_safe = len(t.vacuum(grace_seconds=0.0)) == 0
+        out = t.read(spark).select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.lit(restore_versioned).alias("restore_versioned"),
+            F.lit(vacuum_safe).alias("vacuum_safe"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
     "x_txlog_datasource_roundtrip",
     oracle="""
     WITH b AS (

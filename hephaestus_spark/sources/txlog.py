@@ -100,6 +100,15 @@ _CKPT_PQ_RE = re.compile(
 # required features into the metadata; the fold checks on every read.
 SUPPORTED_READER_FEATURES = {"column_mapping", "partitioning"}
 
+# Writer features this code implements (r10, VERDICT r9 #5 — Delta's
+# writerFeatures half of the protocol action): a table whose metadata
+# demands a writer feature outside this set must refuse to COMMIT, not
+# just to read — e.g. a writer that can read a column-mapped table but
+# doesn't translate logical->physical names on write would commit
+# un-mapped physical names onto it. Checked in _commit, the one gate
+# every mutation passes through.
+SUPPORTED_WRITER_FEATURES = {"column_mapping", "partitioning"}
+
 # Hive's sentinel directory value for a NULL partition key — what
 # Spark's own partitioned writer emits and its reader parses back.
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -519,6 +528,180 @@ class TxTable:
     def _snapshot_files(self, version: int | None = None) -> list[str]:
         return list(self._fold_state(version)[0])
 
+    # ---- Spark-side snapshot metadata (r10, VERDICT r9 #6) ----
+    #
+    # The driver fold (_fold_state/_load_checkpoint) materializes every
+    # live add action into Python dicts — fine for serving file LISTS
+    # to Spark reads (the plan needs them driver-side anyway) but the
+    # wrong shape for metadata-ONLY questions on a 100 TB table with
+    # millions of files: COUNT(*), SHOW PARTITIONS and live-set sweeps
+    # should let the cluster scan the columnar checkpoint instead.
+    # These methods reconstruct the live add-set AS A DATAFRAME from
+    # the newest parquet checkpoint plus the log tail (≤
+    # CHECKPOINT_INTERVAL small JSON entries, applied driver-side —
+    # that bound is the design, not an accident). Driver-bound callers
+    # that remain by design: pruned_files/pruned_files_in (their
+    # OUTPUT is the driver-side file list a read plan needs),
+    # stats_summary's column bounds (typed min/max folding over
+    # heterogeneous JSON stats), and every mutation path.
+
+    def live_adds_df(self, spark: SparkSession) -> DataFrame:
+        """The live file set as a DataFrame (path, rows, v, payload)
+        — reconstructed THROUGH Spark from the newest parquet
+        checkpoint + the driver-side log tail. Falls back to a
+        driver-fold-backed frame when no parquet checkpoint exists yet
+        (young tables — the fold is small by definition there)."""
+        return self._live_frames(spark)[0]
+
+    def _live_frames(
+        self, spark: SparkSession
+    ) -> tuple[DataFrame, list[str], dict | None]:
+        """(live add-set DataFrame, live deletion-vector parquet
+        names, metadata) from checkpoint + tail — the shared core of
+        the Spark-side metadata path. The DV name list is collected
+        driver-side: it is bounded by files-with-tombstones (a
+        compaction-managed quantity), never by table size; the meta
+        dict is one row."""
+        schema = "path string, rows long, v long, payload string"
+        upto = self.latest_version()
+        ckdf, ckv = None, -1
+        for v in reversed(self._checkpoint_versions()):
+            if v > upto:
+                continue
+            parts = [
+                p for p in self._checkpoint_paths(v) if p.endswith(".parquet")
+            ]
+            if parts:
+                ckdf, ckv = spark.read.parquet(*parts), v
+                break
+        if ckdf is None:
+            adds, _txns, dvs, meta = self._fold_state(upto)
+            return (
+                spark.createDataFrame(
+                    [
+                        (p, a.get("rows"), a.get("v"), json.dumps(a))
+                        for p, a in adds.items()
+                    ],
+                    schema,
+                ),
+                sorted({d for ds in dvs.values() for d in ds}),
+                meta,
+            )
+        # the tail: every commit after the checkpoint, folded
+        # driver-side (bounded by CHECKPOINT_INTERVAL small entries)
+        tail_adds: dict[str, dict] = {}
+        tail_dvs: dict[str, list[str]] = {}
+        removed: set[str] = set()
+        meta = None
+        meta_in_tail = False
+        for v in self._versions():
+            if not (ckv < v <= upto):
+                continue
+            for a in self._read_entry(v)["actions"]:
+                if "add" in a:
+                    tail_adds[a["add"]] = a
+                    removed.discard(a["add"])
+                elif "remove" in a:
+                    if a["remove"] in tail_adds:
+                        del tail_adds[a["remove"]]
+                    else:
+                        removed.add(a["remove"])
+                    tail_dvs.pop(a["remove"], None)
+                elif "dv" in a:
+                    for f in a["files"]:
+                        tail_dvs.setdefault(f, []).append(a["dv"])
+                elif "meta" in a:
+                    meta, meta_in_tail = a["meta"], True
+        if not meta_in_tail:
+            mrow = ckdf.filter(F.col("kind") == "meta").select("payload").first()
+            if mrow is not None:
+                meta = json.loads(mrow["payload"])
+        base = ckdf.filter(F.col("kind") == "add").select(
+            "path", "rows", "v", "payload"
+        )
+        if removed:
+            base = base.filter(~F.col("path").isin(sorted(removed)))
+        if tail_adds:
+            base = base.unionByName(
+                spark.createDataFrame(
+                    [
+                        (p, a.get("rows"), a.get("v"), json.dumps(a))
+                        for p, a in tail_adds.items()
+                    ],
+                    schema,
+                )
+            )
+        # checkpoint DV rows for still-live files (a remove in the
+        # tail sheds the removed file's vectors, mirroring _apply)
+        dv_names: set[str] = {d for ds in tail_dvs.values() for d in ds}
+        ck_dv = (
+            ckdf.filter(F.col("kind") == "dv")
+            .filter(~F.col("path").isin(sorted(removed)) if removed else F.lit(True))
+            .select("payload")
+            .collect()
+        )
+        for r in ck_dv:
+            dv_names.update(json.loads(r["payload"]))
+        return base, sorted(dv_names), meta
+
+    def count_spark(self, spark: SparkSession) -> dict:
+        """``stats_summary()``'s COUNT computed through Spark — the
+        100 TB shape: the cluster sums the per-file footer row counts
+        from the columnar checkpoint; the driver never materializes
+        the add-set. Live tombstones are discounted by scanning the
+        deletion-vector parquets (KB-sized by design) and semi-joining
+        against the live basenames — also cluster-side. Returns
+        {"count", "count_exact"} exactly like ``stats_summary``."""
+        adds, dv_names, _meta = self._live_frames(spark)
+        agg = adds.agg(
+            F.sum("rows").alias("n"),
+            F.sum(F.when(F.col("rows").isNull(), 1).otherwise(0)).alias(
+                "missing"
+            ),
+        ).first()
+        count = int(agg["n"] or 0)
+        exact = (agg["missing"] or 0) == 0
+        if dv_names:
+            live_base = adds.select(
+                F.element_at(F.split("path", "/"), -1).alias("file")
+            )
+            discount = (
+                spark.read.parquet(
+                    *[os.path.join(self.path, n) for n in dv_names]
+                )
+                .select("file")
+                .join(live_base, "file", "left_semi")
+                .count()
+            )
+            count -= discount
+        return {"count": count, "count_exact": exact}
+
+    def partitions_spark(self, spark: SparkSession) -> list[dict]:
+        """``partitions()`` computed through Spark: SHOW PARTITIONS on
+        a million-file table is a distinct-aggregate over the
+        checkpoint's partitionValues JSON, not a driver loop. The
+        RESULT (distinct partition combinations) is driver-sized by
+        definition."""
+        adds, _dvs, meta = self._live_frames(spark)
+        rev = {p: l for l, p in ((meta or {}).get("mapping") or {}).items()}
+        rows = (
+            adds.select(
+                F.get_json_object("payload", "$.partitionValues").alias("pv")
+            )
+            .filter(F.col("pv").isNotNull())
+            .distinct()
+            .collect()
+        )
+        seen: dict[tuple, dict] = {}
+        for r in rows:
+            pv = json.loads(r["pv"])
+            key = tuple(sorted(pv.items()))
+            if key not in seen:
+                seen[key] = {rev.get(c, c): v for c, v in pv.items()}
+        return sorted(
+            seen.values(), key=lambda d: tuple(str(v) for v in d.values())
+        )
+
     def _commit(
         self,
         version: int,
@@ -527,6 +710,27 @@ class TxTable:
         txn: dict | None = None,
     ) -> None:
         """Atomic exclusive create: exactly one writer wins version N."""
+        # writer-feature guard (r10): refuse to mutate a table whose
+        # metadata demands write-side behavior this code lacks. The
+        # read-side twin lives in _fold_state; both exist because a
+        # feature can be readable but not writable (reading a
+        # column-mapped table needs only the projection; WRITING it
+        # needs the logical->physical translation on every commit).
+        if version > 0:
+            demanded = set(
+                (self._fold_state(version - 1)[3] or {}).get(
+                    "writer_features"
+                )
+                or []
+            )
+            unknown = demanded - SUPPORTED_WRITER_FEATURES
+            if unknown:
+                raise ValueError(
+                    f"table {self.path} requires writer features "
+                    f"{sorted(unknown)} this version of the code does not "
+                    "implement — refusing to commit a potentially "
+                    "corrupting change"
+                )
         os.makedirs(os.path.join(self.path, _LOG_DIR), exist_ok=True)
         # r8: stamp each add with the version that created it — the
         # provenance the native datasource serves as _commit_version.
@@ -762,6 +966,12 @@ class TxTable:
                     "features": sorted(
                         set(meta.get("features") or []) | {"column_mapping"}
                     ),
+                    # writers must translate logical->physical names —
+                    # an unaware writer would commit un-mapped columns
+                    "writer_features": sorted(
+                        set(meta.get("writer_features") or [])
+                        | {"column_mapping"}
+                    ),
                 }
             )
             try:
@@ -841,12 +1051,21 @@ class TxTable:
             w = w.partitionBy(*pcols)
         w.parquet(tmp)
         names = []
+        # Basenames must be unique TABLE-WIDE, not just stage-wide:
+        # Spark's partitioned writer emits the SAME task filename
+        # (part-00000-<uuid>.c000...) in every partition dir a task
+        # touches, and deletion vectors / delete maps key on the
+        # basename — a collision would tombstone rows in the wrong
+        # partition's file. A per-file counter under the per-stage id
+        # makes every staged basename globally unique.
+        seq = 0
         for dirpath, _dirs, fnames in os.walk(tmp):
             rel_dir = os.path.relpath(dirpath, tmp)
-            for f in fnames:
+            for f in sorted(fnames):
                 if not f.endswith(".parquet"):
                     continue
-                name = f"part-{stage_id}-{f}"
+                name = f"part-{stage_id}-{seq:05d}-{f}"
+                seq += 1
                 if rel_dir != ".":
                     os.makedirs(
                         os.path.join(self.path, rel_dir), exist_ok=True
@@ -860,6 +1079,27 @@ class TxTable:
 
         shutil.rmtree(tmp, ignore_errors=True)
         return names
+
+    def _base2rel(self, files: list[str]) -> dict[str, str]:
+        """basename -> table-relative path for a live file set. Row
+        provenance (``_f``) and deletion vectors key on the basename,
+        so two live files sharing one is DATA CORRUPTION waiting to
+        happen (tombstones would apply to both). ``_stage`` guarantees
+        uniqueness for everything it writes; this guard catches legacy
+        tables staged before that fix (r10) and externally-committed
+        names, refusing loudly instead of deleting the wrong rows."""
+        out: dict[str, str] = {}
+        for f in files:
+            b = os.path.basename(f)
+            if b in out:
+                raise ValueError(
+                    f"table {self.path} has two live files with basename "
+                    f"{b!r} ({out[b]!r} and {f!r}); row-level operations "
+                    "key on the basename and would corrupt data — "
+                    "rewrite the table (optimize) to re-stage unique names"
+                )
+            out[b] = f
+        return out
 
     # ---- deletion vectors (r8, merge-on-read) ----
     def dv_map(self, version: int | None = None) -> dict[str, list[str]]:
@@ -895,7 +1135,11 @@ class TxTable:
         if dv_names:
             import pyarrow.parquet as pq
 
-            live = set(adds)
+            # DV 'file' values are BASENAMES (what _scan's _f carries);
+            # add actions key on the table-relative path, which on a
+            # partitioned table includes the hive dirs — compare on the
+            # basename or no tombstone ever discounts the count (r10)
+            live = {os.path.basename(p) for p in adds}
             for n in dv_names:
                 t = pq.read_table(
                     os.path.join(self.path, n), columns=["file"]
@@ -923,6 +1167,33 @@ class TxTable:
             out.update({"min": lo, "max": hi, "bounds_exact": exact})
         return out
 
+    def _reader(self, spark: SparkSession, meta: dict | None):
+        """The one parquet reader configuration every data-serving
+        path shares (``_scan``, the change feed). Schema-tracked
+        tables (r9 partitioning): the LOG owns the schema (Delta's
+        metaData action). An explicit reader schema (a) types the
+        hive partition-directory values exactly as declared — Spark
+        casts the raw path strings per the user schema, no inference,
+        so a string partition value that happens to look numeric
+        survives byte-exact — and (b) replaces the mergeSchema footer
+        merge: at millions of files the read plan needs ZERO footer
+        I/O to resolve the schema. Files written before a widening
+        append simply lack the new physical columns and serve them as
+        nulls (by-name parquet resolution). basePath makes the
+        partition dirs columns. Untracked tables fall back to
+        mergeSchema (r8 schema evolution)."""
+        schema_json = (meta or {}).get("schema")
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            reader = spark.read.schema(
+                StructType.fromJson(json.loads(schema_json))
+            )
+            if meta.get("partition_columns"):
+                reader = reader.option("basePath", os.path.abspath(self.path))
+            return reader
+        return spark.read.option("mergeSchema", "true")
+
     def _scan(
         self,
         spark: SparkSession,
@@ -941,32 +1212,9 @@ class TxTable:
         for callers that need per-row file identity (the delete paths).
         """
         meta = self._fold_state(version)[3]
-        schema_json = (meta or {}).get("schema")
-        if schema_json:
-            # r9 partitioned tables: the LOG owns the schema (Delta's
-            # metaData action). An explicit reader schema (a) types the
-            # hive partition-directory values exactly as declared —
-            # Spark casts the raw path strings per the user schema, no
-            # inference, so a string partition value that happens to
-            # look numeric survives byte-exact — and (b) replaces the
-            # mergeSchema footer merge: at millions of files the read
-            # plan needs ZERO footer I/O to resolve the schema. Files
-            # written before a widening append simply lack the new
-            # physical columns and serve them as nulls (by-name parquet
-            # resolution). basePath makes the partition dirs columns.
-            from pyspark.sql.types import StructType
-
-            reader = spark.read.schema(
-                StructType.fromJson(json.loads(schema_json))
-            )
-            if meta.get("partition_columns"):
-                reader = reader.option("basePath", os.path.abspath(self.path))
-        else:
-            # mergeSchema: widening appends (r8 schema evolution) —
-            # older files surface the new columns as nulls; parquet
-            # merges footers, no data rewrite
-            reader = spark.read.option("mergeSchema", "true")
-        df = reader.parquet(*[os.path.join(self.path, f) for f in files])
+        df = self._reader(spark, meta).parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
         # r9 column mapping: physical file columns -> the LOGICAL view
         # at this version. Time travel reads the mapping of its own
         # version, so a pre-rename snapshot keeps its old names. The
@@ -977,6 +1225,10 @@ class TxTable:
         dv_names = sorted({d for f in files for d in dvs.get(f, [])})
         if not dv_names and not keep_keys:
             return self._project_logical(df, meta)
+        # the (basename, pos) anti-join below is only sound when
+        # basenames are unique across the scanned set — refuse loudly
+        # on legacy collisions rather than tombstone the wrong file
+        self._base2rel(files)
         keyed = df.withColumn(
             "_f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
         ).withColumn("_p", F.col("_metadata.row_index"))
@@ -1030,7 +1282,7 @@ class TxTable:
         # tombstones key on the basename (matches _scan's _f); the
         # action's covered-files list keys on the table-relative path
         # so the dv fold lines up with the add actions (r9 partitioning)
-        base2rel = {os.path.basename(f): f for f in candidates}
+        base2rel = self._base2rel(candidates)
         covered = sorted(
             base2rel[r[0]] for r in hits.select("file").distinct().collect()
         )
@@ -1083,7 +1335,8 @@ class TxTable:
         shape — re-running a day's pipeline replaces that day. The
         remove set depends on the snapshot read, so a racing commit
         raises CommitConflict rather than blind-retrying."""
-        pcols = (self._fold_state()[3] or {}).get("partition_columns") or []
+        meta0 = self._fold_state()[3] or {}
+        pcols = meta0.get("partition_columns") or []
         if not pcols:
             raise ValueError(f"table {self.path} is not partitioned")
         base = self.latest_version()
@@ -1097,7 +1350,16 @@ class TxTable:
             if tuple(sorted((act.get("partitionValues") or {}).items()))
             in incoming
         ]
-        actions = self._add_actions(names) + removes
+        # a widening df must publish the widened schema in the SAME
+        # commit (same rule as append on a schema-tracked table) — or
+        # the explicit-schema read would hide the new columns forever
+        staged_fields = {
+            f.name: f
+            for f in self._to_physical(df.limit(0), meta0).schema.fields
+        }
+        actions = (
+            self._add_actions(names) + removes + self._widened_meta(staged_fields)
+        )
         self._commit(base + 1, "overwritePartitions", actions)
         return base + 1
 
@@ -1287,10 +1549,51 @@ class TxTable:
             # partition columns (they are not in the bytes) — it must
             # refuse the table, not serve a narrower schema
             "features": ["partitioning"],
+            # writers must stage into hive dirs + record partitionValues
+            # and widen the log-owned schema on widening commits — an
+            # unaware writer would land un-partitioned files or hide
+            # new columns from the explicit-schema read
+            "writer_features": ["partitioning"],
         }
         actions = self._add_actions(names, pschema) + [{"meta": meta}]
         self._commit(0, "createPartitioned", actions)
         return 0
+
+    def _widened_meta(self, staged_fields: dict) -> list[dict]:
+        """The meta action (as a 0/1-element action list) publishing
+        the union of the CURRENT log schema with ``staged_fields``
+        (physical-name StructFields) — empty when nothing widens.
+        Recompute against the fresh snapshot on every conflict retry:
+        two appends racing with DIFFERENT new columns each fold the
+        other's widening in, so the last meta action always carries
+        the full union (the lost-update hazard a stage-time-only
+        union would have). Type changes are refused loudly."""
+        from pyspark.sql.types import StructType
+
+        meta = self._fold_state()[3] or {}
+        if not meta.get("schema"):
+            return []
+        cur = StructType.fromJson(json.loads(meta["schema"]))
+        have = {f.name: f for f in cur.fields}
+        for name, f in staged_fields.items():
+            if name in have:
+                if have[name].dataType != f.dataType:
+                    raise ValueError(
+                        f"column {name!r} is {have[name].dataType} in "
+                        f"table {self.path}, staged as {f.dataType}; "
+                        "type changes need an explicit migration"
+                    )
+            else:
+                have[name] = f
+        if len(have) == len(cur.fields):
+            return []
+        pcols = meta.get("partition_columns") or []
+        ordered = [f for n, f in have.items() if n not in pcols] + [
+            have[c] for c in pcols
+        ]
+        new_meta = dict(meta)
+        new_meta["schema"] = StructType(ordered).json()
+        return [{"meta": new_meta}]
 
     def _commit_schema_tracked(
         self,
@@ -1314,31 +1617,7 @@ class TxTable:
         actions = self._add_actions(names)
         for _ in range(max_retries):
             v = self.latest_version() + 1
-            meta = self._fold_state()[3] or {}
-            from pyspark.sql.types import StructType
-
-            cur = StructType.fromJson(json.loads(meta["schema"]))
-            have = {f.name: f for f in cur.fields}
-            for name, f in staged.items():
-                if name in have:
-                    if have[name].dataType != f.dataType:
-                        raise ValueError(
-                            f"column {name!r} is {have[name].dataType} in "
-                            f"table {self.path}, staged as {f.dataType}; "
-                            "type changes need an explicit migration"
-                        )
-                else:
-                    have[name] = f
-            if len(have) != len(cur.fields):
-                pcols = meta.get("partition_columns") or []
-                ordered = [f for n, f in have.items() if n not in pcols] + [
-                    have[c] for c in pcols
-                ]
-                new_meta = dict(meta)
-                new_meta["schema"] = StructType(ordered).json()
-                extra = [{"meta": new_meta}]
-            else:
-                extra = []
+            extra = self._widened_meta(staged)
             try:
                 self._commit(v, "append", actions + extra)
                 return v
@@ -1366,6 +1645,12 @@ class TxTable:
                 f" files must carry exactly those hive path components"
                 f" (got {bad[:3]}...) — stage through TxTable.append"
             )
+        # externally-written names must keep the table-wide basename
+        # uniqueness _stage guarantees (DV/delete maps key on it) —
+        # check within the batch AND, unless the commit replaces the
+        # snapshot anyway, against the current live set (r10)
+        live = [] if overwrite else self._snapshot_files()
+        self._base2rel(names + [f for f in live if f not in names])
         actions = self._add_actions(names)
         for _ in range(max_retries):
             v = self.latest_version() + 1
@@ -1412,6 +1697,17 @@ class TxTable:
         (tests/test_txlog.py asserts it)."""
         base_version = self.latest_version()
         cols = [key] + compare_cols
+        # merge rewrites whole files through _stage's auto partitionBy,
+        # so the projection must carry every partition column or the
+        # write fails deep inside Spark with an opaque AnalysisException
+        missing_pc = [c for c in self.partition_columns() if c not in cols]
+        if missing_pc:
+            raise ValueError(
+                f"merge on {self.path} (partitioned by "
+                f"{self.partition_columns()}) requires partition columns "
+                f"{missing_pc} in key/compare_cols — the rewrite must "
+                "carry them to place rows in their partitions"
+            )
         if base_version < 0:
             merged = staged.select(*cols)
             old_files: list[str] = []
@@ -1475,10 +1771,11 @@ class TxTable:
         if not candidates:
             return base_version, 0, n_live
         cand_df = self._scan(spark, candidates, base_version, keep_keys=True)
-        # _f provenance is the file BASENAME (unique via the stage id);
-        # log actions key on the table-relative path, which for
-        # partitioned tables (r9) includes the hive dirs — map back
-        base2rel = {os.path.basename(f): f for f in candidates}
+        # _f provenance is the file BASENAME (unique via the staged
+        # per-file counter, checked by _base2rel); log actions key on
+        # the table-relative path, which for partitioned tables (r9)
+        # includes the hive dirs — map back
+        base2rel = self._base2rel(candidates)
         hits = [
             base2rel[r[0]]
             for r in cand_df.filter(where).select("_f").distinct().collect()
@@ -1516,6 +1813,18 @@ class TxTable:
         merge/delete commits raise (append-only feeds only)."""
         if upto is None:
             upto = self.latest_version()
+        out: list[tuple[str, int]] = []
+        for v, _op, entry in self._change_entries(since_version, upto, False):
+            out.extend((a["add"], v) for a in entry["actions"] if "add" in a)
+        return out
+
+    def _change_entries(self, since_version: int, upto: int, allow_dv: bool):
+        """Yield (version, op, entry) for the servable change commits
+        in ``(since_version, upto]``. OPTIMIZE commits are skipped
+        (data-identical rehousing); ``allow_dv=True`` additionally
+        serves ``deleteMor`` commits (row-level deletes — their
+        tombstone parquets name exactly the (file, pos) rows removed);
+        anything else rewrites rows in place and raises."""
         versions = self._versions()
         # r8 retention: serving a range that reaches below the log
         # horizon would silently DROP the expired commits' rows — the
@@ -1526,20 +1835,27 @@ class TxTable:
                 f"horizon {versions[0]} of {self.path} (expired by "
                 f"expire_log); restart from a version >= {versions[0] - 1}"
             )
-        out: list[tuple[str, int]] = []
         for v in versions:
             if not (since_version < v <= upto):
                 continue
             entry = self._read_entry(v)
-            if entry["op"] == "optimize":
+            op = entry["op"]
+            if op == "optimize":
                 continue
-            if entry["op"] not in ("append", "streamAppend"):
-                raise ValueError(
-                    f"change feed crossed a row-rewriting '{entry['op']}' "
-                    f"commit at version {v}; append-only feeds required"
+            if op in ("append", "streamAppend") or (
+                allow_dv and op == "deleteMor"
+            ):
+                yield v, op, entry
+                continue
+            raise ValueError(
+                f"change feed crossed a row-rewriting '{op}' commit at "
+                f"version {v}; "
+                + (
+                    "MERGE/DELETE rewrites cannot be served row-level"
+                    if allow_dv
+                    else "append-only feeds required"
                 )
-            out.extend((a["add"], v) for a in entry["actions"] if "add" in a)
-        return out
+            )
 
     def read_changes(
         self,
@@ -1551,13 +1867,19 @@ class TxTable:
         the Delta CDF idea restricted to the shapes this log can serve
         row-exactly without per-row change tracking): every row added
         by append/streamAppend commits in ``(since_version, upto]``,
-        stamped with ``_commit_version``. OPTIMIZE commits are
-        data-identical (pure add+remove bookkeeping) and contribute
-        NOTHING — their added files only re-house rows a consumer
-        already saw. MERGE/DELETE rewrite rows in place; serving those
-        as row-level changes needs the CDC operator family
-        (queries/pipeline.py x_cdc_*), so encountering one here raises
-        rather than silently double-delivering rewritten rows.
+        stamped with ``_commit_version`` and ``_change_type='insert'``
+        — plus, r10 (VERDICT r9 #3), every row tombstoned by a
+        ``deleteMor`` commit served as ``_change_type='delete'``: the
+        commit's deletion-vector parquet names exactly the (file, pos)
+        rows it removed, so a semi-join of the covered files against
+        the tombstones reconstructs the deleted rows row-exactly.
+        OPTIMIZE commits are data-identical (pure add+remove
+        bookkeeping) and contribute NOTHING — their added files only
+        re-house rows a consumer already saw. MERGE/DELETE rewrite
+        rows in place; serving those as row-level changes needs the
+        CDC operator family (queries/pipeline.py x_cdc_*), so
+        encountering one here raises rather than silently
+        double-delivering rewritten rows.
 
         Cost: exactly the log entries in the requested range — the
         incremental-consumer shape (a downstream index or aggregate
@@ -1565,18 +1887,58 @@ class TxTable:
         latest = self.latest_version()
         if upto is None:
             upto = latest
-        by_version: dict[int, list[str]] = {}
-        for name, v in self.change_files(since_version, upto):
-            by_version.setdefault(v, []).append(name)
-        dfs = [
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[os.path.join(self.path, f) for f in files])
-            .withColumn("_commit_version", F.lit(v))
-            for v, files in sorted(by_version.items())
-        ]
+        # each commit's files are read under THAT version's metadata —
+        # the same explicit-schema + basePath reader _scan uses, so a
+        # partitioned table's change feed carries its partition columns
+        # (they live in the hive dirs, not the file bytes) and a
+        # column-mapped table serves LOGICAL names as of that commit
+        dfs = []
+        for v, op, entry in self._change_entries(since_version, upto, True):
+            meta_v = self._fold_state(v)[3]
+            if op == "deleteMor":
+                dv_names = [a["dv"] for a in entry["actions"] if "dv" in a]
+                covered = sorted(
+                    {f for a in entry["actions"] if "dv" in a for f in a["files"]}
+                )
+                self._base2rel(covered)  # tombstones key on basenames
+                d = (
+                    self._reader(spark, meta_v)
+                    .parquet(*[os.path.join(self.path, f) for f in covered])
+                    .withColumn(
+                        "_f",
+                        F.element_at(
+                            F.split(F.col("_metadata.file_path"), "/"), -1
+                        ),
+                    )
+                    .withColumn("_p", F.col("_metadata.row_index"))
+                )
+                dv = spark.read.parquet(
+                    *[os.path.join(self.path, n) for n in dv_names]
+                ).select(F.col("file").alias("_dvf"), F.col("pos").alias("_dvp"))
+                d = d.join(
+                    dv,
+                    (F.col("_f") == F.col("_dvf"))
+                    & (F.col("_p") == F.col("_dvp")),
+                    "left_semi",
+                ).drop("_f", "_p")
+                ctype = "delete"
+            else:
+                files = [a["add"] for a in entry["actions"] if "add" in a]
+                if not files:
+                    continue
+                d = self._reader(spark, meta_v).parquet(
+                    *[os.path.join(self.path, f) for f in files]
+                )
+                ctype = "insert"
+            dfs.append(
+                self._project_logical(d, meta_v)
+                .withColumn("_change_type", F.lit(ctype))
+                .withColumn("_commit_version", F.lit(v))
+            )
         if not dfs:
             return (
                 self.read(spark, latest)
+                .withColumn("_change_type", F.lit("insert"))
                 .withColumn("_commit_version", F.lit(-1))
                 .filter(F.lit(False))
             )
@@ -1585,6 +1947,78 @@ class TxTable:
             # allowMissingColumns: a feed may cross a widening append
             out = out.unionByName(d, allowMissingColumns=True)
         return out
+
+    def restore(self, spark: SparkSession, version: int) -> int:
+        """RESTORE the table to a past ``version`` AS A NEW COMMIT
+        (r10, VERDICT r9 #4 — Delta RESTORE semantics): history is
+        never rewritten, the old snapshot's state is re-published at
+        ``latest + 1``. The commit is computed as a diff against the
+        current snapshot:
+
+        - files live now but not at ``version``: removed;
+        - files live at ``version`` but not now: re-added with their
+          original add action (stats, partitionValues — data files are
+          immutable, so the old zone maps stay exact);
+        - files live in BOTH whose deletion-vector set changed in
+          between: removed + re-added in one entry (the fold clears a
+          file's vectors on remove), then the target version's vectors
+          re-attached — a post-``version`` delete_mor is undone, a
+          pre-``version`` one is preserved;
+        - metadata (schema / mapping / partitioning) republished when
+          it changed.
+
+        Every version in ``[version, latest]`` stays readable (time
+        travel across the restore), and the restored files are
+        referenced by the new commit's adds, so ``vacuum`` can never
+        reclaim them (vacuum-safety is pinned by the lifecycle test).
+        The diff depends on the snapshot read, so a racing commit
+        raises CommitConflict instead of blind-retrying. Returns the
+        new version (the current version unchanged for a no-op).
+
+        Reference lifecycle parity: the reference keeps no history at
+        all (Postgres upserts in place, SURVEY §2.A A11–A15); restore
+        completes the txlog's Delta-shaped lifecycle (time travel,
+        retention, vacuum, restore)."""
+        base = self.latest_version()
+        if base < 0:
+            raise ValueError(f"table {self.path} is empty")
+        if not 0 <= version <= base:
+            raise ValueError(
+                f"cannot restore {self.path} to version {version}; "
+                f"log spans [0, {base}]"
+            )
+        adds_t, _tt, dvs_t, meta_t = self._fold_state(version)
+        adds_c, _tc, dvs_c, meta_c = self._fold_state(base)
+        # files needing a fresh add action: not live now, or live with
+        # a different tombstone set (remove+add clears the vectors)
+        readd = sorted(
+            f
+            for f in adds_t
+            if f not in adds_c
+            or sorted(dvs_c.get(f, [])) != sorted(dvs_t.get(f, []))
+        )
+        actions: list[dict] = [
+            {"remove": f} for f in sorted(adds_c) if f not in adds_t
+        ]
+        for f in readd:
+            if f in adds_c:
+                actions.append({"remove": f})
+            actions.append(
+                {k: v for k, v in adds_t[f].items() if k != "v"}
+            )
+        dv_actions: dict[str, list[str]] = {}
+        for f in readd:
+            for n in dvs_t.get(f, []):
+                dv_actions.setdefault(n, []).append(f)
+        actions += [
+            {"dv": n, "files": fs} for n, fs in sorted(dv_actions.items())
+        ]
+        if meta_t != meta_c:
+            actions.append({"meta": meta_t})
+        if not actions:
+            return base  # already at the target state
+        self._commit(base + 1, "restore", actions)
+        return base + 1
 
     def append_stream_batch(
         self, df: DataFrame, app_id: str, batch_id: int, max_retries: int = 10
@@ -1638,6 +2072,9 @@ class TxTable:
                     f" files must carry those hive path components (got"
                     f" {bad[:3]}...) — stage through append_stream_batch"
                 )
+            # table-wide basename uniqueness (r10) — see commit_names
+            live = self._snapshot_files()
+            self._base2rel(names + [f for f in live if f not in names])
         # r9: on a schema-tracked (partitioned) table a widening
         # micro-batch must publish the widened schema with its commit,
         # same as _commit_schema_tracked (recomputed per retry below)
@@ -1665,29 +2102,11 @@ class TxTable:
             if names is None:  # stage once, only if genuinely new
                 assert df is not None
                 names = self._stage(df)
-            extra: list[dict] = []
-            if staged_fields is not None:
-                from pyspark.sql.types import StructType
-
-                meta = self._fold_state()[3] or {}
-                cur = StructType.fromJson(json.loads(meta["schema"]))
-                have = {f.name: f for f in cur.fields}
-                for name, f in staged_fields.items():
-                    if name not in have:
-                        have[name] = f
-                    elif have[name].dataType != f.dataType:
-                        raise ValueError(
-                            f"column {name!r} is {have[name].dataType} in "
-                            f"table {self.path}, staged as {f.dataType}"
-                        )
-                if len(have) != len(cur.fields):
-                    pcols = meta.get("partition_columns") or []
-                    ordered = [
-                        f for n, f in have.items() if n not in pcols
-                    ] + [have[c] for c in pcols]
-                    new_meta = dict(meta)
-                    new_meta["schema"] = StructType(ordered).json()
-                    extra = [{"meta": new_meta}]
+            extra = (
+                self._widened_meta(staged_fields)
+                if staged_fields is not None
+                else []
+            )
             try:
                 self._commit(
                     v,

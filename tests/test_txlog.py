@@ -683,3 +683,178 @@ def test_unknown_reader_feature_refuses_to_serve(spark, tmp_path):
         cold.read(spark)
     # time travel BELOW the forged commit still serves fine
     assert cold.read(spark, version=v - 1).count() == 1
+
+
+def test_unknown_writer_feature_refuses_to_commit(spark, tmp_path):
+    """r10 protocol guard (writer half): a table whose metadata demands
+    a WRITER feature this code doesn't implement must refuse to commit
+    — readable-but-not-writable is a real state (reading a
+    column-mapped table needs only the projection; writing it needs
+    the name translation), so the read guard alone is not enough."""
+    import json as _json
+
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a", 1.0)]))
+    # forge a meta demanding an exotic writer feature but no exotic
+    # READER feature: the table stays readable, only commits refuse
+    v = t.latest_version() + 1
+    entry = {
+        "version": v,
+        "op": "future_op",
+        "actions": [{"meta": {"writer_features": ["fancy_clustering_v12"]}}],
+        "ts": 0,
+    }
+    with open(os.path.join(t.path, "_txlog", f"{v:020d}.json"), "w") as f:
+        _json.dump(entry, f)
+    cold = TxTable(str(tmp_path / "t"))
+    assert cold.read(spark).count() == 1  # reads still fine
+    with pytest.raises(ValueError, match="fancy_clustering_v12"):
+        cold.append(_df(spark, [(2, "b", 2.0)]))
+    with pytest.raises(ValueError, match="writer features"):
+        cold.delete(spark, "id = 1")
+    # the supported features commit freely (regression guard)
+    t2 = TxTable(str(tmp_path / "t2"))
+    t2.append(_df(spark, [(1, "a", 1.0)]))
+    t2.rename_column(spark, "val", "amount")  # stamps column_mapping
+    t2.append(
+        spark.createDataFrame([(2, "b", 2.0)], "id long, name string, amount double")
+    )
+    assert t2.read(spark).count() == 2
+
+
+def test_restore_republishes_an_old_snapshot(spark, tmp_path):
+    """RESTORE (r10, Delta semantics): rollback lands as a NEW commit;
+    every intermediate version stays readable; a later append works on
+    the restored state; vacuum cannot reclaim restored files."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))      # v0
+    t.append(_df(spark, [(3, "c", 3.0)]))                      # v1
+    t.delete(spark, "id = 1")                                  # v2 (CoW)
+    v = t.restore(spark, 0)                                    # v3
+    assert v == 3
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2}
+    # history is intact: the pre-restore states all still serve
+    assert {r["id"] for r in t.read(spark, version=2).collect()} == {2, 3}
+    assert {r["id"] for r in t.read(spark, version=1).collect()} == {1, 2, 3}
+    assert t.history()[-1]["op"] == "restore"
+    # the table keeps working after the restore
+    t.append(_df(spark, [(4, "d", 4.0)]))                      # v4
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2, 4}
+    # vacuum safety: the restored files are live references
+    assert t.vacuum(grace_seconds=0.0) == []
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2, 4}
+    # a no-op restore (already at the target state) commits nothing
+    latest = t.latest_version()
+    assert t.restore(spark, latest) == latest
+    # out-of-range targets are refused loudly
+    with pytest.raises(ValueError, match="log spans"):
+        t.restore(spark, 99)
+
+
+def test_restore_undoes_and_preserves_deletion_vectors(spark, tmp_path):
+    """Restoring across delete_mor commits: a post-target tombstone is
+    undone (its rows come back), a pre-target one is preserved (its
+    rows stay hidden) — the remove+add diff clears vectors and the
+    target version's vectors are re-attached in the same commit."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(i, f"n{i}", float(i)) for i in range(8)]))  # v0
+    t.delete_mor(spark, "id = 1")                                     # v1
+    t.delete_mor(spark, "id = 5")                                     # v2
+    v = t.restore(spark, 1)                                           # v3
+    got = {r["id"] for r in t.read(spark).collect()}
+    assert got == {0, 2, 3, 4, 5, 6, 7}  # id=5 back, id=1 still gone
+    # tombstone accounting agrees with the data
+    s = t.stats_summary()
+    assert (s["count"], s["count_exact"]) == (7, True)
+    # time travel across the restore still shows both deletes
+    assert {r["id"] for r in t.read(spark, version=2).collect()} == {
+        0, 2, 3, 4, 6, 7,
+    }
+    # restore all the way to v0: every row returns
+    t.restore(spark, 0)
+    assert t.read(spark).count() == 8
+
+
+def test_restore_conflicts_with_racing_writer(spark, tmp_path):
+    """The restore diff depends on the snapshot read: a commit that
+    lands in between must surface as CommitConflict, not be silently
+    clobbered by the rollback."""
+    import json as _json
+
+    from hephaestus_spark.sources.txlog import _log_path
+
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a", 1.0)]))  # v0
+    t.append(_df(spark, [(2, "b", 2.0)]))  # v1
+
+    orig_fold = t._fold_state
+    raced = {"done": False}
+
+    def fold_and_race(upto=None):
+        out = orig_fold(upto)
+        if not raced["done"]:
+            raced["done"] = True
+            winner = {"version": 2, "op": "append", "actions": [], "ts": 0.0}
+            with open(_log_path(t.path, 2), "x") as f:
+                _json.dump(winner, f)
+        return out
+
+    t._fold_state = fold_and_race
+    with pytest.raises(CommitConflict):
+        t.restore(spark, 0)
+
+
+def test_restore_partitioned_table_keeps_layout(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "d1", 1.0), (2, "d2", 2.0)], "id long, day string, val double"
+    )
+    t.append(df, partition_by=["day"])                                # v0
+    t.overwrite_partitions(
+        spark,
+        spark.createDataFrame([(9, "d1", 9.0)], "id long, day string, val double"),
+    )                                                                 # v1
+    t.restore(spark, 0)                                               # v2
+    got = {r["id"]: r["day"] for r in t.read(spark).collect()}
+    assert got == {1: "d1", 2: "d2"}
+    assert t.partition_columns() == ["day"]
+    # partition pruning still works on the restored snapshot
+    keep, total = t.pruned_files("day", "d1", "d1")
+    assert len(keep) == 1 and total == 2
+
+
+def test_spark_side_metadata_avoids_driver_fold(spark, tmp_path, monkeypatch):
+    """r10 (VERDICT r9 #6): COUNT and SHOW PARTITIONS on a cold
+    instance must answer from the columnar checkpoint THROUGH Spark —
+    with the driver-side checkpoint materialization monkeypatched to
+    explode, count_spark/partitions_spark still serve the exact
+    driver-fold answers (adds, tombstone discounts, partition values,
+    tail commits past the checkpoint)."""
+    day = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    t = TxTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, day[i % 3], float(i)) for i in range(4)],
+            "id long, day string, val double",
+        ),
+        partition_by=["day"],
+    )
+    for i in range(4, 15):  # cross the interval-10 checkpoint boundary
+        t.append(
+            spark.createDataFrame(
+                [(i, day[i % 3], float(i))], "id long, day string, val double"
+            )
+        )
+    t.delete_mor(spark, "id IN (0, 14)")  # live tombstones (one in the tail)
+    truth = t.stats_summary()
+    truth_parts = t.partitions()
+    assert truth == {"count": 13, "count_exact": True}
+
+    cold = TxTable(t.path)
+
+    def boom(self, version):
+        raise AssertionError("driver-side checkpoint materialization")
+
+    monkeypatch.setattr(TxTable, "_load_checkpoint", boom)
+    assert cold.count_spark(spark) == truth
+    assert cold.partitions_spark(spark) == truth_parts

@@ -123,10 +123,26 @@ def test_native_datasource_masks_tombstones(spark, tmp_path):
     assert v0.count() == 40
 
 
-def test_change_feed_rejects_dv_commits(spark, tmp_path):
+def test_change_feed_serves_dv_commits_as_deletes(spark, tmp_path):
+    """r10 (VERDICT r9 #3): a merge-on-read delete is a servable
+    row-level change — the tombstone parquet names exactly the
+    (file, pos) rows removed, so the feed emits them with
+    _change_type='delete' instead of refusing the whole range."""
     t = _seed(spark, str(tmp_path / "t"))
-    t.delete_mor(spark, "id = 1")
-    with pytest.raises(ValueError, match="deleteMor"):
+    t.delete_mor(spark, "id IN (1, 25)")
+    feed = t.read_changes(spark, since_version=-1)
+    ins = feed.filter(F.col("_change_type") == "insert")
+    dels = feed.filter(F.col("_change_type") == "delete")
+    assert ins.count() == 40
+    got = {(r["id"], r["_commit_version"]) for r in dels.collect()}
+    assert got == {(1, 1), (25, 1)}
+    # deleted rows carry their full column values, not just keys
+    assert {r["val"] for r in dels.collect()} == {1.0, 25.0}
+    # a consumer starting after the delete sees nothing (no replays)
+    assert t.read_changes(spark, since_version=1).count() == 0
+    # CoW rewrites remain un-servable, loudly
+    t.delete(spark, "id = 2")
+    with pytest.raises(ValueError, match="row-rewriting 'delete'"):
         t.read_changes(spark, since_version=-1)
 
 

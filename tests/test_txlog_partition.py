@@ -265,3 +265,127 @@ def test_native_datasource_refuses_partitioned_tables(spark, tmp_path):
     spark.dataSource.register(TxLogDataSource)
     with pytest.raises(Exception, match="partitioned"):
         spark.read.format("txlog").load(t.path).collect()
+
+
+# ---- r10: ADVICE fixes (basename uniqueness, tombstone accounting,
+# change-feed schema, overwrite widening, merge guard) ----
+
+
+def test_staged_basenames_unique_across_partition_dirs(spark, tmp_path):
+    """Spark's partitioned writer emits the SAME task filename in
+    every partition dir a task touches; one coalesced task spanning
+    three partitions must still stage globally-unique basenames (DV
+    and delete maps key on the basename)."""
+    t = TxTable(str(tmp_path / "t"))
+    df = _df(
+        spark,
+        [(1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0), (3, "2024-01-03", 3.0)],
+    ).coalesce(1)
+    t.append(df, partition_by=["day"])
+    names = t._snapshot_files()
+    bases = [os.path.basename(n) for n in names]
+    assert len(names) == 3  # one file per partition dir
+    assert len(set(bases)) == len(bases), bases
+
+
+def test_delete_mor_tombstones_only_the_matching_partition(spark, tmp_path):
+    """The corruption scenario behind the basename fix: with identical
+    row layouts in every partition file (one task wrote all three), a
+    basename-keyed tombstone for (file, pos 0) must delete ONLY the
+    matching partition's row, not position 0 of every file."""
+    t = TxTable(str(tmp_path / "t"))
+    df = _df(
+        spark,
+        [(1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0), (3, "2024-01-03", 3.0)],
+    ).coalesce(1)
+    t.append(df, partition_by=["day"])
+    v, covered, n = t.delete_mor(spark, "id = 2")
+    assert (covered, n) == (1, 1)
+    got = {r["id"]: r["day"] for r in t.read(spark).collect()}
+    assert got == {1: "2024-01-01", 3: "2024-01-03"}
+    # copy-on-write delete on the same shape rewrites the right file
+    t2 = TxTable(str(tmp_path / "t2"))
+    t2.append(df, partition_by=["day"])
+    _v, rewritten, untouched = t2.delete(spark, "id = 2")
+    assert rewritten == 1 and untouched == 2
+    assert {r["id"] for r in t2.read(spark).collect()} == {1, 3}
+
+
+def test_base2rel_refuses_legacy_basename_collisions(spark, tmp_path):
+    t = _pt(spark, tmp_path)
+    with pytest.raises(ValueError, match="basename"):
+        t._base2rel(["day=a/part-x.parquet", "day=b/part-x.parquet"])
+
+
+def test_stats_summary_discounts_tombstones_on_partitioned_table(
+    spark, tmp_path
+):
+    """DV 'file' values are basenames; add actions key on relative
+    paths with hive dirs — the tombstone discount must compare on the
+    basename or COUNT over-reports while claiming exactness."""
+    t = _pt(spark, tmp_path)
+    assert t.stats_summary()["count"] == 4
+    t.delete_mor(spark, "id <= 2")
+    s = t.stats_summary()
+    assert s["count"] == 2, s
+    assert s["count_exact"] is True
+    assert t.read(spark).count() == 2
+
+
+def test_read_changes_serves_partition_columns(spark, tmp_path):
+    """The change feed on a partitioned table must carry the partition
+    columns (they live in the hive dirs, not the file bytes) — same
+    explicit-schema + basePath reader as snapshot reads."""
+    t = _pt(spark, tmp_path)
+    t.append(_df(spark, [(5, "2024-01-05", 5.0), (6, "2024-01-06", 6.0)]))
+    ch = t.read_changes(spark, since_version=0)
+    assert "day" in ch.columns
+    got = {r["id"]: (r["day"], r["_commit_version"]) for r in ch.collect()}
+    assert got == {5: ("2024-01-05", 1), 6: ("2024-01-06", 1)}
+    # typed like the snapshot read, not inferred
+    assert dict(ch.dtypes)["id"] == "bigint"
+
+
+def test_read_changes_serves_logical_names_after_rename(spark, tmp_path):
+    t = _pt(spark, tmp_path)
+    t.rename_column(spark, "val", "amount")
+    t.append(
+        spark.createDataFrame(
+            [(7, "2024-01-07", 7.0)], "id long, day string, amount double"
+        )
+    )
+    ch = t.read_changes(spark, since_version=1)
+    assert "amount" in ch.columns and "val" not in ch.columns
+    assert {r["amount"] for r in ch.collect()} == {7.0}
+
+
+def test_overwrite_partitions_widening_publishes_schema(spark, tmp_path):
+    """A widening overwrite must publish the widened log schema in the
+    same commit, exactly like append — otherwise the explicit-schema
+    read hides the new column forever."""
+    t = _pt(spark, tmp_path)
+    wide = spark.createDataFrame(
+        [(20, "2024-01-01", 20.0, "n")],
+        "id long, day string, val double, note string",
+    )
+    t.overwrite_partitions(spark, wide)
+    rows = {r["id"]: r for r in t.read(spark).collect()}
+    assert rows[20]["note"] == "n"
+    assert rows[3]["note"] is None  # untouched partitions null-fill
+    # a type conflict is refused loudly, same rule as append
+    bad = spark.createDataFrame(
+        [(1, "2024-01-01", "oops")], "id long, day string, val string"
+    )
+    with pytest.raises(ValueError, match="type changes"):
+        t.overwrite_partitions(spark, bad)
+
+
+def test_merge_on_partitioned_table_needs_partition_cols(spark, tmp_path):
+    t = _pt(spark, tmp_path)
+    staged = _df(spark, [(1, "2024-01-01", 10.0)])
+    with pytest.raises(ValueError, match="partition columns"):
+        t.merge(spark, staged.select("id", "val"), "id", ["val"])
+    # with the partition column carried, the merge succeeds
+    t.merge(spark, staged, "id", ["day", "val"])
+    got = {r["id"]: r["val"] for r in t.read(spark).collect()}
+    assert got[1] == 10.0 and got[3] == 3.0
