@@ -1823,8 +1823,10 @@ class TxTable:
         in ``(since_version, upto]``. OPTIMIZE commits are skipped
         (data-identical rehousing); ``allow_dv=True`` additionally
         serves ``deleteMor`` commits (row-level deletes — their
-        tombstone parquets name exactly the (file, pos) rows removed);
-        anything else rewrites rows in place and raises."""
+        tombstone parquets name exactly the (file, pos) rows removed)
+        and ``restore`` commits (the snapshot diff is file/position
+        exact, see read_changes); anything else rewrites rows in place
+        and raises."""
         versions = self._versions()
         # r8 retention: serving a range that reaches below the log
         # horizon would silently DROP the expired commits' rows — the
@@ -1843,7 +1845,7 @@ class TxTable:
             if op == "optimize":
                 continue
             if op in ("append", "streamAppend") or (
-                allow_dv and op == "deleteMor"
+                allow_dv and op in ("deleteMor", "restore")
             ):
                 yield v, op, entry
                 continue
@@ -1873,6 +1875,10 @@ class TxTable:
         commit's deletion-vector parquet names exactly the (file, pos)
         rows it removed, so a semi-join of the covered files against
         the tombstones reconstructs the deleted rows row-exactly.
+        RESTORE commits are served as their row-level diff (the
+        rollback is file/position exact): rows that vanished emit
+        ``'delete'``, rows that resurfaced emit ``'insert'``,
+        tombstone-state flips emit exactly the changed positions.
         OPTIMIZE commits are data-identical (pure add+remove
         bookkeeping) and contribute NOTHING — their added files only
         re-house rows a consumer already saw. MERGE/DELETE rewrite
@@ -1893,6 +1899,41 @@ class TxTable:
         # (they live in the hive dirs, not the file bytes) and a
         # column-mapped table serves LOGICAL names as of that commit
         dfs = []
+
+        def _emit(d: DataFrame, meta_v: dict | None, ctype: str, v: int):
+            dfs.append(
+                self._project_logical(d, meta_v)
+                .withColumn("_change_type", F.lit(ctype))
+                .withColumn("_commit_version", F.lit(v))
+            )
+
+        def _keyed(files: list[str], meta_v: dict | None) -> DataFrame:
+            self._base2rel(files)  # position joins key on basenames
+            return (
+                self._reader(spark, meta_v)
+                .parquet(*[os.path.join(self.path, f) for f in files])
+                .withColumn(
+                    "_f",
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ),
+                )
+                .withColumn("_p", F.col("_metadata.row_index"))
+            )
+
+        def _dv_frame(files: list[str], version: int) -> DataFrame | None:
+            """(file-basename, pos) tombstones covering ``files`` as of
+            ``version`` — None when none are live."""
+            dvs = self.dv_map(version)
+            names = sorted({n for f in files for n in dvs.get(f, [])})
+            if not names:
+                return None
+            return spark.read.parquet(
+                *[os.path.join(self.path, n) for n in names]
+            ).select("file", "pos")
+
+        _POS = (F.col("_f") == F.col("file")) & (F.col("_p") == F.col("pos"))
+
         for v, op, entry in self._change_entries(since_version, upto, True):
             meta_v = self._fold_state(v)[3]
             if op == "deleteMor":
@@ -1900,28 +1941,57 @@ class TxTable:
                 covered = sorted(
                     {f for a in entry["actions"] if "dv" in a for f in a["files"]}
                 )
-                self._base2rel(covered)  # tombstones key on basenames
-                d = (
-                    self._reader(spark, meta_v)
-                    .parquet(*[os.path.join(self.path, f) for f in covered])
-                    .withColumn(
-                        "_f",
-                        F.element_at(
-                            F.split(F.col("_metadata.file_path"), "/"), -1
-                        ),
-                    )
-                    .withColumn("_p", F.col("_metadata.row_index"))
-                )
                 dv = spark.read.parquet(
                     *[os.path.join(self.path, n) for n in dv_names]
-                ).select(F.col("file").alias("_dvf"), F.col("pos").alias("_dvp"))
-                d = d.join(
-                    dv,
-                    (F.col("_f") == F.col("_dvf"))
-                    & (F.col("_p") == F.col("_dvp")),
-                    "left_semi",
-                ).drop("_f", "_p")
-                ctype = "delete"
+                ).select("file", "pos")
+                d = (
+                    _keyed(covered, meta_v)
+                    .join(dv, _POS, "left_semi")
+                    .drop("_f", "_p")
+                )
+                _emit(d, meta_v, "delete", v)
+            elif op == "restore":
+                # The rollback diff is file/position exact, so it can
+                # be served row-level (r10): files only live BEFORE the
+                # restore lose their visible rows (deletes, under the
+                # pre-restore tombstones), files only live AFTER gain
+                # theirs (inserts, under the re-attached target
+                # tombstones), and remove+add DV-reset pairs flip
+                # exactly the positions whose tombstone state changed.
+                ent_rm = {a["remove"] for a in entry["actions"] if "remove" in a}
+                ent_ad = {a["add"] for a in entry["actions"] if "add" in a}
+                gone = sorted(ent_rm - ent_ad)
+                fresh = sorted(ent_ad - ent_rm)
+                flipped = sorted(ent_rm & ent_ad)
+                if gone:
+                    d = _keyed(gone, meta_v)
+                    prev = _dv_frame(gone, v - 1)
+                    if prev is not None:
+                        d = d.join(prev, _POS, "left_anti")
+                    _emit(d.drop("_f", "_p"), meta_v, "delete", v)
+                if fresh:
+                    d = _keyed(fresh, meta_v)
+                    now = _dv_frame(fresh, v)
+                    if now is not None:
+                        d = d.join(now, _POS, "left_anti")
+                    _emit(d.drop("_f", "_p"), meta_v, "insert", v)
+                for files_, a_ver, b_ver, ctype in (
+                    (flipped, v, v - 1, "delete"),  # newly hidden
+                    (flipped, v - 1, v, "insert"),  # newly visible
+                ):
+                    if not files_:
+                        continue
+                    a = _dv_frame(files_, a_ver)
+                    if a is None:
+                        continue
+                    b = _dv_frame(files_, b_ver)
+                    diff = a if b is None else a.join(b, ["file", "pos"], "left_anti")
+                    d = (
+                        _keyed(files_, meta_v)
+                        .join(diff, _POS, "left_semi")
+                        .drop("_f", "_p")
+                    )
+                    _emit(d, meta_v, ctype, v)
             else:
                 files = [a["add"] for a in entry["actions"] if "add" in a]
                 if not files:
@@ -1929,12 +1999,7 @@ class TxTable:
                 d = self._reader(spark, meta_v).parquet(
                     *[os.path.join(self.path, f) for f in files]
                 )
-                ctype = "insert"
-            dfs.append(
-                self._project_logical(d, meta_v)
-                .withColumn("_change_type", F.lit(ctype))
-                .withColumn("_commit_version", F.lit(v))
-            )
+                _emit(d, meta_v, "insert", v)
         if not dfs:
             return (
                 self.read(spark, latest)

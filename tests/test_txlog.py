@@ -858,3 +858,45 @@ def test_spark_side_metadata_avoids_driver_fold(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(TxTable, "_load_checkpoint", boom)
     assert cold.count_spark(spark) == truth
     assert cold.partitions_spark(spark) == truth_parts
+
+
+def test_change_feed_serves_restore_as_row_diff(spark, tmp_path):
+    """r10: a RESTORE commit is served by the change feed as its exact
+    row-level diff — CoW-deleted rows resurface as inserts, appended
+    rows vanish as deletes, and tombstone-state flips emit exactly the
+    changed positions in both directions."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(i, f"n{i}", float(i)) for i in range(6)]))  # v0
+    t.delete_mor(spark, "id = 0")                                     # v1
+    t.append(_df(spark, [(10, "x", 10.0)]))                           # v2
+    t.delete_mor(spark, "id = 3")                                     # v3
+    t.restore(spark, 1)                                               # v4
+    # post-restore snapshot: ids 1..5 (id=0 still tombstoned, 10 gone)
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2, 3, 4, 5}
+    feed = t.read_changes(spark, since_version=3)
+    got = {
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in feed.collect()
+    }
+    # the v2 append is rolled back (delete), the v3 tombstone is
+    # undone (insert); id=0's tombstone predates the target and is
+    # PRESERVED — it must not appear in the diff at all
+    assert got == {(10, "delete", 4), (3, "insert", 4)}
+    # a consumer replaying the whole feed nets out to the snapshot
+    full = t.read_changes(spark, since_version=-1)
+    ins = sorted(
+        (r["id"], r["_commit_version"])
+        for r in full.filter("_change_type = 'insert'").collect()
+    )
+    # 0..5 inserted at v0, 10 at v2, and 3 RE-inserted by the restore
+    assert ins == [(0, 0), (1, 0), (2, 0), (3, 0), (3, 4), (4, 0), (5, 0), (10, 2)]
+    dels = sorted(
+        (r["id"], r["_commit_version"])
+        for r in full.filter("_change_type = 'delete'").collect()
+    )
+    assert dels == [(0, 1), (3, 3), (10, 4)]
+    # net replay (inserts minus deletes, latest wins) equals the snapshot
+    net = {}
+    for r in sorted(full.collect(), key=lambda r: r["_commit_version"]):
+        net[r["id"]] = r["_change_type"]
+    assert {k for k, v in net.items() if v == "insert"} == {1, 2, 3, 4, 5}
