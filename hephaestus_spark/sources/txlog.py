@@ -2246,11 +2246,29 @@ class TxTable:
         return base_version + 1
 
     def history(self) -> list[dict]:
-        return [
-            {"version": e["version"], "op": e["op"],
-             "n_actions": len(e["actions"])}
-            for e in self._read_log()
-        ]
+        """DESCRIBE HISTORY — one dict per surviving log entry, with
+        Delta-style operation metrics (r10): files/rows added, files
+        removed, tombstone files attached, and the commit timestamp.
+        Answered from the log alone (the add actions carry row
+        counts), zero data I/O at any scale."""
+        out = []
+        for e in self._read_log():
+            adds = [a for a in e["actions"] if "add" in a]
+            out.append(
+                {
+                    "version": e["version"],
+                    "op": e["op"],
+                    "n_actions": len(e["actions"]),
+                    "ts": e.get("ts"),
+                    "files_added": len(adds),
+                    "rows_added": sum(a.get("rows") or 0 for a in adds),
+                    "files_removed": sum(
+                        1 for a in e["actions"] if "remove" in a
+                    ),
+                    "dv_files": sum(1 for a in e["actions"] if "dv" in a),
+                }
+            )
+        return out
 
     def maintain(
         self,

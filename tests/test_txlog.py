@@ -900,3 +900,19 @@ def test_change_feed_serves_restore_as_row_diff(spark, tmp_path):
     for r in sorted(full.collect(), key=lambda r: r["_commit_version"]):
         net[r["id"]] = r["_change_type"]
     assert {k for k, v in net.items() if v == "insert"} == {1, 2, 3, 4, 5}
+
+
+def test_history_operation_metrics(spark, tmp_path):
+    """DESCRIBE HISTORY metrics (r10): per-commit files/rows
+    added/removed and tombstone counts, from the log alone."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).coalesce(1))  # v0
+    t.delete_mor(spark, "id = 1")                                      # v1
+    t.delete(spark, "id = 2")                                          # v2
+    h = t.history()
+    assert (h[0]["files_added"], h[0]["rows_added"]) == (1, 2)
+    assert (h[1]["op"], h[1]["dv_files"], h[1]["files_added"]) == (
+        "deleteMor", 1, 0,
+    )
+    assert h[2]["op"] == "delete" and h[2]["files_removed"] == 1
+    assert all(isinstance(e["ts"], float) for e in h)
