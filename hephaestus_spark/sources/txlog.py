@@ -1934,8 +1934,22 @@ class TxTable:
 
         _POS = (F.col("_f") == F.col("file")) & (F.col("_p") == F.col("pos"))
 
+        # metadata tracked INCREMENTALLY across the range: one fold at
+        # the first served commit, then each entry's own meta action
+        # (every meta change in range rides a served entry — optimize
+        # never carries meta and rewrites raise). Folding per version
+        # would parse the full checkpoint once per commit in range —
+        # a real cost on a million-file table's cold driver.
+        meta_v: dict | None = None
+        meta_init = False
         for v, op, entry in self._change_entries(since_version, upto, True):
-            meta_v = self._fold_state(v)[3]
+            if not meta_init:
+                meta_v = self._fold_state(v)[3]
+                meta_init = True
+            else:
+                for a in entry["actions"]:
+                    if "meta" in a:
+                        meta_v = a["meta"]
             if op == "deleteMor":
                 dv_names = [a["dv"] for a in entry["actions"] if "dv" in a]
                 covered = sorted(
