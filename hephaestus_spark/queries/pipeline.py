@@ -988,6 +988,82 @@ def x_txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_txlog_partitioned",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             strftime(ts, '%Y-%m-%d') AS day, value
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, day,
+           CASE WHEN day = (SELECT min(day) FROM e)
+                THEN value * 2 ELSE value END AS value,
+           TRUE AS partition_pruned, TRUE AS backfill_versioned
+    FROM e
+    WHERE day = (SELECT min(day) FROM e)
+       OR day = (SELECT max(day) FROM e)
+    """,
+)
+def x_txlog_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned transactional table end-to-end (r9/r10,
+    sources/txlog.py partitioning): events land partitioned by UTC day
+    (the reference's per-day feed granularity,
+    internal/services/tasks/tasks.go:129-176), the FIRST day is
+    re-published through ``overwrite_partitions`` with doubled values
+    — the idempotent-backfill shape: exactly that partition's files
+    are replaced, every other day untouched — and the final read pulls
+    only the first and last days through metadata partition pruning
+    (partitionValues recorded per file make partition predicates
+    zone-map pruning with zero I/O). The oracle replays the lifecycle
+    in SQL; the hash pins the backfilled values, the untouched
+    partitions, and the string day typing byte-exact through the hive
+    path round-trip. Booleans pin that pruning genuinely skipped
+    files and the pre-backfill day still time-travels. At 100 TB:
+    day-partition counts are calendar-bounded, so SHOW PARTITIONS /
+    pruning stay metadata-only at any data scale."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    b = e.agg(F.min("day"), F.max("day")).first()
+    d0, dmax = b[0], b[1]
+    workdir = tempfile.mkdtemp(prefix="txlog-part-")
+    try:
+        t = TxTable(f"{workdir}/events_by_day")
+        t.append(e, partition_by=["day"])
+        backfill = e.filter(F.col("day") == d0).withColumn(
+            "value", F.col("value") * 2
+        )
+        t.overwrite_partitions(spark, backfill)
+        keep, total = t.pruned_files_in("day", [d0, dmax])
+        pruned = 0 < len(keep) < total
+        versioned = (
+            t.read(spark, 0).filter(F.col("day") == d0).count()
+            == backfill.count()
+        )
+        out = t.read_pruned_in(spark, "day", [d0, dmax]).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "day",
+            "value",
+            F.lit(pruned).alias("partition_pruned"),
+            F.lit(versioned).alias("backfill_versioned"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
     "x_txlog_datasource_roundtrip",
     oracle="""
     WITH b AS (
