@@ -1511,10 +1511,67 @@ class TxTable:
                     f"table {self.path} is partitioned by {declared}, "
                     f"not {phys}; partitioning is fixed at creation"
                 )
+        if self.latest_version() < 0:
+            return self._create_tracked(df, max_retries)
         names = self._stage(df)
         if (meta or {}).get("schema"):
             return self._commit_schema_tracked(df, names, meta, max_retries)
         return self.commit_names(names, max_retries=max_retries)
+
+    def _create_tracked(self, df: DataFrame, max_retries: int) -> int:
+        """First commit of an unpartitioned table (r10): data files
+        plus a meta action carrying the log-owned schema — the same
+        contract partitioned tables have had since r9, now universal.
+        The payoff is the read plan: an explicit reader schema needs
+        ZERO footer I/O, where the legacy mergeSchema read merges
+        every live file's footer at plan time — a real cost at
+        millions of files. Writes gain schema enforcement for free
+        (type changes refuse loudly through ``_widened_meta``).
+        Tables created before r10 stay on the mergeSchema path.
+
+        A lost creation race falls through to the normal append path
+        with the already-staged files — the meta action must NOT be
+        blind-retried, or it would clobber the winner's schema."""
+        names = self._stage(df)
+        meta = {"schema": df.schema.json()}
+        try:
+            self._commit(
+                0, "append", self._add_actions(names) + [{"meta": meta}]
+            )
+            return 0
+        except CommitConflict:
+            meta_now = self._fold_state()[3]
+            if (meta_now or {}).get("partition_columns"):
+                raise ValueError(
+                    f"table {self.path} was concurrently created as a "
+                    "partitioned table; these files were staged without "
+                    "hive dirs — re-run the append"
+                )
+            if (meta_now or {}).get("schema"):
+                return self._commit_schema_tracked(
+                    df, names, meta_now, max_retries
+                )
+            return self.commit_names(names, max_retries=max_retries)
+
+    def _fields_from_footers(self, names: list[str]) -> dict:
+        """name -> StructField from the files' own parquet footers, in
+        first-seen field order — the schema source for commits whose
+        files were written externally (the native datasource's
+        writers). Cost: one footer per file, the same footers
+        ``_add_actions`` already reads for stats."""
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        ordered: dict = {}
+        for n in names:
+            st = from_arrow_schema(
+                pq.ParquetFile(os.path.join(self.path, n)).schema_arrow,
+                prefer_timestamp_ntz=True,
+            )
+            for f in st.fields:
+                ordered.setdefault(f.name, f)
+        return ordered
 
     def _create_partitioned(self, df: DataFrame, pcols: list[str]) -> int:
         """First commit of a partitioned table: data files + the meta
@@ -1659,9 +1716,26 @@ class TxTable:
                 if overwrite and v > 0
                 else []
             )
+            # r10 universal schema tracking: a creating commit
+            # publishes the files' footer schema; a widening commit on
+            # a tracked table publishes the union (recomputed per
+            # retry); a type change refuses loudly (_widened_meta)
+            if v == 0:
+                from pyspark.sql.types import StructType
+
+                flds = self._fields_from_footers(names)
+                extra = [
+                    {"meta": {"schema": StructType(list(flds.values())).json()}}
+                ]
+            elif (self._fold_state()[3] or {}).get("schema"):
+                extra = self._widened_meta(self._fields_from_footers(names))
+            else:
+                extra = []
             try:
                 self._commit(
-                    v, "overwrite" if overwrite else "append", actions + removes
+                    v,
+                    "overwrite" if overwrite else "append",
+                    actions + removes + extra,
                 )
                 return v
             except CommitConflict:
@@ -2154,15 +2228,16 @@ class TxTable:
             # table-wide basename uniqueness (r10) — see commit_names
             live = self._snapshot_files()
             self._base2rel(names + [f for f in live if f not in names])
-        # r9: on a schema-tracked (partitioned) table a widening
-        # micro-batch must publish the widened schema with its commit,
-        # same as _commit_schema_tracked (recomputed per retry below)
+        # r9: on a schema-tracked table a widening micro-batch must
+        # publish the widened schema with its commit, same as
+        # _commit_schema_tracked (recomputed per retry below); r10:
+        # the first stream commit CREATES the table schema-tracked
         staged_fields = (
             {
                 f.name: f
                 for f in self._to_physical(df.limit(0), meta0).schema.fields
             }
-            if df is not None and meta0.get("schema")
+            if df is not None
             else None
         )
         for _ in range(max_retries):
@@ -2181,11 +2256,26 @@ class TxTable:
             if names is None:  # stage once, only if genuinely new
                 assert df is not None
                 names = self._stage(df)
-            extra = (
-                self._widened_meta(staged_fields)
-                if staged_fields is not None
-                else []
-            )
+            if v == 0:
+                from pyspark.sql.types import StructType
+
+                flds = (
+                    staged_fields
+                    if staged_fields is not None
+                    else self._fields_from_footers(names)
+                )
+                extra = [
+                    {"meta": {"schema": StructType(list(flds.values())).json()}}
+                ]
+            elif (self._fold_state()[3] or {}).get("schema"):
+                flds = (
+                    staged_fields
+                    if staged_fields is not None
+                    else self._fields_from_footers(names)
+                )
+                extra = self._widened_meta(flds)
+            else:
+                extra = []
             try:
                 self._commit(
                     v,

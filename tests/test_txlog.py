@@ -916,3 +916,76 @@ def test_history_operation_metrics(spark, tmp_path):
     )
     assert h[2]["op"] == "delete" and h[2]["files_removed"] == 1
     assert all(isinstance(e["ts"], float) for e in h)
+
+
+def test_new_tables_are_schema_tracked(spark, tmp_path):
+    """r10 universal schema tracking: the FIRST commit of any table
+    publishes the log-owned schema, so every read resolves its schema
+    from the log (zero footer I/O at plan time — mergeSchema merges
+    every live footer) and writes gain type enforcement for free."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a", 1.0)]))
+    meta = t._fold_state()[3]
+    assert meta and meta.get("schema"), "creation must publish the schema"
+    # widening append publishes the union atomically, nulls backfill
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", 2.0, "x")], "id long, name string, val double, tag string"
+        )
+    )
+    rows = {r["id"]: r["tag"] for r in t.read(spark).collect()}
+    assert rows == {1: None, 2: "x"}
+    # a type change is refused at WRITE time, not discovered at read
+    bad = spark.createDataFrame([(3, "c", "oops")], "id long, name string, val string")
+    with pytest.raises(ValueError, match="type changes"):
+        t.append(bad)
+    # stream commits create tracked tables too
+    s = TxTable(str(tmp_path / "s"))
+    s.append_stream_batch(_df(spark, [(1, "a", 1.0)]), "app", 0)
+    assert (s._fold_state()[3] or {}).get("schema")
+    with pytest.raises(ValueError, match="is DoubleType"):
+        s.append_stream_batch(
+            spark.createDataFrame([(2, "b", "no")], "id long, name string, val string"),
+            "app",
+            1,
+        )
+
+
+def test_legacy_untracked_tables_stay_on_mergeschema(spark, tmp_path):
+    """Tables created before r10 carry no log-owned schema; they keep
+    reading through mergeSchema and widening appends keep working —
+    the upgrade is creation-time only, never a migration."""
+    t = TxTable(str(tmp_path / "t"))
+    names = t._stage(_df(spark, [(1, "a", 1.0)]))
+    t._commit(0, "append", t._add_actions(names))  # pre-r10 shape: no meta
+    assert (t._fold_state()[3] or {}) == {}
+    assert t.read(spark).count() == 1
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", 2.0, "x")], "id long, name string, val double, tag string"
+        )
+    )
+    assert (t._fold_state()[3] or {}) == {}  # still untracked
+    rows = {r["id"]: r["tag"] for r in t.read(spark).collect()}
+    assert rows == {1: None, 2: "x"}
+
+
+def test_commit_names_creation_tracks_schema_from_footers(spark, tmp_path):
+    """The native datasource's batch writer lands files and commits
+    names; a CREATING commit_names must publish the footer schema so
+    externally-written tables are schema-tracked too, and a
+    type-conflicting later batch refuses."""
+    t = TxTable(str(tmp_path / "t"))
+    names = t._stage(_df(spark, [(1, "a", 1.0)]))
+    t.commit_names(names)
+    meta = t._fold_state()[3]
+    assert meta and meta.get("schema")
+    assert t.read(spark).count() == 1
+    # a widening names-commit unions the schema
+    names2 = t._stage(
+        spark.createDataFrame(
+            [(2, "b", 2.0, "y")], "id long, name string, val double, tag string"
+        )
+    )
+    t.commit_names(names2)
+    assert {r["id"]: r["tag"] for r in t.read(spark).collect()} == {1: None, 2: "y"}
