@@ -1364,9 +1364,42 @@ class TxTable:
         return base + 1
 
     # ---- public API ----
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Snapshot read, optionally pinned to a past version (time
-        travel). An empty table (or version -1) raises ValueError."""
+    def version_at(self, ts: float) -> int:
+        """Newest version whose commit timestamp is <= ``ts`` — the
+        resolution step behind Delta's TIMESTAMP AS OF. Commit stamps
+        come from the writers' clocks, so with multiple writers the
+        mapping is only as monotone as those clocks; the scan takes
+        the max qualifying version rather than assuming monotonicity.
+        Raises when ``ts`` predates the oldest surviving entry (after
+        expire_log the answer below the horizon is unknowable — same
+        loud-refusal rule as version time travel)."""
+        best = None
+        for e in self._read_log():
+            if e.get("ts", 0.0) <= ts:
+                best = e["version"] if best is None else max(best, e["version"])
+        if best is None:
+            versions = self._versions()
+            raise ValueError(
+                f"timestamp {ts} predates the oldest surviving log entry"
+                f" of {self.path}"
+                + (f" (horizon {versions[0]})" if versions else " (empty)")
+            )
+        return best
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        timestamp: float | None = None,
+    ) -> DataFrame:
+        """Snapshot read, optionally pinned to a past version or a
+        point in time (``timestamp`` — epoch seconds, Delta's
+        TIMESTAMP AS OF via :meth:`version_at`). An empty table (or
+        version -1) raises ValueError."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
         files = self._snapshot_files(version)
         if not files:
             raise ValueError(f"table {self.path} has no data at version {version}")

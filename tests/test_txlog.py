@@ -989,3 +989,23 @@ def test_commit_names_creation_tracks_schema_from_footers(spark, tmp_path):
     )
     t.commit_names(names2)
     assert {r["id"]: r["tag"] for r in t.read(spark).collect()} == {1: None, 2: "y"}
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF (r10): reads pin to the newest commit at or
+    before the given instant; a pre-history timestamp refuses loudly
+    (after expiry the answer below the horizon is unknowable)."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a", 1.0)]))              # v0
+    ts0 = t._read_entry(0)["ts"]
+    t.append(_df(spark, [(2, "b", 2.0)]))              # v1
+    ts1 = t._read_entry(1)["ts"]
+    assert t.version_at(ts0) == 0
+    assert t.version_at((ts0 + ts1) / 2) == 0
+    assert t.version_at(ts1 + 1) == 1
+    assert {r["id"] for r in t.read(spark, timestamp=ts0).collect()} == {1}
+    assert {r["id"] for r in t.read(spark, timestamp=ts1).collect()} == {1, 2}
+    with pytest.raises(ValueError, match="predates"):
+        t.version_at(ts0 - 100)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, version=0, timestamp=ts0)
