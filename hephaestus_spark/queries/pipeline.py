@@ -1064,6 +1064,69 @@ def x_txlog_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_txlog_datasource_partitioned",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             strftime(ts, '%Y-%m-%d') AS day, value
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, day, value,
+           TRUE AS partition_pruned
+    FROM e
+    WHERE day = (SELECT min(day) FROM e)
+    """,
+)
+def x_txlog_datasource_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native connector over a hive-partitioned table (r10,
+    sources/txlog_datasource.py): events land day-partitioned through
+    TxTable, then ``spark.read.format("txlog")`` serves them — schema
+    from the LOG (day present and typed with zero footer I/O), each
+    split materializing its partition value as a typed constant — and
+    the day filter prunes to exactly that partition's files through
+    ``pushFilters``'s singleton zones before any I/O. The oracle is
+    the plain SQL filter, so the hash pins the typed path round-trip;
+    the boolean pins that pruning genuinely skipped files."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+    from hephaestus_spark.sources.txlog_datasource import TxLogDataSource
+
+    spark.dataSource.register(TxLogDataSource)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    d0 = e.agg(F.min("day")).first()[0]
+    workdir = tempfile.mkdtemp(prefix="txlog-ds-part-")
+    try:
+        t = TxTable(f"{workdir}/events_by_day")
+        t.append(e, partition_by=["day"])
+        keep, total = t.pruned_files_in("day", [d0])
+        pruned = 0 < len(keep) < total
+        got = (
+            spark.read.format("txlog")
+            .load(t.path)
+            .filter(F.col("day") == d0)
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                "day",
+                "value",
+                F.lit(pruned).alias("partition_pruned"),
+            )
+        )
+        return got.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
     "x_txlog_datasource_roundtrip",
     oracle="""
     WITH b AS (

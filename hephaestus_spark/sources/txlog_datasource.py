@@ -67,7 +67,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import LongType, StructField, StructType
 
-from hephaestus_spark.sources.txlog import TxTable
+from hephaestus_spark.sources.txlog import TxTable, _parse_partition_values
 
 if TYPE_CHECKING:  # pragma: no cover
     import pyarrow as pa
@@ -85,6 +85,10 @@ class TxLogPartition(InputPartition):
     # target arrow schema (sans version column) for widening-append
     # schema evolution: older files surface missing columns as nulls
     target_schema: object = None
+    # hive partition values of this file (r10): ((physical col, raw
+    # string-or-None), ...) — materialized as typed constant columns
+    # by the task (the values live in the path, not the file bytes)
+    partition_values: tuple = ()
 
 
 @dataclass
@@ -93,33 +97,45 @@ class TxLogCommitMessage(WriterCommitMessage):
 
 
 def _table_schema(table: TxTable, version: int | None = None) -> "pa.Schema":
-    """Arrow schema of the live data files (footer read, no Spark
-    job), served under the LOGICAL names of the version's column
-    mapping (r9): renamed fields carry their physical source name as
-    ``phys`` field metadata so ``_align`` can find the column in the
-    files, dropped physicals vanish. The newest-added file wins —
+    """Arrow schema of the table, served under the LOGICAL names of
+    the version's column mapping (r9): renamed fields carry their
+    physical source name as ``phys`` field metadata so ``_align`` can
+    find the column in the files, dropped physicals vanish.
+
+    Schema-tracked tables (r10 — every table created since, and all
+    partitioned tables) serve the LOG-OWNED schema: zero footer I/O,
+    and partition columns — which live in the hive paths, not the
+    file bytes — are present and typed exactly as declared (the
+    per-split reader materializes their values as constants). Legacy
+    untracked tables fall back to the newest-added file's footer —
     widening-append evolution's last-writer precedence; older files
-    are aligned at read time (missing columns as nulls, see
-    ``_align``)."""
+    are aligned at read time (missing columns as nulls, ``_align``)."""
+    import json as _json
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    meta = table._fold_state(version)[3]
+    if meta and meta.get("schema"):
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType as _St
+
+        phys = to_arrow_schema(_St.fromJson(_json.loads(meta["schema"])))
+        mapping = meta.get("mapping") or {}
+        rev = {p: l for l, p in mapping.items()}
+        dropped = set(meta.get("dropped") or [])
+        return pa.schema(
+            [
+                pa.field(rev.get(f.name, f.name), f.type, f.nullable, {"phys": f.name})
+                for f in phys
+                if f.name not in dropped
+            ]
+        )
     files = table.live_files(version)
     if not files:
         raise ValueError(f"txlog table {table.path} has no data")
-    if table.partition_columns(version):
-        # r9: partition values live in the hive paths/log, not the file
-        # bytes — serving the footer schema would silently DROP those
-        # columns. Until this connector materializes partitionValues
-        # per input split, refuse loudly (TxTable.read serves them).
-        raise NotImplementedError(
-            f"txlog table {table.path} is hive-partitioned; the native"
-            " format('txlog') connector does not serve partitioned"
-            " tables yet — read through TxTable.read"
-        )
     newest = max(files, key=lambda nv: nv[1])[0]
     schema = pq.read_schema(os.path.join(table.path, newest))
-    meta = table._fold_state(version)[3]
     if meta:
         mapping = meta.get("mapping") or {}
         rev = {p: l for l, p in mapping.items()}
@@ -182,19 +198,62 @@ def _align(batch: "pa.RecordBatch", target: "pa.Schema") -> "pa.RecordBatch":
     return pa.RecordBatch.from_arrays(arrays, schema=target)
 
 
+def _typed_partition_value(raw: "str | None", typ: "pa.DataType"):
+    """A hive partition string typed per the declared arrow type —
+    the same contract TxTable's explicit-schema read gets from Spark's
+    own partition-dir casting (no inference, '00123' survives as a
+    string byte-exact)."""
+    import pyarrow as pa
+
+    if raw is None:
+        return None
+    if pa.types.is_integer(typ):
+        return int(raw)
+    if pa.types.is_floating(typ):
+        return float(raw)
+    if pa.types.is_boolean(typ):
+        return raw == "true"
+    if pa.types.is_date(typ):
+        import datetime
+
+        return datetime.date.fromisoformat(raw)
+    if pa.types.is_timestamp(typ):
+        import datetime
+
+        return datetime.datetime.fromisoformat(raw)
+    return raw
+
+
 def _read_file_batches(
     file_path: str,
     commit_version: int,
     dv_paths: tuple = (),
     target_schema: "pa.Schema | None" = None,
+    partition_values: tuple = (),
 ) -> Iterator["pa.RecordBatch"]:
     """Executor-side: stream a parquet file as Arrow batches with the
-    provenance column appended and deletion-vector tombstones masked
-    out (positions are file-local row indices; a running offset maps
-    them onto each batch). No Spark state, no row materialization."""
+    provenance column appended, deletion-vector tombstones masked out
+    (positions are file-local row indices; a running offset maps them
+    onto each batch), and hive partition values materialized as typed
+    constant columns (r10 — they live in the path, not the bytes).
+    No Spark state, no row materialization."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
+
+    # (physical name, arrow type, typed value) per partition column —
+    # typed against the target field that reads from that physical
+    part_consts = []
+    if partition_values and target_schema is not None:
+        pv = dict(partition_values)
+        for field in target_schema:
+            src = field.name
+            if field.metadata and b"phys" in field.metadata:
+                src = field.metadata[b"phys"].decode()
+            if src in pv:
+                part_consts.append(
+                    (src, field.type, _typed_partition_value(pv[src], field.type))
+                )
 
     tombstones: set[int] = set()
     if dv_paths:
@@ -215,6 +274,11 @@ def _read_file_batches(
                 batch = batch.take(pa.array(keep, pa.int64()))
         offset += n
         if batch.num_rows:
+            for src, typ, val in part_consts:
+                batch = batch.append_column(
+                    pa.field(src, typ),
+                    pa.array([val] * batch.num_rows, typ),
+                )
             if target_schema is not None:
                 batch = _align(batch, target_schema)
             yield batch.append_column(
@@ -302,6 +366,7 @@ class TxLogBatchReader(DataSourceReader):
                     os.path.join(self.table.path, d) for d in dvs.get(n, ())
                 ),
                 target,
+                tuple(sorted(_parse_partition_values(n).items())),
             )
             for n, v in live
             if n in keep
@@ -313,6 +378,7 @@ class TxLogBatchReader(DataSourceReader):
             partition.commit_version,
             partition.dv_paths,
             partition.target_schema,
+            partition.partition_values,
         )
 
 
@@ -333,7 +399,11 @@ class TxLogStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         return [
             TxLogPartition(
-                os.path.join(self.table.path, n), v, (), self.target_schema
+                os.path.join(self.table.path, n),
+                v,
+                (),
+                self.target_schema,
+                tuple(sorted(_parse_partition_values(n).items())),
             )
             for n, v in self.table.change_files(start["version"], end["version"])
         ]
@@ -344,6 +414,7 @@ class TxLogStreamReader(DataSourceStreamReader):
             partition.commit_version,
             partition.dv_paths,
             partition.target_schema,
+            partition.partition_values,
         )
 
     def commit(self, end: dict) -> None:

@@ -258,13 +258,65 @@ def test_commit_names_refuses_unpartitioned_files(spark, tmp_path):
         t.commit_names(["part-stray.parquet"])
 
 
-def test_native_datasource_refuses_partitioned_tables(spark, tmp_path):
-    t = _pt(spark, tmp_path)
+def test_native_datasource_serves_partitioned_tables(spark, tmp_path):
+    """r10: format('txlog') serves hive-partitioned tables — the
+    schema comes from the LOG (partition columns present and typed,
+    zero footer I/O), each split materializes its partition values as
+    typed constants, partition predicates prune whole files via the
+    singleton zones, and deletion vectors mask rows per split."""
     from hephaestus_spark.sources.txlog_datasource import TxLogDataSource
 
     spark.dataSource.register(TxLogDataSource)
-    with pytest.raises(Exception, match="partitioned"):
-        spark.read.format("txlog").load(t.path).collect()
+    t = TxTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, 7, "2024-01-01", 1.0), (2, 8, "2024-01-02", 2.0),
+         (3, 7, "2024-01-02", 3.0)],
+        "id long, bucket int, day string, val double",
+    )
+    t.append(df, partition_by=["day"])
+    got = spark.read.format("txlog").load(t.path)
+    # partition column present, typed per the declared schema
+    assert dict(got.dtypes)["day"] == "string"
+    assert dict(got.dtypes)["bucket"] == "int"
+    rows = {r["id"]: (r["day"], r["bucket"]) for r in got.collect()}
+    assert rows == {1: ("2024-01-01", 7), 2: ("2024-01-02", 8), 3: ("2024-01-02", 7)}
+    # a partition predicate returns exactly the partition's rows
+    band = got.filter(F.col("day") == "2024-01-01")
+    assert [r["id"] for r in band.collect()] == [1]
+    # deletion vectors mask per split
+    t.delete_mor(spark, "id = 2")
+    assert sorted(
+        r["id"] for r in spark.read.format("txlog").load(t.path).collect()
+    ) == [1, 3]
+    # time travel serves the pre-delete snapshot
+    v0 = spark.read.format("txlog").option("version", 0).load(t.path)
+    assert v0.count() == 3
+    # string partition values that look numeric survive byte-exact
+    t2 = TxTable(str(tmp_path / "t2"))
+    t2.append(
+        spark.createDataFrame([(1, "00123", 1.0)], "id long, tag string, val double"),
+        partition_by=["tag"],
+    )
+    assert spark.read.format("txlog").load(t2.path).collect()[0]["tag"] == "00123"
+
+
+def test_native_datasource_prunes_partitions_by_filter(spark, tmp_path):
+    """The pushFilters zone probe must skip whole partition files for
+    a partition-column predicate (partition values are singleton
+    zones) — asserted by counting planned input partitions."""
+    from hephaestus_spark.sources.txlog_datasource import (
+        TxLogBatchReader,
+        _table_schema,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    t = _pt(spark, tmp_path)
+    reader = TxLogBatchReader(t, t.latest_version())
+    reader.pushFilters([EqualTo(("day",), "2024-01-02")])
+    parts = reader.partitions()
+    assert len(parts) == 1
+    assert "day=2024-01-02" in parts[0].file_path
+    assert dict(parts[0].partition_values) == {"day": "2024-01-02"}
 
 
 # ---- r10: ADVICE fixes (basename uniqueness, tombstone accounting,
