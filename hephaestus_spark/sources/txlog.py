@@ -1775,6 +1775,62 @@ class TxTable:
                 continue
         raise CommitConflict(f"append lost {max_retries} races on {self.path}")
 
+    def create_partitioned_names(
+        self,
+        names: list[str],
+        pcols: list[str],
+        schema,
+        txn: dict | None = None,
+    ) -> int:
+        """First commit of a partitioned table from EXTERNALLY-written
+        files (r10 — the native connector's writers land hive-layout
+        task files directly): same meta contract as
+        ``_create_partitioned``. ``schema`` is the writer's StructType
+        (physical names — creation predates any mapping); field order
+        in the log is data fields then partition fields. A racing
+        creator surfaces as CommitConflict for the caller to resolve
+        (the layouts may differ — never blind-retry a creation)."""
+        from pyspark.sql.types import StructType
+
+        if self.latest_version() >= 0:
+            raise ValueError(f"table {self.path} already exists")
+        field_names = [f.name for f in schema.fields]
+        missing = [c for c in pcols if c not in field_names]
+        if missing:
+            raise ValueError(f"partition columns {missing} not in {field_names}")
+        if len(pcols) == len(field_names):
+            raise ValueError("cannot partition by every column")
+        pset = set(pcols)
+        bad = [n for n in names if set(_parse_partition_values(n)) != pset]
+        if bad:
+            raise ValueError(
+                f"files must carry hive components for exactly {sorted(pset)}"
+                f" (got {bad[:3]}...)"
+            )
+        self._base2rel(names)
+        fields = [f for f in schema.fields if f.name not in pset] + [
+            schema[c] for c in pcols
+        ]
+        schema_json = StructType(fields).json()
+        pschema = {
+            f["name"]: f["type"]
+            for f in json.loads(schema_json)["fields"]
+            if f["name"] in pset
+        }
+        meta = {
+            "partition_columns": list(pcols),
+            "schema": schema_json,
+            "features": ["partitioning"],
+            "writer_features": ["partitioning"],
+        }
+        self._commit(
+            0,
+            "createPartitioned",
+            self._add_actions(names, pschema) + [{"meta": meta}],
+            txn=txn,
+        )
+        return 0
+
     def merge(
         self,
         spark: SparkSession,

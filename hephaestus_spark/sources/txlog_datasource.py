@@ -36,10 +36,21 @@ express in Scala):
   commit is a blind append, or a one-commit add+remove overwrite that
   keeps every earlier version time-travel-readable.
 
+Hive-partitioned tables are served end-to-end (r10): reads take the
+schema from the LOG (partition columns present and typed, zero footer
+I/O), each split materializes its partition values as typed constant
+columns, and partition predicates prune whole files through the
+singleton zones. Writes declare partitioning with
+``.option("partitionBy", "day")`` (the Python Data Source API does
+not forward ``DataFrameWriter.partitionBy``): tasks split their
+batches into ``col=value/`` hive files, and the first commit declares
+the layout in the log.
+
 Executor-side reads/writes use pyarrow directly (Arrow RecordBatches
 in both directions — the Python data source fast path), so no Spark
 session state is shipped to tasks; a partition is (absolute file
-path, commit version), nothing else.
+path, commit version, deletion vectors, partition values), nothing
+else.
 """
 
 from __future__ import annotations
@@ -448,13 +459,32 @@ def _to_physical_batch(batch: "pa.RecordBatch", meta: dict | None):
     return pa.RecordBatch.from_arrays(list(batch.columns), names=names)
 
 
-def _write_task_file(path: str, iterator) -> TxLogCommitMessage:
-    """Executor-side: land this task's Arrow batches as ONE parquet
-    file in the table dir. Invisible until a log entry references it.
-    Under an active column mapping the task translates logical ->
-    physical names (the mapping is read once from the table's own log
-    — a filesystem path the task already has)."""
+def _hive_component(col: str, val) -> str:
+    """One ``col=value`` hive path component, percent-escaped exactly
+    as Spark's own writer escapes (see txlog._parse_partition_values's
+    inverse); None becomes the hive null sentinel."""
+    from urllib.parse import quote
+
+    from hephaestus_spark.sources.txlog import _HIVE_NULL
+
+    raw = _HIVE_NULL if val is None else str(val)
+    return f"{quote(col, safe='')}={quote(raw, safe='') if val is not None else raw}"
+
+
+def _write_task_file(
+    path: str, iterator, pcols: "list[str] | None" = None
+) -> TxLogCommitMessage:
+    """Executor-side: land this task's Arrow batches as parquet in the
+    table dir — ONE file for unpartitioned writes, one file per
+    partition-value combination under ``col=value/`` hive dirs when
+    ``pcols`` is set (r10: the same layout TxTable._stage produces, so
+    the log records partitionValues and partition pruning works on
+    connector-written files). Invisible until a log entry references
+    them. Under an active column mapping the task translates logical
+    -> physical names (the mapping is read once from the table's own
+    log — a filesystem path the task already has)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from pyspark import TaskContext
@@ -464,10 +494,38 @@ def _write_task_file(path: str, iterator) -> TxLogCommitMessage:
     if not batches:
         return TxLogCommitMessage(names=[])
     pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-    name = f"part-stream-{uuid.uuid4().hex[:12]}-{pid:05d}.parquet"
     os.makedirs(path, exist_ok=True)  # first write creates the table
-    pq.write_table(pa.Table.from_batches(batches), os.path.join(path, name))
-    return TxLogCommitMessage(names=[name])
+    if not pcols:
+        name = f"part-stream-{uuid.uuid4().hex[:12]}-{pid:05d}.parquet"
+        pq.write_table(pa.Table.from_batches(batches), os.path.join(path, name))
+        return TxLogCommitMessage(names=[name])
+    mapping = (meta or {}).get("mapping") or {}
+    phys_pcols = [mapping.get(c, c) for c in pcols]
+    tbl = pa.Table.from_batches(batches)
+    missing = [c for c in phys_pcols if c not in tbl.schema.names]
+    if missing:
+        raise ValueError(f"partition columns {missing} not in the written data")
+    combos = (
+        tbl.select(phys_pcols).group_by(phys_pcols).aggregate([]).to_pylist()
+    )
+    names: list[str] = []
+    for combo in combos:
+        m = None
+        for c in phys_pcols:
+            v = combo[c]
+            cond = (
+                pc.is_null(tbl.column(c))
+                if v is None
+                else pc.equal(tbl.column(c), v)
+            )
+            m = cond if m is None else pc.and_(m, cond)
+        part = tbl.filter(m).drop_columns(phys_pcols)
+        rel_dir = "/".join(_hive_component(c, combo[c]) for c in phys_pcols)
+        os.makedirs(os.path.join(path, rel_dir), exist_ok=True)
+        name = f"{rel_dir}/part-stream-{uuid.uuid4().hex[:12]}-{pid:05d}.parquet"
+        pq.write_table(part, os.path.join(path, name))
+        names.append(name)
+    return TxLogCommitMessage(names=names)
 
 
 def _remove_task_files(path: str, messages) -> None:
@@ -489,16 +547,34 @@ class TxLogStreamWriter(DataSourceStreamArrowWriter):
     the ARROW writer means tasks receive RecordBatches — column data
     flows Spark→Arrow→parquet without row materialization."""
 
-    def __init__(self, path: str, app_id: str):
+    def __init__(self, path: str, app_id: str, pcols=None, schema=None):
         self.path = path
         self.app_id = app_id
+        self.pcols = pcols
+        self.spark_schema = schema
 
     def write(self, iterator) -> TxLogCommitMessage:
-        return _write_task_file(self.path, iterator)
+        return _write_task_file(self.path, iterator, self.pcols)
 
     def commit(self, messages, batchId: int) -> None:
+        from hephaestus_spark.sources.txlog import CommitConflict
+
         names = [n for m in messages if m is not None for n in m.names]
-        TxTable(self.path).commit_stream_names(names, self.app_id, batchId)
+        t = TxTable(self.path)
+        if self.pcols and t.latest_version() < 0:
+            try:  # first batch CREATES the partitioned table, with the
+                # (app, batch) txn riding the creation commit so a
+                # redelivery of batch 0 after a restart adds nothing
+                t.create_partitioned_names(
+                    names,
+                    self.pcols,
+                    self.spark_schema,
+                    txn={"app": self.app_id, "batch": batchId},
+                )
+                return
+            except CommitConflict:
+                pass  # a racer created it; fall through to the txn path
+        t.commit_stream_names(names, self.app_id, batchId)
 
     def abort(self, messages, batchId: int) -> None:
         _remove_task_files(self.path, messages)
@@ -512,17 +588,29 @@ class TxLogBatchWriter(DataSourceArrowWriter):
     add(new)+remove(current snapshot) in one version — time travel to
     pre-overwrite versions keeps working."""
 
-    def __init__(self, path: str, overwrite: bool):
+    def __init__(self, path: str, overwrite: bool, pcols=None, schema=None):
         self.path = path
         self.overwrite = overwrite
+        self.pcols = pcols
+        self.spark_schema = schema
 
     def write(self, iterator) -> TxLogCommitMessage:
-        return _write_task_file(self.path, iterator)
+        return _write_task_file(self.path, iterator, self.pcols)
 
     def commit(self, messages) -> None:
+        from hephaestus_spark.sources.txlog import CommitConflict
+
         names = [n for m in messages if m is not None for n in m.names]
+        t = TxTable(self.path)
+        if self.pcols and t.latest_version() < 0:
+            try:  # first write creates the partitioned table
+                t.create_partitioned_names(names, self.pcols, self.spark_schema)
+                return
+            except CommitConflict:
+                pass  # a racer created it; the hive-component check in
+                # commit_names validates our layout against the winner's
         if names or self.overwrite:
-            TxTable(self.path).commit_names(names, overwrite=self.overwrite)
+            t.commit_names(names, overwrite=self.overwrite)
 
     def abort(self, messages) -> None:
         _remove_task_files(self.path, messages)
@@ -581,11 +669,18 @@ class TxLogDataSource(DataSource):
             _attach_physical(_declared_arrow_schema(schema), table, None),
         )
 
+    def _pcols(self) -> "list[str] | None":
+        # `.option("partitionBy", "day,region")` — the Python Data
+        # Source API does not forward DataFrameWriter.partitionBy, so
+        # the declaration rides an option (r10)
+        pb = self.options.get("partitionby")
+        return [c.strip() for c in pb.split(",") if c.strip()] if pb else None
+
     def writer(self, schema: StructType, overwrite: bool) -> TxLogBatchWriter:
         path = self.options.get("path")
         if not path:
             raise ValueError("txlog batch sink requires .save(<table path>)")
-        return TxLogBatchWriter(path, overwrite)
+        return TxLogBatchWriter(path, overwrite, self._pcols(), schema)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> TxLogStreamWriter:
         if overwrite:
@@ -596,4 +691,4 @@ class TxLogDataSource(DataSource):
         app = self.options.get(
             "appid", f"txlog-writer-{os.path.basename(os.path.normpath(path))}"
         )
-        return TxLogStreamWriter(path, app)
+        return TxLogStreamWriter(path, app, self._pcols(), schema)
