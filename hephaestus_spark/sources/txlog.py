@@ -1336,11 +1336,33 @@ class TxTable:
         remove set depends on the snapshot read, so a racing commit
         raises CommitConflict rather than blind-retrying."""
         meta0 = self._fold_state()[3] or {}
-        pcols = meta0.get("partition_columns") or []
-        if not pcols:
+        if not (meta0.get("partition_columns") or []):
+            raise ValueError(f"table {self.path} is not partitioned")
+        names = self._stage(df)
+        # a widening df must publish the widened schema in the SAME
+        # commit (same rule as append on a schema-tracked table) — or
+        # the explicit-schema read would hide the new columns forever
+        staged_fields = {
+            f.name: f
+            for f in self._to_physical(df.limit(0), meta0).schema.fields
+        }
+        return self.overwrite_partitions_names(names, staged_fields)
+
+    def overwrite_partitions_names(
+        self, names: list[str], staged_fields: dict | None = None
+    ) -> int:
+        """The names-based core of dynamic partition overwrite (r10 —
+        the native connector's writers land hive task files and commit
+        here): replace exactly the partitions the files carry, widen
+        the log schema when ``staged_fields`` (or the files' footers)
+        bring new columns."""
+        meta0 = self._fold_state()[3] or {}
+        if not (meta0.get("partition_columns") or []):
             raise ValueError(f"table {self.path} is not partitioned")
         base = self.latest_version()
-        names = self._stage(df)
+        self._base2rel(names + [
+            f for f in self._snapshot_files(base) if f not in names
+        ])
         incoming = {
             tuple(sorted(_parse_partition_values(n).items())) for n in names
         }
@@ -1350,13 +1372,8 @@ class TxTable:
             if tuple(sorted((act.get("partitionValues") or {}).items()))
             in incoming
         ]
-        # a widening df must publish the widened schema in the SAME
-        # commit (same rule as append on a schema-tracked table) — or
-        # the explicit-schema read would hide the new columns forever
-        staged_fields = {
-            f.name: f
-            for f in self._to_physical(df.limit(0), meta0).schema.fields
-        }
+        if staged_fields is None:
+            staged_fields = self._fields_from_footers(names)
         actions = (
             self._add_actions(names) + removes + self._widened_meta(staged_fields)
         )

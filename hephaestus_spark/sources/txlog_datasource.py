@@ -588,11 +588,15 @@ class TxLogBatchWriter(DataSourceArrowWriter):
     add(new)+remove(current snapshot) in one version — time travel to
     pre-overwrite versions keeps working."""
 
-    def __init__(self, path: str, overwrite: bool, pcols=None, schema=None):
+    def __init__(
+        self, path: str, overwrite: bool, pcols=None, schema=None,
+        dynamic: bool = False,
+    ):
         self.path = path
         self.overwrite = overwrite
         self.pcols = pcols
         self.spark_schema = schema
+        self.dynamic = dynamic
 
     def write(self, iterator) -> TxLogCommitMessage:
         return _write_task_file(self.path, iterator, self.pcols)
@@ -609,6 +613,12 @@ class TxLogBatchWriter(DataSourceArrowWriter):
             except CommitConflict:
                 pass  # a racer created it; the hive-component check in
                 # commit_names validates our layout against the winner's
+        if self.overwrite and self.dynamic:
+            # Spark's partitionOverwriteMode=dynamic: replace exactly
+            # the partitions the written files carry, keep the rest
+            if names:
+                t.overwrite_partitions_names(names)
+            return
         if names or self.overwrite:
             t.commit_names(names, overwrite=self.overwrite)
 
@@ -680,7 +690,10 @@ class TxLogDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("txlog batch sink requires .save(<table path>)")
-        return TxLogBatchWriter(path, overwrite, self._pcols(), schema)
+        dynamic = (
+            self.options.get("partitionoverwritemode", "").lower() == "dynamic"
+        )
+        return TxLogBatchWriter(path, overwrite, self._pcols(), schema, dynamic)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> TxLogStreamWriter:
         if overwrite:

@@ -513,3 +513,31 @@ def test_native_datasource_streams_into_partitioned_table(spark, tmp_path):
     run("ckpt2")  # fresh checkpoint: batch 0 redelivered, skipped
     assert st.read(spark).count() == 2
     assert st.partitions() == [{"day": "2024-01-01"}, {"day": "2024-01-02"}]
+
+
+def test_native_datasource_dynamic_partition_overwrite(spark, tmp_path):
+    """mode('overwrite') + option('partitionOverwriteMode','dynamic')
+    replaces exactly the written partitions — the idempotent-backfill
+    shape through the connector; static overwrite still replaces the
+    whole snapshot."""
+    from hephaestus_spark.sources.txlog_datasource import TxLogDataSource
+
+    spark.dataSource.register(TxLogDataSource)
+    path = str(tmp_path / "t")
+    _df(
+        spark,
+        [(1, "2024-01-01", 1.0), (2, "2024-01-02", 2.0), (3, "2024-01-03", 3.0)],
+    ).write.format("txlog").option("partitionBy", "day").mode("append").save(path)
+    # dynamic: only day=2024-01-02 replaced
+    _df(spark, [(20, "2024-01-02", 20.0)]).write.format("txlog").option(
+        "partitionBy", "day"
+    ).option("partitionOverwriteMode", "dynamic").mode("overwrite").save(path)
+    t = TxTable(path)
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 20, 3}
+    # time travel preserves the pre-backfill day
+    assert {r["id"] for r in t.read(spark, version=0).collect()} == {1, 2, 3}
+    # static overwrite replaces everything
+    _df(spark, [(9, "2024-01-09", 9.0)]).write.format("txlog").option(
+        "partitionBy", "day"
+    ).mode("overwrite").save(path)
+    assert {r["id"] for r in t.read(spark).collect()} == {9}
