@@ -259,6 +259,31 @@ class TxTable:
                     out.append(os.path.join(d, f))
         return out
 
+    def _complete_ckpt_parquet(self, version: int) -> list[str]:
+        """The parquet file set of one checkpoint version, ONLY when
+        the set is complete — the single-file form, or every declared
+        part of a multi-part set (``NNNN-of-MMMM`` with all MMMM
+        present). Multi-part writes are not atomic as a set, so a
+        crash mid-write leaves a partial set on disk; any reader that
+        scanned it would silently serve a partial live add-set.
+        Returns [] when incomplete — callers fall back to the
+        next-older checkpoint or the driver fold (r11, ADVICE r10)."""
+        single = _ckpt_pq_path(self.path, version)
+        if os.path.exists(single):
+            return [single]
+        d = os.path.join(self.path, _LOG_DIR)
+        found: dict[int, str] = {}
+        nparts = None
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                m = _CKPT_PQ_RE.match(f)
+                if m and int(m.group(1)) == version and m.group(2):
+                    found[int(m.group(2))] = os.path.join(d, f)
+                    nparts = int(m.group(3))
+        if nparts and len(found) == nparts:
+            return [found[i] for i in range(1, nparts + 1)]
+        return []
+
     def _load_checkpoint(self, version: int) -> dict | None:
         """Load one checkpoint version into fold-state form. Parquet
         first (r9), legacy JSON as fallback. Returns None when the
@@ -267,21 +292,7 @@ class TxTable:
         only when every declared part is present; the caller then
         falls back to the next-older checkpoint, costing only a
         longer tail fold, never correctness."""
-        d = os.path.join(self.path, _LOG_DIR)
-        parts: list[str] = []
-        single = _ckpt_pq_path(self.path, version)
-        if os.path.exists(single):
-            parts = [single]
-        elif os.path.isdir(d):
-            found: dict[int, str] = {}
-            nparts = None
-            for f in os.listdir(d):
-                m = _CKPT_PQ_RE.match(f)
-                if m and int(m.group(1)) == version and m.group(2):
-                    found[int(m.group(2))] = os.path.join(d, f)
-                    nparts = int(m.group(3))
-            if nparts and len(found) == nparts:
-                parts = [found[i] for i in range(1, nparts + 1)]
+        parts = self._complete_ckpt_parquet(version)
         if parts:
             import pyarrow.parquet as pq
 
@@ -518,9 +529,7 @@ class TxTable:
         version) is at most CHECKPOINT_INTERVAL small JSON commits."""
         vs = self._checkpoint_versions()
         for v in reversed(vs):
-            parts = [
-                p for p in self._checkpoint_paths(v) if p.endswith(".parquet")
-            ]
+            parts = self._complete_ckpt_parquet(v)
             if parts:
                 return spark.read.parquet(*parts)
         return None
@@ -568,9 +577,7 @@ class TxTable:
         for v in reversed(self._checkpoint_versions()):
             if v > upto:
                 continue
-            parts = [
-                p for p in self._checkpoint_paths(v) if p.endswith(".parquet")
-            ]
+            parts = self._complete_ckpt_parquet(v)
             if parts:
                 ckdf, ckv = spark.read.parquet(*parts), v
                 break
@@ -591,7 +598,17 @@ class TxTable:
         # driver-side (bounded by CHECKPOINT_INTERVAL small entries)
         tail_adds: dict[str, dict] = {}
         tail_dvs: dict[str, list[str]] = {}
-        removed: set[str] = set()
+        # r11 (ADVICE r10): a file removed and then RE-ADDED in the
+        # tail (exactly what restore emits for a checkpoint-live file)
+        # must be served from tail_adds alone — the old code discarded
+        # it from the removed-set on re-add, so the checkpoint row
+        # survived the filter AND a tail row was unioned in,
+        # double-counting that file. Track removal-at-any-point
+        # separately: removed_ever drives the checkpoint DV filter
+        # (mirroring _apply, where a remove clears the file's vectors
+        # and a re-add starts clean), while the base filter drops
+        # every path that was removed or re-added in the tail.
+        removed_ever: set[str] = set()
         meta = None
         meta_in_tail = False
         for v in self._versions():
@@ -600,12 +617,9 @@ class TxTable:
             for a in self._read_entry(v)["actions"]:
                 if "add" in a:
                     tail_adds[a["add"]] = a
-                    removed.discard(a["add"])
                 elif "remove" in a:
-                    if a["remove"] in tail_adds:
-                        del tail_adds[a["remove"]]
-                    else:
-                        removed.add(a["remove"])
+                    tail_adds.pop(a["remove"], None)
+                    removed_ever.add(a["remove"])
                     tail_dvs.pop(a["remove"], None)
                 elif "dv" in a:
                     for f in a["files"]:
@@ -619,8 +633,9 @@ class TxTable:
         base = ckdf.filter(F.col("kind") == "add").select(
             "path", "rows", "v", "payload"
         )
-        if removed:
-            base = base.filter(~F.col("path").isin(sorted(removed)))
+        drop = removed_ever | set(tail_adds)
+        if drop:
+            base = base.filter(~F.col("path").isin(sorted(drop)))
         if tail_adds:
             base = base.unionByName(
                 spark.createDataFrame(
@@ -631,12 +646,17 @@ class TxTable:
                     schema,
                 )
             )
-        # checkpoint DV rows for still-live files (a remove in the
-        # tail sheds the removed file's vectors, mirroring _apply)
+        # checkpoint DV rows survive only for files never removed in
+        # the tail (a remove sheds the file's vectors even when the
+        # file is later re-added, mirroring _apply)
         dv_names: set[str] = {d for ds in tail_dvs.values() for d in ds}
         ck_dv = (
             ckdf.filter(F.col("kind") == "dv")
-            .filter(~F.col("path").isin(sorted(removed)) if removed else F.lit(True))
+            .filter(
+                ~F.col("path").isin(sorted(removed_ever))
+                if removed_ever
+                else F.lit(True)
+            )
             .select("payload")
             .collect()
         )
@@ -708,8 +728,15 @@ class TxTable:
         op: str,
         actions: list[dict],
         txn: dict | None = None,
+        info: dict | None = None,
     ) -> None:
-        """Atomic exclusive create: exactly one writer wins version N."""
+        """Atomic exclusive create: exactly one writer wins version N.
+
+        ``info`` is the commit's operation parameters (Delta's
+        commitInfo idea, r11): merge records its key/compare columns
+        and delete its predicate, so the change feed can serve those
+        row-rewriting commits row-level later. Purely descriptive —
+        the fold ignores it."""
         # writer-feature guard (r10): refuse to mutate a table whose
         # metadata demands write-side behavior this code lacks. The
         # read-side twin lives in _fold_state; both exist because a
@@ -747,6 +774,8 @@ class TxTable:
         }
         if txn:
             entry["txn"] = txn
+        if info:
+            entry["info"] = info
         try:
             with open(_log_path(self.path, version), "x") as f:
                 json.dump(entry, f)
@@ -1357,8 +1386,23 @@ class TxTable:
         the log schema when ``staged_fields`` (or the files' footers)
         bring new columns."""
         meta0 = self._fold_state()[3] or {}
-        if not (meta0.get("partition_columns") or []):
+        declared = meta0.get("partition_columns") or []
+        if not declared:
             raise ValueError(f"table {self.path} is not partitioned")
+        # r11 (ADVICE r10): same guard as commit_names — a dynamic
+        # overwrite whose files don't carry hive components for
+        # exactly the declared partition columns would commit adds
+        # with no partitionValues (partition columns read as null) and
+        # replace NOTHING, silently degrading to an append.
+        bad = [
+            n for n in names if set(_parse_partition_values(n)) != set(declared)
+        ]
+        if bad:
+            raise ValueError(
+                f"table {self.path} is partitioned by {declared}; dynamic"
+                f" overwrite files must carry exactly those hive path"
+                f" components (got {bad[:3]}...)"
+            )
         base = self.latest_version()
         self._base2rel(names + [
             f for f in self._snapshot_files(base) if f not in names
@@ -1910,7 +1954,12 @@ class TxTable:
                 merged = staged.select(*cols)
         names = self._stage(merged)
         actions = self._add_actions(names) + [{"remove": f} for f in old_files]
-        self._commit(base_version + 1, "merge", actions)
+        self._commit(
+            base_version + 1,
+            "merge",
+            actions,
+            info={"key": key, "compare_cols": list(compare_cols)},
+        )
         return base_version + 1
 
     def delete(
@@ -1971,7 +2020,9 @@ class TxTable:
         )
         names = self._stage(kept_rows)
         actions = self._add_actions(names) + [{"remove": f} for f in hits]
-        self._commit(base_version + 1, "delete", actions)
+        self._commit(
+            base_version + 1, "delete", actions, info={"predicate": where}
+        )
         return base_version + 1, len(hits), n_live - len(hits)
 
     def live_files(self, version: int | None = None) -> list[tuple[str, int]]:
@@ -2003,10 +2054,12 @@ class TxTable:
         in ``(since_version, upto]``. OPTIMIZE commits are skipped
         (data-identical rehousing); ``allow_dv=True`` additionally
         serves ``deleteMor`` commits (row-level deletes — their
-        tombstone parquets name exactly the (file, pos) rows removed)
-        and ``restore`` commits (the snapshot diff is file/position
-        exact, see read_changes); anything else rewrites rows in place
-        and raises."""
+        tombstone parquets name exactly the (file, pos) rows removed),
+        ``restore`` commits (the snapshot diff is file/position
+        exact), and — r11 (VERDICT r10 #2) — ``merge``/``delete``
+        copy-on-write commits (reconstructed from the commit's
+        operation info, see read_changes); anything else rewrites rows
+        in place and raises."""
         versions = self._versions()
         # r8 retention: serving a range that reaches below the log
         # horizon would silently DROP the expired commits' rows — the
@@ -2025,7 +2078,7 @@ class TxTable:
             if op == "optimize":
                 continue
             if op in ("append", "streamAppend") or (
-                allow_dv and op in ("deleteMor", "restore")
+                allow_dv and op in ("deleteMor", "restore", "merge", "delete")
             ):
                 yield v, op, entry
                 continue
@@ -2061,11 +2114,30 @@ class TxTable:
         tombstone-state flips emit exactly the changed positions.
         OPTIMIZE commits are data-identical (pure add+remove
         bookkeeping) and contribute NOTHING — their added files only
-        re-house rows a consumer already saw. MERGE/DELETE rewrite
-        rows in place; serving those as row-level changes needs the
-        CDC operator family (queries/pipeline.py x_cdc_*), so
-        encountering one here raises rather than silently
-        double-delivering rewritten rows.
+        re-house rows a consumer already saw.
+
+        MERGE and copy-on-write DELETE commits (r11, VERDICT r10 #2 —
+        the Delta CDF shapes) are served from the commit's recorded
+        operation info:
+
+        - ``delete``: the removed rows are exactly the rewritten
+          files' visible rows matching the recorded predicate —
+          re-evaluating it over those files (pre-existing tombstones
+          subtracted) reproduces them row-exactly with zero diffing;
+          a pre-r11 delete commit without a predicate falls back to an
+          exact multiset EXCEPT between old-visible and rewritten
+          rows. Emitted as ``'delete'``.
+        - ``merge``: old-visible (of the removed files) and new
+          (added files) rows are full-outer joined on the recorded
+          merge key — rows whose compared struct changed emit
+          ``'update_preimage'`` + ``'update_postimage'``, new keys
+          emit ``'insert'``, unchanged keys emit NOTHING (value-
+          identical rows merely re-housed), matching Delta CDF. A
+          pre-r11 merge commit records no key and still raises.
+
+        Both reconstructions touch only the commit's own files (the
+        data the merge/delete itself processed), never the table —
+        the zone-map pruning that bounded the rewrite bounds the feed.
 
         Cost: exactly the log entries in the requested range — the
         incremental-consumer shape (a downstream index or aggregate
@@ -2113,6 +2185,33 @@ class TxTable:
             ).select("file", "pos")
 
         _POS = (F.col("_f") == F.col("file")) & (F.col("_p") == F.col("pos"))
+
+        def _emit_raw(d: DataFrame, ctype: str, v: int):
+            """Append an ALREADY-logical frame (no re-projection)."""
+            dfs.append(
+                d.withColumn("_change_type", F.lit(ctype)).withColumn(
+                    "_commit_version", F.lit(v)
+                )
+            )
+
+        def _visible(files: list[str], at_version: int, meta_l) -> DataFrame:
+            """Logical visible rows of ``files`` at ``at_version`` —
+            pre-existing tombstones subtracted."""
+            d = _keyed(files, meta_l)
+            dv = _dv_frame(files, at_version)
+            if dv is not None:
+                d = d.join(dv, _POS, "left_anti")
+            return self._project_logical(d.drop("_f", "_p"), meta_l)
+
+        def _added_rows(files: list[str], meta_l) -> DataFrame:
+            """Logical rows of a commit's freshly added files (no
+            tombstones can exist on them at their own version)."""
+            return self._project_logical(
+                self._reader(spark, meta_l).parquet(
+                    *[os.path.join(self.path, f) for f in files]
+                ),
+                meta_l,
+            )
 
         # metadata tracked INCREMENTALLY across the range: one fold at
         # the first served commit, then each entry's own meta action
@@ -2186,6 +2285,82 @@ class TxTable:
                         .drop("_f", "_p")
                     )
                     _emit(d, meta_v, ctype, v)
+            elif op == "delete":
+                removed = [a["remove"] for a in entry["actions"] if "remove" in a]
+                added = [a["add"] for a in entry["actions"] if "add" in a]
+                old = _visible(removed, v - 1, meta_v)
+                pred = (entry.get("info") or {}).get("predicate")
+                if pred is not None:
+                    # the rewrite kept exactly NOT(predicate): the
+                    # deleted rows are the old files' visible rows
+                    # matching it — re-evaluate, no diffing
+                    d = old.filter(pred)
+                else:  # pre-r11 commit: exact multiset EXCEPT
+                    d = old
+                    if added:
+                        d = d.exceptAll(
+                            _added_rows(added, meta_v).select(*old.columns)
+                        )
+                _emit_raw(d, "delete", v)
+            elif op == "merge":
+                info = entry.get("info") or {}
+                key = info.get("key")
+                if key is None:
+                    raise ValueError(
+                        f"change feed crossed a merge commit at version {v} "
+                        f"of {self.path} recorded before operation info "
+                        "existed — its row-level changes cannot be "
+                        "reconstructed"
+                    )
+                removed = [a["remove"] for a in entry["actions"] if "remove" in a]
+                added = [a["add"] for a in entry["actions"] if "add" in a]
+                new = _added_rows(added, meta_v) if added else None
+                if not removed:
+                    if new is not None:
+                        _emit_raw(new, "insert", v)
+                    continue
+                old = _visible(removed, v - 1, meta_v)
+                cols = new.columns if new is not None else old.columns
+                # a widening merge on an untracked table: old files
+                # lack the new column — serve it as null in the preimage
+                o = old.select(
+                    F.col(key).alias("_k"),
+                    F.struct(
+                        *[
+                            F.col(c)
+                            if c in old.columns
+                            else F.lit(None)
+                            .cast(new.schema[c].dataType)
+                            .alias(c)
+                            for c in cols
+                        ]
+                    ).alias("_o"),
+                )
+                if new is None:  # degenerate: everything deleted
+                    _emit_raw(old, "delete", v)
+                    continue
+                n = new.select(
+                    F.col(key).alias("_k"),
+                    F.struct(*[F.col(c) for c in cols]).alias("_n"),
+                )
+                # null-safe key join mirrors scd1_merge's own join; the
+                # join volume is the commit's rewritten+added files —
+                # the data the merge itself already processed
+                j = o.alias("o").join(
+                    n.alias("n"),
+                    F.col("o._k").eqNullSafe(F.col("n._k")),
+                    "full_outer",
+                ).select("_o", "_n")
+                both = F.col("_o").isNotNull() & F.col("_n").isNotNull()
+                changed = both & ~F.col("_o").eqNullSafe(F.col("_n"))
+                _emit_raw(j.filter(changed).select("_o.*"), "update_preimage", v)
+                _emit_raw(j.filter(changed).select("_n.*"), "update_postimage", v)
+                _emit_raw(
+                    j.filter(F.col("_o").isNull()).select("_n.*"), "insert", v
+                )
+                _emit_raw(
+                    j.filter(F.col("_n").isNull()).select("_o.*"), "delete", v
+                )
             else:
                 files = [a["add"] for a in entry["actions"] if "add" in a]
                 if not files:

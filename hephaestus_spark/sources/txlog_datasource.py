@@ -574,6 +574,13 @@ class TxLogStreamWriter(DataSourceStreamArrowWriter):
                 return
             except CommitConflict:
                 pass  # a racer created it; fall through to the txn path
+            except ValueError:
+                # r11 (ADVICE r10): a racer creating the table between
+                # the latest_version() check and the call surfaces as
+                # the "already exists" ValueError, not CommitConflict —
+                # same fall-through; anything else is a real arg error
+                if t.latest_version() < 0:
+                    raise
         t.commit_stream_names(names, self.app_id, batchId)
 
     def abort(self, messages, batchId: int) -> None:
@@ -613,6 +620,13 @@ class TxLogBatchWriter(DataSourceArrowWriter):
             except CommitConflict:
                 pass  # a racer created it; the hive-component check in
                 # commit_names validates our layout against the winner's
+            except ValueError:
+                # r11 (ADVICE r10): the check-then-create race surfaces
+                # as the "already exists" ValueError — fall through like
+                # CommitConflict; a still-absent table means a real
+                # argument error, so re-raise
+                if t.latest_version() < 0:
+                    raise
         if self.overwrite and self.dynamic:
             # Spark's partitionOverwriteMode=dynamic: replace exactly
             # the partitions the written files carry, keep the rest

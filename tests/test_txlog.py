@@ -448,10 +448,33 @@ def test_read_changes_skips_optimize_and_rejects_rewrites(spark, tmp_path):
     assert sorted((r["id"], r["_commit_version"]) for r in feed) == [(2, 1), (3, 3)]
     # empty range -> empty frame with the feed schema
     assert t.read_changes(spark, since_version=3).count() == 0
-    # a row-rewriting commit in range must be refused, not double-fed
-    t.merge(spark, _df(spark, [(1, "a", 10.0)]), "id", ["name", "val"])  # v4
-    with pytest.raises(ValueError, match="merge"):
-        t.read_changes(spark, since_version=0)
+    # r11 (VERDICT r10 #2): a MERGE in range is served as Delta-CDF
+    # rows — changed keys emit preimage+postimage, unchanged keys
+    # (merely re-housed into new files) emit NOTHING
+    t.merge(spark, _df(spark, [(1, "a", 10.0), (9, "i", 9.0)]), "id",
+            ["name", "val"])                       # v4
+    feed4 = t.read_changes(spark, since_version=3).collect()
+    got = sorted((r["id"], r["_change_type"], r["val"]) for r in feed4)
+    assert got == [
+        (1, "update_postimage", 10.0),
+        (1, "update_preimage", 1.0),
+        (9, "insert", 9.0),
+    ]
+    # the file-level feed (streaming source) still refuses rewrites
+    with pytest.raises(ValueError, match="append-only"):
+        t.change_files(0)
+    # a pre-r11 merge commit carries no operation info -> still raises
+    import json as _json
+    from hephaestus_spark.sources.txlog import _log_path
+
+    p = _log_path(t.path, 4)
+    entry = _json.loads(open(p).read())
+    del entry["info"]
+    os.remove(p)
+    with open(p, "x") as f:
+        _json.dump(entry, f)
+    with pytest.raises(ValueError, match="operation info"):
+        TxTable(t.path).read_changes(spark, since_version=3)
 
 
 def test_optimize_zorder_two_keys_prunes_on_both_dimensions(spark, tmp_path):
@@ -1009,3 +1032,63 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         t.version_at(ts0 - 100)
     with pytest.raises(ValueError, match="not both"):
         t.read(spark, version=0, timestamp=ts0)
+
+
+def test_spark_metadata_remove_then_readd_in_tail(spark, tmp_path):
+    """r11 (ADVICE r10): a checkpoint-live file removed AND re-added
+    in the log tail — exactly what restore emits when only a file's
+    deletion-vector set changed — must be served ONCE by the
+    Spark-side metadata path, with its checkpoint-era DV rows shed
+    (the fold clears vectors on remove; the restore re-attaches none
+    when the target version had none). The old code double-counted
+    the file and kept its stale tombstones."""
+    import hephaestus_spark.sources.txlog as tx
+
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(i, f"n{i}", float(i)) for i in range(6)]))  # v0
+    t.delete_mor(spark, "id = 0")  # v1: DV on the v0 file
+    for i in range(10, 10 + tx.CHECKPOINT_INTERVAL - 1):  # cross ckpt
+        t.append(_df(spark, [(i, "x", float(i))]))
+    assert t._checkpoint_versions(), "test setup must cross a checkpoint"
+    # tail: restore to v0 -> the v0 file's DV set differs, so the
+    # restore commit removes and re-adds it (and re-attaches no DV)
+    t.restore(spark, 0)  # drops the later appends, clears the DV
+    truth = t.stats_summary()
+    assert truth["count"] == 6
+
+    cold = TxTable(t.path)
+    adds = cold.live_adds_df(spark)
+    paths = [r["path"] for r in adds.select("path").collect()]
+    assert len(paths) == len(set(paths)) == len(cold._snapshot_files())
+    assert cold.count_spark(spark) == truth
+
+
+def test_spark_metadata_ignores_partial_multipart_checkpoint(spark, tmp_path):
+    """r11 (ADVICE r10): a crash mid-multi-part checkpoint write
+    leaves a partial part set; the Spark-side metadata path (and
+    checkpoint_df) must refuse it — falling back to an older complete
+    checkpoint or the driver fold — never silently serving a partial
+    live set. Simulated by renaming a complete single-file checkpoint
+    into a 1-of-2 part name."""
+    import hephaestus_spark.sources.txlog as tx
+
+    t = TxTable(str(tmp_path / "t"))
+    for i in range(tx.CHECKPOINT_INTERVAL + 2):
+        t.append(_df(spark, [(i, "x", float(i))]))
+    cks = t._checkpoint_versions()
+    assert cks
+    paths = t._checkpoint_paths(cks[-1])
+    pq = [p for p in paths if p.endswith(".parquet")]
+    assert len(pq) == 1
+    d, base = os.path.split(pq[0])
+    partial = os.path.join(
+        d, base.replace(".checkpoint.parquet", ".checkpoint.0001-of-0002.parquet")
+    )
+    os.rename(pq[0], partial)
+
+    cold = TxTable(t.path)
+    truth = {"count": tx.CHECKPOINT_INTERVAL + 2, "count_exact": True}
+    assert cold.stats_summary() == truth  # driver fold falls back
+    assert cold.count_spark(spark) == truth  # Spark path must too
+    ckdf = cold.checkpoint_df(spark)
+    assert ckdf is None  # no COMPLETE parquet checkpoint exists

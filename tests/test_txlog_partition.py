@@ -541,3 +541,86 @@ def test_native_datasource_dynamic_partition_overwrite(spark, tmp_path):
         "partitionBy", "day"
     ).mode("overwrite").save(path)
     assert {r["id"] for r in t.read(spark).collect()} == {9}
+
+
+def test_dynamic_overwrite_refuses_unpartitioned_files(spark, tmp_path):
+    """r11 (ADVICE r10): overwrite_partitions_names gets the same
+    hive-component guard as commit_names — a dynamic overwrite whose
+    files carry no (or wrong) partition components would commit adds
+    with no partitionValues and replace nothing, silently degrading
+    to an append. The connector shape: dynamic overwrite WITHOUT
+    .option('partitionBy', ...) on an existing partitioned table."""
+    import shutil
+
+    t = _pt(spark, tmp_path)
+    stray = os.path.join(t.path, "part-stray.parquet")
+    shutil.copy(os.path.join(t.path, t._snapshot_files()[0]), stray)
+    with pytest.raises(ValueError, match="hive path"):
+        t.overwrite_partitions_names(["part-stray.parquet"])
+    # wrong component set is refused too
+    os.makedirs(os.path.join(t.path, "other=1"), exist_ok=True)
+    wrong = os.path.join(t.path, "other=1", "part-w.parquet")
+    shutil.copy(os.path.join(t.path, t._snapshot_files()[0]), wrong)
+    with pytest.raises(ValueError, match="hive path"):
+        t.overwrite_partitions_names(["other=1/part-w.parquet"])
+    # and through the connector: dynamic overwrite missing partitionBy
+    from hephaestus_spark.sources.txlog_datasource import TxLogDataSource
+
+    spark.dataSource.register(TxLogDataSource)
+    with pytest.raises(Exception, match="hive path|partition"):
+        _df(spark, [(20, "2024-01-02", 20.0)]).write.format("txlog").option(
+            "partitionOverwriteMode", "dynamic"
+        ).mode("overwrite").save(t.path)
+    # the snapshot is untouched by all three refusals
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2, 3, 4}
+
+
+def test_writer_creation_race_falls_through(spark, tmp_path, monkeypatch):
+    """r11 (ADVICE r10): a racer creating the table between the
+    writer's latest_version() check and create_partitioned_names must
+    not fail the batch — the already-exists ValueError falls through
+    to the normal commit path exactly like CommitConflict."""
+    from hephaestus_spark.sources import txlog_datasource as ds
+
+    path = str(tmp_path / "t")
+    os.makedirs(path, exist_ok=True)
+    schema = _df(spark, [(1, "2024-01-01", 1.0)]).schema
+    orig = TxTable.create_partitioned_names
+    raced = {"done": False}
+
+    def race_then_create(self, names, pcols, schema_, txn=None):
+        if not raced["done"]:
+            raced["done"] = True
+            # the racer wins creation between the check and the call
+            racer = TxTable(self.path)
+            rn = racer._stage(
+                _df(spark, [(99, "2024-01-09", 9.0)]), pcols=list(pcols)
+            )
+            orig(racer, rn, list(pcols), schema_)
+        return orig(self, names, pcols, schema_, txn=txn)
+
+    monkeypatch.setattr(TxTable, "create_partitioned_names", race_then_create)
+    # the loser's task files are already on disk (written pre-commit)
+    loser = TxTable(path)
+    names = TxTable._stage(loser, _df(spark, [(1, "2024-01-01", 1.0)]),
+                           pcols=["day"])
+    # batch writer path
+    w = ds.TxLogBatchWriter(path, overwrite=False, pcols=["day"],
+                            schema=schema)
+    w.commit([ds.TxLogCommitMessage(names=names)])
+    t = TxTable(path)
+    assert raced["done"]
+    assert {r["id"] for r in t.read(spark).collect()} == {99, 1}
+    assert [h["op"] for h in t.history()] == ["createPartitioned", "append"]
+    # streaming writer path: same race on a fresh table
+    raced["done"] = False
+    path2 = str(tmp_path / "t2")
+    os.makedirs(path2, exist_ok=True)
+    names2 = TxTable._stage(
+        TxTable(path2), _df(spark, [(2, "2024-01-02", 2.0)]), pcols=["day"]
+    )
+    sw = ds.TxLogStreamWriter(path2, "app-race", pcols=["day"], schema=schema)
+    sw.commit([ds.TxLogCommitMessage(names=names2)], batchId=0)
+    t2 = TxTable(path2)
+    assert raced["done"]
+    assert {r["id"] for r in t2.read(spark).collect()} == {99, 2}
