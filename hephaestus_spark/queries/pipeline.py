@@ -988,6 +988,85 @@ def x_txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_txlog_cdf_merge",
+    oracle="""
+    WITH upd_pre AS (
+      SELECT c_custkey, c_name, c_acctbal,
+             'update_preimage' AS _change_type, 1 AS _commit_version
+      FROM customer WHERE c_custkey % 5 = 0
+    ), upd_post AS (
+      SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal,
+             'update_postimage' AS _change_type, 1 AS _commit_version
+      FROM customer WHERE c_custkey % 5 = 0
+    ), ins AS (
+      SELECT -c_custkey AS c_custkey, c_name, c_acctbal,
+             'insert' AS _change_type, 1 AS _commit_version
+      FROM customer WHERE c_custkey % 13 = 1
+    ), del AS (
+      SELECT c_custkey, c_name,
+             c_acctbal
+               + CASE WHEN c_custkey % 5 = 0 THEN 100 ELSE 0 END
+               AS c_acctbal,
+             'delete' AS _change_type, 2 AS _commit_version
+      FROM customer WHERE c_custkey % 9 = 0
+      UNION ALL
+      SELECT -c_custkey, c_name, c_acctbal, 'delete', 2
+      FROM customer WHERE c_custkey % 13 = 1 AND c_custkey % 9 = 0
+    )
+    SELECT * FROM upd_pre UNION ALL SELECT * FROM upd_post
+    UNION ALL SELECT * FROM ins UNION ALL SELECT * FROM del
+    """,
+)
+def x_txlog_cdf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed over row-REWRITING commits (r11, VERDICT r10 #2 —
+    sources/txlog.py::read_changes, the Delta CDF shapes): customers
+    land as one commit (v0); a copy-on-write MERGE (v1) updates every
+    5th key's balance (+100) and inserts fresh negated keys for every
+    13th; a copy-on-write DELETE (v2) removes every 9th key. A
+    consumer pulling ``read_changes(since_version=0)`` must receive
+    the merge as ``update_preimage``/``update_postimage`` pairs plus
+    ``insert`` rows for the new keys — and NOTHING for the thousands
+    of unchanged rows the rewrite merely re-housed into new files —
+    and the delete as exactly the rows matching its recorded
+    predicate as of v1 (updated balances included). The oracle
+    replays the lifecycle in SQL; the hash pins rows, change types,
+    and version stamps together. Cost shape: both reconstructions
+    touch only the commit's own (zone-pruned) files, never the
+    table."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    workdir = tempfile.mkdtemp(prefix="txlog-cdf-merge-")
+    try:
+        t = TxTable(f"{workdir}/customers")
+        t.append(c.repartitionByRange(4, F.col("c_custkey")))
+        staged = c.filter(F.col("c_custkey") % 5 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 100
+        ).unionByName(
+            c.filter(F.col("c_custkey") % 13 == 1).withColumn(
+                "c_custkey", -F.col("c_custkey")
+            )
+        )
+        t.merge(spark, staged, "c_custkey", ["c_name", "c_acctbal"])
+        t.delete(spark, "c_custkey % 9 = 0")
+        out = t.read_changes(spark, since_version=0).select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            "_change_type",
+            F.col("_commit_version").cast("int").alias("_commit_version"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
     "x_txlog_partitioned",
     oracle="""
     WITH e AS (

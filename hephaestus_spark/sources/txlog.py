@@ -150,6 +150,20 @@ def _typed_partition_stat(raw: str, dtype: str):
         }
     return None
 
+
+def _zone_probe_value(v):
+    """A typed Python value normalized to its zone-map representation
+    (r11): dates/timestamps compare against their stored ISO strings
+    (``str()`` of both matches the hive raw form Spark's partitioned
+    writer emits — space-separated for timestamps); numerics and
+    strings pass through."""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return str(v)
+    return v
+
+
 # Commits between checkpoints. Delta's default is 10; the fold cost
 # bound is interval × one small JSON read, independent of table age.
 CHECKPOINT_INTERVAL = 10
@@ -1280,6 +1294,7 @@ class TxTable:
         prune_column: str | None = None,
         lo=None,
         hi=None,
+        partitions: dict | None = None,
     ) -> tuple[int, int, int]:
         """Merge-on-read DELETE (r8 — the modern Delta/Iceberg v3
         shape): instead of rewriting files, write a deletion-vector
@@ -1290,6 +1305,11 @@ class TxTable:
         reads through :meth:`_scan`, so rewritten files shed their
         vectors in the same commit). Returns (version, files covered,
         rows tombstoned); (base, 0, 0) when nothing matches.
+
+        ``partitions`` (r11) scopes the tombstone scan to the listed
+        partition values before any zone/data work — same contract as
+        :meth:`delete`: effective predicate = ``where AND <col> IN
+        (values)`` (exact, partition columns being file-constant).
 
         Conflict semantics match ``merge``: tombstone positions are
         only valid against the snapshot that was read, so a racing
@@ -1302,6 +1322,10 @@ class TxTable:
             if prune_column is not None
             else self._snapshot_files(base_version)
         )
+        for col, vals in (partitions or {}).items():
+            norm = [_zone_probe_value(v) for v in vals if v is not None]
+            keep = set(self.pruned_files_in(col, norm, base_version)[0])
+            candidates = [f for f in candidates if f in keep]
         if not candidates:
             return base_version, 0, 0
         cand = self._scan(spark, candidates, base_version, keep_keys=True)
@@ -1899,6 +1923,7 @@ class TxTable:
         key: str,
         compare_cols: list[str],
         prune_on_key: bool = False,
+        prune_on_partitions: bool = False,
     ) -> int:
         """Copy-on-write SCD-1 MERGE: read the current snapshot, apply
         the set-wise merge (operators/merge.py — the same null-safe
@@ -1918,7 +1943,23 @@ class TxTable:
         file's zone is an insert into the NEW files; rows in untouched
         files cannot match any staged key by the zone bound) — only
         the pruning RATE does. Output is identical to the full rewrite
-        (tests/test_txlog.py asserts it)."""
+        (tests/test_txlog.py asserts it).
+
+        ``prune_on_partitions=True`` (r11, VERDICT r10 #3) is the
+        partitioned-table twin: the staged delta's DISTINCT partition
+        values (driver-bounded by the delta's partition cardinality —
+        a daily backfill is one value) select candidate files by their
+        committed partitionValues BEFORE any zone-map check, so a
+        partition-disjoint merge never examines the other partitions'
+        file metadata, let alone their data. Semantics follow Delta's
+        recommended ON-clause partition predicate: the merge condition
+        becomes ``key match AND partition IN (staged partitions)`` —
+        a matching key living OUTSIDE the staged partitions is treated
+        as absent (the staged row inserts into its own partition).
+        That is the intended contract for partition-local keys (the
+        daily-feed shape); when keys can move between partitions,
+        leave it off and pay the full-condition merge. Composes with
+        ``prune_on_key`` (partitions first, key zones within)."""
         base_version = self.latest_version()
         cols = [key] + compare_cols
         # merge rewrites whole files through _stage's auto partitionBy,
@@ -1937,6 +1978,17 @@ class TxTable:
             old_files: list[str] = []
         else:
             old_files = self._snapshot_files(base_version)
+            if prune_on_partitions:
+                for pc in self.partition_columns(base_version):
+                    vals = [
+                        _zone_probe_value(r[0])
+                        for r in staged.select(pc).distinct().collect()
+                        if r[0] is not None
+                    ]
+                    # files in the NULL partition carry no zone entry
+                    # for pc and are never skipped — safe either way
+                    keep = set(self.pruned_files_in(pc, vals, base_version)[0])
+                    old_files = [f for f in old_files if f in keep]
             if prune_on_key:
                 bounds = staged.select(
                     F.min(key).alias("lo"), F.max(key).alias("hi")
@@ -1969,6 +2021,7 @@ class TxTable:
         prune_column: str | None = None,
         lo=None,
         hi=None,
+        partitions: dict | None = None,
     ) -> tuple[int, int, int]:
         """Copy-on-write DELETE (r8 — the Delta DELETE shape): rewrite
         ONLY the files that actually contain matching rows, leave every
@@ -1985,6 +2038,14 @@ class TxTable:
            predicate scan, zero writes). The hit-file list is driver
            state bounded by the file count — already log-sized.
 
+        ``partitions`` (r11, VERDICT r10 #3) scopes the delete to the
+        listed partition values — ``{"day": ["2024-01-01"]}`` — with
+        candidate files selected by their committed partitionValues
+        before any zone-map check or data I/O. Because a partition
+        column is constant per file, the effective predicate is
+        exactly ``where AND <col> IN (values)`` — a Delta
+        replaceWhere-style condition, not an unsound hint.
+
         The commit is add(rewritten) + remove(hit files): snapshot
         isolation, time travel to pre-delete versions, and concurrent
         appends all behave exactly as for MERGE."""
@@ -1996,6 +2057,10 @@ class TxTable:
             if prune_column is not None
             else self._snapshot_files(base_version)
         )
+        for col, vals in (partitions or {}).items():
+            norm = [_zone_probe_value(v) for v in vals if v is not None]
+            keep = set(self.pruned_files_in(col, norm, base_version)[0])
+            candidates = [f for f in candidates if f in keep]
         n_live = len(self._snapshot_files(base_version))
         if not candidates:
             return base_version, 0, n_live
