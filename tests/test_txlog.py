@@ -1092,3 +1092,45 @@ def test_spark_metadata_ignores_partial_multipart_checkpoint(spark, tmp_path):
     assert cold.count_spark(spark) == truth  # Spark path must too
     ckdf = cold.checkpoint_df(spark)
     assert ckdf is None  # no COMPLETE parquet checkpoint exists
+
+
+def test_spark_side_pruned_read_avoids_driver_fold(spark, tmp_path, monkeypatch):
+    """r11 (VERDICT r10 #6): a pruned range read planned entirely from
+    Spark-side metadata — with driver-side checkpoint materialization
+    monkeypatched to explode, pruned_files_spark/read_pruned_spark
+    still serve the exact driver-fold answers (zone skipping, string
+    zones, tombstone discounts, tail commits past the checkpoint),
+    and the driver collects ONLY the surviving paths."""
+    import hephaestus_spark.sources.txlog as tx
+
+    t = TxTable(str(tmp_path / "t"))
+    # key-clustered files -> disjoint id zones; string col zones too
+    df = spark.createDataFrame(
+        [(i, f"s{i:04d}", float(i)) for i in range(100)],
+        "id long, name string, val double",
+    )
+    t.append(df.repartitionByRange(8, F.col("id")).sortWithinPartitions("id"))
+    while t.latest_version() < tx.CHECKPOINT_INTERVAL:
+        t.append(_df(spark, [(1000 + t.latest_version(), "zz", 0.0)]))
+    t.delete_mor(spark, "id = 15")  # live tombstone inside the band
+    truth_keep, truth_total = t.pruned_files("id", 10, 29)
+    truth_rows = sorted(
+        r["id"] for r in t.read_pruned(spark, "id", 10, 29).collect()
+    )
+    assert 15 not in truth_rows and len(truth_keep) < truth_total
+
+    cold = TxTable(t.path)
+
+    def boom(self, version):
+        raise AssertionError("driver-side checkpoint materialization")
+
+    monkeypatch.setattr(TxTable, "_load_checkpoint", boom)
+    keep, total = cold.pruned_files_spark(spark, "id", 10, 29)
+    assert (sorted(keep), total) == (sorted(truth_keep), truth_total)
+    got = sorted(r["id"] for r in cold.read_pruned_spark(spark, "id", 10, 29).collect())
+    assert got == truth_rows
+    # string zones with exactness flags through the Spark path too
+    cold2 = TxTable(t.path)
+    sk, stot = cold2.pruned_files_spark(spark, "name", "s0010", "s0029")
+    tk, ttot = t.pruned_files("name", "s0010", "s0029")
+    assert (sorted(sk), stot) == (sorted(tk), ttot)
