@@ -2030,6 +2030,78 @@ class TxTable:
         )
         return 0
 
+    def set_change_data_feed(self, enabled: bool = True) -> int:
+        """Delta's ``delta.enableChangeDataFeed`` table property
+        (r11): with it set, MERGE and copy-on-write DELETE write their
+        row-level changes as CDC SIDECAR parquets (``cdc`` actions —
+        Delta's _change_data design) in the same commit. The change
+        feed then serves those commits by READING the sidecar instead
+        of reconstructing the diff (no join at feed time), and the
+        STREAMING change feed — which cannot run joins inside a source
+        partition — can serve them at all. Sidecar volume is the
+        changed-row set, not the rewrite. A metadata-only commit; the
+        current schema/mapping ride along unchanged."""
+        base = self.latest_version()
+        if base < 0:
+            raise ValueError(f"table {self.path} is empty")
+        meta = dict(self._fold_state(base)[3] or {})
+        if bool(meta.get("change_data_feed")) == bool(enabled):
+            return base
+        meta["change_data_feed"] = bool(enabled)
+        self._commit(base + 1, "setTableProperties", [{"meta": meta}])
+        return base + 1
+
+    @staticmethod
+    def _merge_cdc(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+        """The row-level changes implied by replacing ``old`` with
+        ``new`` under a key-matched merge, as one frame with a
+        ``_change_type`` column (update_preimage / update_postimage /
+        insert / delete; value-identical keys emit nothing) — shared
+        by the CDC sidecar writer (:meth:`merge`) and the change
+        feed's reconstruction path so the two are definitionally
+        identical. Null-safe key join mirrors scd1_merge's own."""
+        cols = new.columns
+        o = old.select(
+            F.col(key).alias("_k"),
+            F.struct(
+                *[
+                    F.col(c)
+                    if c in old.columns
+                    else F.lit(None).cast(new.schema[c].dataType).alias(c)
+                    for c in cols
+                ]
+            ).alias("_o"),
+        )
+        n = new.select(
+            F.col(key).alias("_k"),
+            F.struct(*[F.col(c) for c in cols]).alias("_n"),
+        )
+        j = (
+            o.alias("o")
+            .join(
+                n.alias("n"),
+                F.col("o._k").eqNullSafe(F.col("n._k")),
+                "full_outer",
+            )
+            .select("_o", "_n")
+        )
+        both = F.col("_o").isNotNull() & F.col("_n").isNotNull()
+        changed = both & ~F.col("_o").eqNullSafe(F.col("_n"))
+
+        def part(cond, side, ctype):
+            return (
+                j.filter(cond)
+                .select(f"{side}.*")
+                .withColumn("_change_type", F.lit(ctype))
+            )
+
+        return (
+            part(changed, "_o", "update_preimage")
+            .unionByName(part(changed, "_n", "update_postimage"))
+            .unionByName(part(F.col("_o").isNull(), "_n", "insert"))
+            .unionByName(part(F.col("_n").isNull(), "_o", "delete"))
+        )
+
     def merge(
         self,
         spark: SparkSession,
@@ -2120,6 +2192,26 @@ class TxTable:
                 merged = staged.select(*cols)
         names = self._stage(merged)
         actions = self._add_actions(names) + [{"remove": f} for f in old_files]
+        meta0 = self._fold_state(base_version)[3] if base_version >= 0 else None
+        if (meta0 or {}).get("change_data_feed") and old_files:
+            # CDC sidecar (r11, Delta's _change_data design): compute
+            # the diff ONCE at write time from what was actually
+            # committed — old visible rows vs the freshly staged files
+            # (read back, so a nondeterministic staged source cannot
+            # desynchronize feed and table) — and land it as cdc
+            # parquets in the same commit. Sidecar volume ~ changed
+            # rows; the feed then serves this commit join-free.
+            new_df = self._project_logical(
+                self._reader(spark, meta0).parquet(
+                    *[os.path.join(self.path, f) for f in names]
+                ),
+                meta0,
+            )
+            old_df = self._scan(spark, old_files, base_version)
+            cdc_names = self._stage(
+                self._merge_cdc(old_df, new_df, key), pcols=None
+            )
+            actions += [{"cdc": n} for n in cdc_names]
         self._commit(
             base_version + 1,
             "merge",
@@ -2199,6 +2291,20 @@ class TxTable:
         )
         names = self._stage(kept_rows)
         actions = self._add_actions(names) + [{"remove": f} for f in hits]
+        if (self._fold_state(base_version)[3] or {}).get("change_data_feed"):
+            # CDC sidecar (r11): the deleted rows are exactly the hit
+            # files' visible rows matching the predicate — already
+            # scanned once above; one more filtered pass lands them as
+            # the commit's cdc parquet, so the (streaming) feed never
+            # re-reads the removed files
+            cdc_df = (
+                self._scan(spark, hits, base_version)
+                .filter(where)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            actions += [
+                {"cdc": n} for n in self._stage(cdc_df, pcols=None)
+            ]
         self._commit(
             base_version + 1, "delete", actions, info={"predicate": where}
         )
@@ -2256,8 +2362,28 @@ class TxTable:
             op = entry["op"]
             if op == "optimize":
                 continue
-            if op in ("append", "streamAppend") or (
-                allow_dv and op in ("deleteMor", "restore", "merge", "delete")
+            if op in ("append", "streamAppend", "createPartitioned") or (
+                allow_dv
+                and op
+                in (
+                    "deleteMor",
+                    "restore",
+                    "merge",
+                    "delete",
+                    "overwrite",
+                    "overwritePartitions",
+                )
+            ):
+                yield v, op, entry
+                continue
+            # metadata-only commits (rename/drop column): no row-set
+            # change, but the feed must still track the schema they
+            # carry — serve them; every branch ignores an entry with
+            # no data actions (r11)
+            if not any(
+                k in a
+                for a in entry["actions"]
+                for k in ("add", "remove", "dv")
             ):
                 yield v, op, entry
                 continue
@@ -2265,7 +2391,7 @@ class TxTable:
                 f"change feed crossed a row-rewriting '{op}' commit at "
                 f"version {v}; "
                 + (
-                    "MERGE/DELETE rewrites cannot be served row-level"
+                    "its row-level changes cannot be reconstructed"
                     if allow_dv
                     else "append-only feeds required"
                 )
@@ -2317,6 +2443,15 @@ class TxTable:
         Both reconstructions touch only the commit's own files (the
         data the merge/delete itself processed), never the table —
         the zone-map pruning that bounded the rewrite bounds the feed.
+
+        OVERWRITE commits — full (``mode("overwrite")``) and dynamic
+        partition overwrite — serve the Delta CDF replace shape: every
+        replaced file's visible row emits ``'delete'`` and every new
+        row ``'insert'`` (r11). ``createPartitioned`` serves its adds
+        as inserts, and metadata-only commits (rename/drop column)
+        pass through contributing no rows but carrying their schema —
+        the feed renders subsequent (and replaced) rows under the new
+        logical names instead of failing the range.
 
         Cost: exactly the log entries in the requested range — the
         incremental-consumer shape (a downstream index or aggregate
@@ -2464,24 +2599,49 @@ class TxTable:
                         .drop("_f", "_p")
                     )
                     _emit(d, meta_v, ctype, v)
-            elif op == "delete":
+            elif op in ("overwrite", "overwritePartitions"):
+                # a replace is a full delete+insert of the affected
+                # files' rows — Delta CDF's overwrite shape (r11); for
+                # dynamic partition overwrite the affected set is
+                # exactly the replaced partitions' files
                 removed = [a["remove"] for a in entry["actions"] if "remove" in a]
                 added = [a["add"] for a in entry["actions"] if "add" in a]
-                old = _visible(removed, v - 1, meta_v)
-                pred = (entry.get("info") or {}).get("predicate")
-                if pred is not None:
-                    # the rewrite kept exactly NOT(predicate): the
-                    # deleted rows are the old files' visible rows
-                    # matching it — re-evaluate, no diffing
-                    d = old.filter(pred)
-                else:  # pre-r11 commit: exact multiset EXCEPT
-                    d = old
-                    if added:
-                        d = d.exceptAll(
-                            _added_rows(added, meta_v).select(*old.columns)
-                        )
-                _emit_raw(d, "delete", v)
-            elif op == "merge":
+                if removed:
+                    _emit_raw(_visible(removed, v - 1, meta_v), "delete", v)
+                if added:
+                    _emit_raw(_added_rows(added, meta_v), "insert", v)
+            elif op in ("delete", "merge"):
+                cdc = [a["cdc"] for a in entry["actions"] if "cdc" in a]
+                if cdc:
+                    # CDC sidecar fast path (r11): the commit landed
+                    # its own change rows — serve them join-free;
+                    # _project_logical passes _change_type through
+                    d = self._project_logical(
+                        spark.read.parquet(
+                            *[os.path.join(self.path, n) for n in cdc]
+                        ),
+                        meta_v,
+                    )
+                    dfs.append(d.withColumn("_commit_version", F.lit(v)))
+                    continue
+                removed = [a["remove"] for a in entry["actions"] if "remove" in a]
+                added = [a["add"] for a in entry["actions"] if "add" in a]
+                if op == "delete":
+                    old = _visible(removed, v - 1, meta_v)
+                    pred = (entry.get("info") or {}).get("predicate")
+                    if pred is not None:
+                        # the rewrite kept exactly NOT(predicate): the
+                        # deleted rows are the old files' visible rows
+                        # matching it — re-evaluate, no diffing
+                        d = old.filter(pred)
+                    else:  # pre-r11 commit: exact multiset EXCEPT
+                        d = old
+                        if added:
+                            d = d.exceptAll(
+                                _added_rows(added, meta_v).select(*old.columns)
+                            )
+                    _emit_raw(d, "delete", v)
+                    continue
                 info = entry.get("info") or {}
                 key = info.get("key")
                 if key is None:
@@ -2491,54 +2651,23 @@ class TxTable:
                         "existed — its row-level changes cannot be "
                         "reconstructed"
                     )
-                removed = [a["remove"] for a in entry["actions"] if "remove" in a]
-                added = [a["add"] for a in entry["actions"] if "add" in a]
                 new = _added_rows(added, meta_v) if added else None
                 if not removed:
                     if new is not None:
                         _emit_raw(new, "insert", v)
                     continue
                 old = _visible(removed, v - 1, meta_v)
-                cols = new.columns if new is not None else old.columns
-                # a widening merge on an untracked table: old files
-                # lack the new column — serve it as null in the preimage
-                o = old.select(
-                    F.col(key).alias("_k"),
-                    F.struct(
-                        *[
-                            F.col(c)
-                            if c in old.columns
-                            else F.lit(None)
-                            .cast(new.schema[c].dataType)
-                            .alias(c)
-                            for c in cols
-                        ]
-                    ).alias("_o"),
-                )
                 if new is None:  # degenerate: everything deleted
                     _emit_raw(old, "delete", v)
                     continue
-                n = new.select(
-                    F.col(key).alias("_k"),
-                    F.struct(*[F.col(c) for c in cols]).alias("_n"),
-                )
-                # null-safe key join mirrors scd1_merge's own join; the
-                # join volume is the commit's rewritten+added files —
-                # the data the merge itself already processed
-                j = o.alias("o").join(
-                    n.alias("n"),
-                    F.col("o._k").eqNullSafe(F.col("n._k")),
-                    "full_outer",
-                ).select("_o", "_n")
-                both = F.col("_o").isNotNull() & F.col("_n").isNotNull()
-                changed = both & ~F.col("_o").eqNullSafe(F.col("_n"))
-                _emit_raw(j.filter(changed).select("_o.*"), "update_preimage", v)
-                _emit_raw(j.filter(changed).select("_n.*"), "update_postimage", v)
-                _emit_raw(
-                    j.filter(F.col("_o").isNull()).select("_n.*"), "insert", v
-                )
-                _emit_raw(
-                    j.filter(F.col("_n").isNull()).select("_o.*"), "delete", v
+                # reconstruction: the same helper the sidecar writer
+                # uses, so served rows are definitionally identical
+                # whether the commit carried cdc files or not; join
+                # volume is the commit's rewritten+added files only
+                dfs.append(
+                    self._merge_cdc(old, new, key).withColumn(
+                        "_commit_version", F.lit(v)
+                    )
                 )
             else:
                 files = [a["add"] for a in entry["actions"] if "add" in a]
@@ -2924,7 +3053,12 @@ class TxTable:
         referenced = set()
         for entry in self._read_log():
             for a in entry["actions"]:
-                referenced.add(a.get("add") or a.get("remove") or a.get("dv"))
+                referenced.add(
+                    a.get("add")
+                    or a.get("remove")
+                    or a.get("dv")
+                    or a.get("cdc")
+                )
         # r8 retention: after expire_log, files live at the horizon are
         # referenced ONLY by the surviving checkpoints' add-sets —
         # without this union vacuum would delete live data. Files

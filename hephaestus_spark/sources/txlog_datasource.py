@@ -76,7 +76,7 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
     WriterCommitMessage,
 )
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from hephaestus_spark.sources.txlog import TxTable, _parse_partition_values
 
@@ -100,6 +100,16 @@ class TxLogPartition(InputPartition):
     # string-or-None), ...) — materialized as typed constant columns
     # by the task (the values live in the path, not the file bytes)
     partition_values: tuple = ()
+    # streaming change feed (r11): constant _change_type to stamp on
+    # every row this partition emits (None = no stamping / the file
+    # carries its own column, i.e. a CDC sidecar)
+    change_type: "str | None" = None
+    # streaming change feed (r11): emit ONLY rows whose file-local
+    # position is in (positions listed by `select` DV parquets) minus
+    # (positions listed by `minus` DV parquets) — the deleteMor shape
+    # (select = the commit's tombstones, minus = ()) and the restore
+    # tombstone-flip shape (select/minus = the two versions' vectors)
+    dv_select: "tuple | None" = None  # (select_paths, minus_paths)
 
 
 @dataclass
@@ -235,12 +245,28 @@ def _typed_partition_value(raw: "str | None", typ: "pa.DataType"):
     return raw
 
 
+def _dv_positions(dv_paths, basename: str) -> set:
+    """File-local row positions listed for ``basename`` across the
+    given deletion-vector parquets."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out: set = set()
+    for dvp in dv_paths:
+        t = pq.read_table(dvp, columns=["file", "pos"])
+        mask = pc.equal(t.column("file"), basename)
+        out.update(t.filter(mask).column("pos").to_pylist())
+    return out
+
+
 def _read_file_batches(
     file_path: str,
     commit_version: int,
     dv_paths: tuple = (),
     target_schema: "pa.Schema | None" = None,
     partition_values: tuple = (),
+    change_type: "str | None" = None,
+    dv_select: "tuple | None" = None,
 ) -> Iterator["pa.RecordBatch"]:
     """Executor-side: stream a parquet file as Arrow batches with the
     provenance column appended, deletion-vector tombstones masked out
@@ -266,18 +292,24 @@ def _read_file_batches(
                     (src, field.type, _typed_partition_value(pv[src], field.type))
                 )
 
+    base = os.path.basename(file_path)
     tombstones: set[int] = set()
-    if dv_paths:
-        base = os.path.basename(file_path)
-        for dvp in dv_paths:
-            t = pq.read_table(dvp, columns=["file", "pos"])
-            mask = pc.equal(t.column("file"), base)
-            tombstones.update(t.filter(mask).column("pos").to_pylist())
+    selected: "set[int] | None" = None
+    if dv_select is not None:
+        sel_paths, minus_paths = dv_select
+        selected = _dv_positions(sel_paths, base)
+        if minus_paths:
+            selected -= _dv_positions(minus_paths, base)
+    elif dv_paths:
+        tombstones = _dv_positions(dv_paths, base)
     pf = pq.ParquetFile(file_path)
     offset = 0
     for batch in pf.iter_batches():
         n = batch.num_rows
-        if tombstones:
+        if selected is not None:
+            keep = [i for i in range(n) if (offset + i) in selected]
+            batch = batch.take(pa.array(keep, pa.int64()))
+        elif tombstones:
             keep = [
                 i for i in range(n) if (offset + i) not in tombstones
             ]
@@ -292,6 +324,11 @@ def _read_file_batches(
                 )
             if target_schema is not None:
                 batch = _align(batch, target_schema)
+            if change_type is not None:
+                batch = batch.append_column(
+                    "_change_type",
+                    pa.array([change_type] * batch.num_rows, pa.string()),
+                )
             yield batch.append_column(
                 VERSION_COL,
                 pa.array([commit_version] * batch.num_rows, pa.int64()),
@@ -394,12 +431,50 @@ class TxLogBatchReader(DataSourceReader):
 
 
 class TxLogStreamReader(DataSourceStreamReader):
+    """Streaming source. Default mode serves the append-only file
+    feed; ``cdf=True`` (``.option("readChangeFeed", "true")``, r11 —
+    Delta's streaming CDF) serves ROW-LEVEL changes with a
+    ``_change_type`` column, one partition per (file, change kind):
+
+    - appends/creation: the added files, stamped ``insert``;
+    - deleteMor: the covered files with the commit's tombstone
+      positions SELECTED (not masked) — exactly the deleted rows,
+      stamped ``delete``;
+    - merge / CoW delete: the commit's CDC sidecar parquets (written
+      when ``set_change_data_feed(True)`` — a source partition cannot
+      run the reconstruction join, so sidecar-less rewrites fail the
+      stream loudly with the fix spelled out);
+    - overwrite (full & dynamic-partition): replaced files' visible
+      rows as ``delete`` + new files as ``insert``;
+    - restore: vanished files as ``delete``, resurfaced as ``insert``
+      (each under its version's tombstones), and tombstone-state
+      flips as position-set differences in both directions;
+    - metadata-only commits contribute nothing.
+
+    Everything is per-file executor work (position sets from KB-sized
+    DV parquets) — no joins, no driver data."""
+
     def __init__(
-        self, table: TxTable, starting_version: int, target_schema=None
+        self,
+        table: TxTable,
+        starting_version: int,
+        target_schema=None,
+        cdf: bool = False,
     ):
         self.table = table
         self.starting_version = starting_version
         self.target_schema = target_schema
+        self.cdf = cdf
+        # insert/delete partitions read plain data files that do NOT
+        # carry _change_type — align them to the schema WITHOUT it,
+        # then stamp the constant (cdc sidecars align to the full one)
+        self.data_schema = target_schema
+        if cdf and target_schema is not None:
+            import pyarrow as pa
+
+            self.data_schema = pa.schema(
+                [f for f in target_schema if f.name != "_change_type"]
+            )
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
@@ -407,17 +482,107 @@ class TxLogStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         return {"version": self.table.latest_version()}
 
+    def _part(self, name: str, v: int, **kw) -> TxLogPartition:
+        cdc = kw.pop("cdc", False)
+        return TxLogPartition(
+            os.path.join(self.table.path, name),
+            v,
+            kw.pop("dv_paths", ()),
+            self.target_schema if cdc else self.data_schema,
+            tuple(sorted(_parse_partition_values(name).items())),
+            change_type=kw.pop("change_type", None),
+            dv_select=kw.pop("dv_select", None),
+        )
+
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        return [
-            TxLogPartition(
-                os.path.join(self.table.path, n),
-                v,
-                (),
-                self.target_schema,
-                tuple(sorted(_parse_partition_values(n).items())),
-            )
-            for n, v in self.table.change_files(start["version"], end["version"])
-        ]
+        if not self.cdf:
+            return [
+                TxLogPartition(
+                    os.path.join(self.table.path, n),
+                    v,
+                    (),
+                    self.target_schema,
+                    tuple(sorted(_parse_partition_values(n).items())),
+                )
+                for n, v in self.table.change_files(
+                    start["version"], end["version"]
+                )
+            ]
+        t = self.table
+        abs_ = lambda names: tuple(os.path.join(t.path, n) for n in names)
+        parts: list[TxLogPartition] = []
+        for v, op, entry in t._change_entries(
+            start["version"], end["version"], True
+        ):
+            adds = [a["add"] for a in entry["actions"] if "add" in a]
+            removes = [a["remove"] for a in entry["actions"] if "remove" in a]
+            cdc = [a["cdc"] for a in entry["actions"] if "cdc" in a]
+            if op in ("append", "streamAppend", "createPartitioned"):
+                parts += [self._part(n, v, change_type="insert") for n in adds]
+            elif op == "deleteMor":
+                sel = abs_(a["dv"] for a in entry["actions"] if "dv" in a)
+                covered = sorted(
+                    {f for a in entry["actions"] if "dv" in a for f in a["files"]}
+                )
+                parts += [
+                    self._part(n, v, change_type="delete", dv_select=(sel, ()))
+                    for n in covered
+                ]
+            elif op in ("merge", "delete"):
+                if not cdc:
+                    raise ValueError(
+                        f"streaming change feed crossed a '{op}' commit at "
+                        f"version {v} of {t.path} without CDC sidecars; "
+                        "enable set_change_data_feed(True) before such "
+                        "commits (batch read_changes can still reconstruct "
+                        "this range)"
+                    )
+                parts += [self._part(n, v, cdc=True) for n in cdc]
+            elif op in ("overwrite", "overwritePartitions"):
+                dv_prev = t.dv_map(v - 1)
+                parts += [
+                    self._part(
+                        n, v, change_type="delete",
+                        dv_paths=abs_(dv_prev.get(n, ())),
+                    )
+                    for n in removes
+                ]
+                parts += [self._part(n, v, change_type="insert") for n in adds]
+            elif op == "restore":
+                dv_prev, dv_now = t.dv_map(v - 1), t.dv_map(v)
+                rm, ad = set(removes), set(adds)
+                for n in sorted(rm - ad):
+                    parts.append(
+                        self._part(
+                            n, v, change_type="delete",
+                            dv_paths=abs_(dv_prev.get(n, ())),
+                        )
+                    )
+                for n in sorted(ad - rm):
+                    parts.append(
+                        self._part(
+                            n, v, change_type="insert",
+                            dv_paths=abs_(dv_now.get(n, ())),
+                        )
+                    )
+                for n in sorted(rm & ad):  # tombstone-state flip
+                    now, prev = abs_(dv_now.get(n, ())), abs_(dv_prev.get(n, ()))
+                    if now:
+                        parts.append(
+                            self._part(
+                                n, v, change_type="delete",
+                                dv_select=(now, prev),
+                            )
+                        )
+                    if prev:
+                        parts.append(
+                            self._part(
+                                n, v, change_type="insert",
+                                dv_select=(prev, now),
+                            )
+                        )
+            # metadata-only commits: no data actions, nothing to emit
+        return parts
 
     def read(self, partition: TxLogPartition):  # type: ignore[override]
         yield from _read_file_batches(
@@ -426,6 +591,8 @@ class TxLogStreamReader(DataSourceStreamReader):
             partition.dv_paths,
             partition.target_schema,
             partition.partition_values,
+            change_type=partition.change_type,
+            dv_select=partition.dv_select,
         )
 
     def commit(self, end: dict) -> None:
@@ -674,6 +841,12 @@ class TxLogDataSource(DataSource):
             raise ValueError("format('txlog') requires .load(<table path>)")
         return TxTable(path)
 
+    def _cdf(self) -> bool:
+        return str(self.options.get("readchangefeed", "")).lower() in (
+            "true",
+            "1",
+        )
+
     def schema(self) -> StructType:
         from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -681,11 +854,20 @@ class TxLogDataSource(DataSource):
         base = from_arrow_schema(
             _table_schema(self._table(), None if v is None else int(v))
         )
+        fields = list(base.fields)
+        if self._cdf():
+            fields.append(StructField("_change_type", StringType(), False))
         return StructType(
-            list(base.fields) + [StructField(VERSION_COL, LongType(), False)]
+            fields + [StructField(VERSION_COL, LongType(), False)]
         )
 
     def reader(self, schema: StructType) -> TxLogBatchReader:
+        if self._cdf():
+            raise ValueError(
+                "readChangeFeed is a STREAMING option"
+                " (spark.readStream.format('txlog')); for a batch change"
+                " feed use TxTable.read_changes"
+            )
         v = self.options.get("version")
         table = self._table()
         # pin "latest" NOW: pushFilters and partitions() are separate
@@ -705,6 +887,7 @@ class TxLogDataSource(DataSource):
             table,
             int(self.options.get("startingversion", -1)),
             _attach_physical(_declared_arrow_schema(schema), table, None),
+            cdf=self._cdf(),
         )
 
     def _pcols(self) -> "list[str] | None":

@@ -1134,3 +1134,46 @@ def test_spark_side_pruned_read_avoids_driver_fold(spark, tmp_path, monkeypatch)
     sk, stot = cold2.pruned_files_spark(spark, "name", "s0010", "s0029")
     tk, ttot = t.pruned_files("name", "s0010", "s0029")
     assert (sorted(sk), stot) == (sorted(tk), ttot)
+
+
+def test_change_feed_serves_overwrite_and_meta_commits(spark, tmp_path):
+    """r11: overwrite commits serve the Delta CDF replace shape
+    (delete every replaced visible row, insert every new row);
+    metadata-only commits (rename) pass through carrying their schema
+    instead of failing the range; dynamic partition overwrite emits
+    exactly the replaced partition's rows."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))       # v0
+    t.delete_mor(spark, "id = 1")                              # v1
+    # v2: full overwrite — only VISIBLE old rows emit deletes
+    t.commit_names(t._stage(_df(spark, [(9, "z", 9.0)])), overwrite=True)
+    feed = t.read_changes(spark, since_version=1)
+    got = sorted((r["id"], r["_change_type"]) for r in feed.collect())
+    assert got == [(2, "delete"), (9, "insert")]
+    # v3: rename rides the feed; later rows serve the NEW name
+    t.rename_column(spark, "val", "amount")                    # v3
+    t.append(
+        spark.createDataFrame(
+            [(10, "y", 10.0)], "id long, name string, amount double"
+        )
+    )                                                          # v4
+    feed2 = t.read_changes(spark, since_version=2)
+    assert "amount" in feed2.columns
+    got2 = {(r["id"], r["_change_type"], r["amount"]) for r in feed2.collect()}
+    assert got2 == {(10, "insert", 10.0)}
+
+    # dynamic partition overwrite on a partitioned table
+    p = TxTable(str(tmp_path / "p"))
+    p.append(
+        spark.createDataFrame(
+            [(1, "d1", 1.0), (2, "d2", 2.0)], "id long, day string, val double"
+        ),
+        partition_by=["day"],
+    )                                                          # v0
+    p.overwrite_partitions(
+        spark,
+        spark.createDataFrame([(20, "d2", 20.0)], "id long, day string, val double"),
+    )                                                          # v1
+    feedp = p.read_changes(spark, since_version=0)
+    gotp = sorted((r["id"], r["_change_type"], r["day"]) for r in feedp.collect())
+    assert gotp == [(2, "delete", "d2"), (20, "insert", "d2")]

@@ -222,3 +222,115 @@ def test_datasource_serves_column_mapping(spark, tmp_path):
         spark.createDataFrame(
             [(1, "zz", 1.0)], "id long, name string, amount double"
         ).write.format("txlog").mode("append").save(path)
+
+
+def test_stream_cdf_serves_row_level_changes(spark, tmp_path):
+    """r11 (Delta streaming CDF): readStream with readChangeFeed=true
+    serves row-level changes — appends as inserts, deleteMor rows as
+    deletes (tombstone positions SELECTED executor-side), merge/CoW-
+    delete from their CDC sidecars, overwrite as delete+insert — with
+    exactly-once delivery across restarts."""
+    path = str(tmp_path / "t")
+    t = TxTable(path)
+    t.append(
+        spark.createDataFrame(
+            [(i, i % 4, float(i)) for i in range(20)],
+            "id long, bucket long, val double",
+        )
+    )                                                   # v0
+    t.set_change_data_feed(True)                        # v1 (meta-only)
+    t.delete_mor(spark, "id IN (3, 7)")                 # v2
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [(5, 0, 55.0), (100, 1, 100.0)], "id long, bucket long, val double"
+        ),
+        "id",
+        ["bucket", "val"],
+    )                                                   # v3 (cdc sidecar)
+    t.delete(spark, "id = 8")                           # v4 (cdc sidecar)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run():
+        q = (
+            spark.readStream.format("txlog")
+            .option("readChangeFeed", "true")
+            .load(path)
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {
+        "id", "bucket", "val", "_change_type", "_commit_version"
+    }
+    rows = {
+        (r["id"], r["_change_type"], r["_commit_version"], r["val"])
+        for r in got.collect()
+    }
+    assert {(i, "insert", 0, float(i)) for i in range(20)} <= rows
+    assert (3, "delete", 2, 3.0) in rows and (7, "delete", 2, 7.0) in rows
+    assert (5, "update_preimage", 3, 5.0) in rows
+    assert (5, "update_postimage", 3, 55.0) in rows
+    assert (100, "insert", 3, 100.0) in rows
+    assert (8, "delete", 4, 8.0) in rows
+    # unchanged re-housed rows emit nothing: exactly 20+2+3+1 rows
+    assert got.count() == 26
+    # restart delivers ONLY new commits (exactly-once), incl. overwrite
+    t.commit_names(
+        t._stage(
+            spark.createDataFrame([(500, 0, 5.0)], "id long, bucket long, val double")
+        ),
+        overwrite=True,
+    )                                                   # v5: replace all
+    run()
+    got2 = spark.read.parquet(out)
+    new = {
+        (r["id"], r["_change_type"])
+        for r in got2.filter(F.col("_commit_version") == 5).collect()
+    }
+    # every visible pre-overwrite row deleted (not 3,7,8 — tombstoned/
+    # CoW-deleted already; 5 updated + 100 inserted still visible)
+    assert ("500", "insert") not in new  # ids are longs, sanity
+    assert (500, "insert") in new
+    assert (5, "delete") in new and (100, "delete") in new
+    assert (3, "delete") not in new and (8, "delete") not in new
+    assert got2.count() == 26 + 18 + 1
+
+
+def test_stream_cdf_requires_sidecars_for_rewrites(spark, tmp_path):
+    """A merge committed WITHOUT CDC sidecars cannot be served by the
+    streaming feed (no join inside a source partition) — the stream
+    fails loudly naming the fix; batch read option is refused too."""
+    path = str(tmp_path / "t")
+    t = TxTable(path)
+    t.append(
+        spark.createDataFrame([(1, 0, 1.0)], "id long, bucket long, val double")
+    )
+    t.merge(
+        spark,
+        spark.createDataFrame([(1, 0, 9.0)], "id long, bucket long, val double"),
+        "id",
+        ["bucket", "val"],
+    )
+    q = (
+        spark.readStream.format("txlog")
+        .option("readChangeFeed", "true")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("cdf_rejects")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="set_change_data_feed"):
+        q.awaitTermination(120)
+        raise AssertionError("stream should have failed")
+    with pytest.raises(Exception, match="STREAMING option"):
+        spark.read.format("txlog").option("readChangeFeed", "true").load(
+            path
+        ).collect()

@@ -363,3 +363,64 @@ def test_change_feed_merge_cdf_and_predicateless_delete(spark, tmp_path):
     feed3 = TxTable(t.path).read_changes(spark, since_version=2)
     got3 = sorted((r["id"], r["_change_type"]) for r in feed3.collect())
     assert got3 == [(7, "delete"), (8, "delete")]
+
+
+def test_cdc_sidecars_match_reconstruction_and_survive_vacuum(spark, tmp_path):
+    """r11 (Delta enableChangeDataFeed): with the table property set,
+    merge/delete land their row-level changes as cdc sidecar parquets
+    in the same commit; the feed serves those commits join-free and
+    BIT-IDENTICALLY to the reconstruction path (same helper), and
+    vacuum never reclaims a referenced sidecar."""
+    import os
+
+    def lifecycle(t):
+        t.append(_df(spark, [(i, f"n{i}", float(i)) for i in range(20)]))
+        t.merge(
+            spark,
+            _df(spark, [(4, "n4", 44.0), (100, "new", 100.0)]),
+            "id",
+            ["name", "val"],
+        )
+        t.delete(spark, "id % 9 = 0")
+
+    a = TxTable(str(tmp_path / "plain"))
+    lifecycle(a)
+    b = TxTable(str(tmp_path / "cdf"))
+    b.append(_df(spark, [(0, "seed", 0.0)]))
+    b.set_change_data_feed(True)                        # v1 (meta-only)
+    b.delete(spark, "id = 0")                           # v2 — cdc delete
+    lifecycle(b)                                        # v3 append, v4 merge, v5 delete
+    # sidecars actually landed on the cdf table
+    e_merge = b._read_entry(4)
+    e_del = b._read_entry(5)
+    assert any("cdc" in x for x in e_merge["actions"])
+    assert any("cdc" in x for x in e_del["actions"])
+    # identical rows from sidecar (b) and reconstruction (a)
+    cols = ["id", "name", "val", "_change_type"]
+    got_a = sorted(
+        tuple(r[c] for c in cols)
+        for r in a.read_changes(spark, since_version=-1).collect()
+    )
+    got_b = sorted(
+        tuple(r[c] for c in cols)
+        for r in b.read_changes(spark, since_version=2).collect()
+    )
+    assert got_a == got_b
+    assert (4, "n4", 4.0, "update_preimage") in got_a
+    assert (4, "n4", 44.0, "update_postimage") in got_a
+    assert (100, "new", 100.0, "insert") in got_a
+    assert (9, "n9", 9.0, "delete") in got_a
+    # the meta-only property commit rides the feed contributing nothing
+    assert b.read_changes(spark, since_version=0).filter(
+        "_commit_version = 1"
+    ).count() == 0
+    # vacuum keeps every referenced sidecar; feed still serves
+    assert b.vacuum(grace_seconds=0.0) == []
+    assert sorted(
+        tuple(r[c] for c in cols)
+        for r in TxTable(b.path).read_changes(spark, since_version=2).collect()
+    ) == got_a
+    # table contents unaffected by cdc bookkeeping
+    assert sorted(r["id"] for r in b.read(spark).collect()) == sorted(
+        r["id"] for r in a.read(spark).collect()
+    )
