@@ -1067,6 +1067,108 @@ def x_txlog_cdf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_txlog_constraints",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal,
+           TRUE AS add_time_validated,
+           TRUE AS append_blocked,
+           TRUE AS merge_blocked,
+           TRUE AS drop_reopens
+    FROM (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      UNION ALL
+      SELECT -c_custkey, c_name, c_acctbal
+      FROM customer WHERE c_custkey % 13 = 1
+      UNION ALL
+      SELECT -(c_custkey + 1000000), c_name, c_acctbal - 20000
+      FROM customer WHERE c_custkey % 17 = 3
+    )
+    """,
+)
+def x_txlog_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table CHECK constraints end-to-end (r11, sources/txlog.py
+    ``add_check_constraint`` — Delta's ALTER TABLE ADD CONSTRAINT):
+    customers land, ``bal_floor CHECK (c_acctbal >= -1000.0)`` is
+    added (one snapshot scan validates the existing rows — and a
+    constraint the data DOES violate, ``c_acctbal > 0``, is proven to
+    refuse at ADD time, TPC-H acctbal goes negative); a violating
+    append and a violating merge are both refused BEFORE committing —
+    the version stays put and the snapshot is untouched — while a
+    conforming append (negated every-13th key) lands through the same
+    gate; dropping the constraint retires the writer feature and the
+    previously-blocked rows (keyed at -(k+1e6)) append cleanly. The
+    oracle states the final table plus literal booleans for each
+    lifecycle fact, so the hash pins both what the constraint let
+    through and what it kept out. Cost shape: add-time = one table
+    scan (the Delta contract); every later commit validates only its
+    NEW files in one aggregated pass — O(delta) at any table size."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import ConstraintViolation, TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    workdir = tempfile.mkdtemp(prefix="txlog-cons-")
+    try:
+        t = TxTable(f"{workdir}/customers")
+        t.append(c.repartitionByRange(4, F.col("c_custkey")))
+        add_time_validated = False
+        try:  # TPC-H acctbal has negatives — this ADD must refuse
+            t.add_check_constraint(spark, "bal_pos", "c_acctbal > 0")
+        except ConstraintViolation:
+            add_time_validated = t.constraints() == {}
+        t.add_check_constraint(spark, "bal_floor", "c_acctbal >= -1000.0")
+        v_before = t.latest_version()
+        bad_append = c.filter(F.col("c_custkey") % 17 == 3).select(
+            (-(F.col("c_custkey") + 1000000)).alias("c_custkey"),
+            "c_name",
+            (F.col("c_acctbal") - 20000).alias("c_acctbal"),
+        )
+        append_blocked = False
+        try:
+            t.append(bad_append)
+        except ConstraintViolation:
+            append_blocked = t.latest_version() == v_before
+        merge_blocked = False
+        try:
+            t.merge(
+                spark,
+                c.filter(F.col("c_custkey") % 7 == 0).withColumn(
+                    "c_acctbal", F.col("c_acctbal") - 20000
+                ),
+                "c_custkey",
+                ["c_name", "c_acctbal"],
+            )
+        except ConstraintViolation:
+            merge_blocked = t.latest_version() == v_before
+        t.append(  # conforming rows pass the same gate
+            c.filter(F.col("c_custkey") % 13 == 1).withColumn(
+                "c_custkey", -F.col("c_custkey")
+            )
+        )
+        t.drop_constraint("bal_floor")
+        meta = t._fold_state()[3] or {}
+        drop_reopens = "check_constraints" not in (
+            meta.get("writer_features") or []
+        )
+        t.append(bad_append)  # now allowed
+        out = t.read(spark).select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.lit(add_time_validated).alias("add_time_validated"),
+            F.lit(append_blocked).alias("append_blocked"),
+            F.lit(merge_blocked).alias("merge_blocked"),
+            F.lit(drop_reopens).alias("drop_reopens"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
     "x_txlog_partitioned",
     oracle="""
     WITH e AS (
@@ -1565,6 +1667,189 @@ def x_txlog_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(metadata_only).alias("rename_was_metadata_only"),
             F.lit(tt_ok).alias("time_travel_names_ok"),
             F.lit(refused).alias("resurrection_refused"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "x_txlog_update",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey <= (SELECT MAX(c_custkey) // 5 FROM customer)
+                THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal,
+           TRUE AS pruned_rewrite,
+           TRUE AS cdf_row_exact
+    FROM customer
+    """,
+)
+def x_txlog_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE ... SET end-to-end (r11, sources/txlog.py
+    ``TxTable.update`` — Delta's UPDATE completing the DML triangle):
+    customers land range-clustered on key (4 files), then one
+    key-scoped UPDATE bumps the balance (+1000) for the bottom fifth
+    of the key space with ``prune_column`` declared. The hash pins the
+    final table; the literal booleans pin the SCALE facts: (a) the
+    rewrite touched exactly ONE of the four files — zone maps bounded
+    the copy-on-write to the key range, the other three files
+    survived byte-identical — and (b) ``read_changes`` reconstructs
+    the commit row-exactly from its recorded predicate + SET map (the
+    table has NO change-data-feed property, so this exercises the
+    sidecar-free path): update_preimage count == update_postimage
+    count == rows the UPDATE reported, zero inserts, and the
+    postimage balance sum equals preimage sum + 1000/row. Cost shape
+    at 100 TB: candidates from metadata alone, one predicate scan
+    over the surviving file(s), rewrite volume = hit files only."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    hi = c.agg(F.max("c_custkey")).first()[0] // 5
+    workdir = tempfile.mkdtemp(prefix="txlog-upd-")
+    try:
+        t = TxTable(f"{workdir}/customers")
+        t.append(
+            c.repartitionByRange(4, F.col("c_custkey")).sortWithinPartitions(
+                "c_custkey"
+            )
+        )
+        total_files = len(t._snapshot_files())
+        v, rewritten, n_rows = t.update(
+            spark,
+            f"c_custkey <= {hi}",
+            {"c_acctbal": "c_acctbal + 1000"},
+            prune_column="c_custkey",
+            lo=None,
+            hi=hi,
+        )
+        pruned_rewrite = rewritten == 1 and total_files == 4 and v == 1
+        ch = (
+            t.read_changes(spark, 0)
+            .groupBy("_change_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("c_acctbal").alias("bal"),
+            )
+            .collect()
+        )
+        by = {r["_change_type"]: (r["n"], r["bal"]) for r in ch}
+        cdf_row_exact = (
+            set(by) == {"update_preimage", "update_postimage"}
+            and by["update_preimage"][0] == n_rows
+            and by["update_postimage"][0] == n_rows
+            and abs(
+                by["update_postimage"][1]
+                - by["update_preimage"][1]
+                - 1000 * n_rows
+            )
+            < 1e-6
+        )
+        out = t.read(spark).select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.lit(pruned_rewrite).alias("pruned_rewrite"),
+            F.lit(cdf_row_exact).alias("cdf_row_exact"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "x_txlog_clone",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 500
+                ELSE c_acctbal END AS c_acctbal,
+           TRUE AS clone_metadata_only,
+           TRUE AS stats_carried,
+           TRUE AS src_isolated,
+           TRUE AS detached
+    FROM customer WHERE c_custkey % 9 <> 0
+    """,
+)
+def x_txlog_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE lifecycle under one oracle hash (r11,
+    sources/txlog.py ``TxTable.clone_to`` — Delta's CREATE TABLE ...
+    SHALLOW CLONE): customers land (4 range files), every 9th key is
+    tombstoned merge-on-read, and the table is cloned — a pure
+    metadata commit referencing the source files in place (the
+    ``clone_metadata_only`` boolean pins that ZERO data parquets
+    exist under the clone root, the 100 TB point: cloning costs one
+    log write at any table size). The copied KB-sized deletion-vector
+    sidecars carry the tombstones (``stats_carried``: the clone's
+    metadata COUNT equals the source's visible count with no data
+    I/O). The clone then UPDATEs every 7th key (+500) while the
+    source appends a marker row — ``src_isolated`` pins that neither
+    side sees the other's change. Finally ``optimize()`` DETACHES the
+    clone (every live file local, ``detached``), the documented
+    answer to Delta's source-vacuum caveat. The hash pins the final
+    clone content: tombstones held, updates applied, no source
+    marker."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    workdir = tempfile.mkdtemp(prefix="txlog-clone-")
+    try:
+        src = TxTable(f"{workdir}/src")
+        src.append(
+            c.repartitionByRange(4, F.col("c_custkey")).sortWithinPartitions(
+                "c_custkey"
+            )
+        )
+        src.delete_mor(spark, "c_custkey % 9 = 0")
+        visible = src.stats_summary()["count"]
+        clone = src.clone_to(f"{workdir}/dst")
+        dv_sidecars = {
+            _os.path.basename(n)
+            for ns in clone.dv_map().values()
+            for n in ns
+        }
+        clone_metadata_only = all(
+            f in dv_sidecars  # only the copied KB-sized DV sidecars
+            for d, _s, fs in _os.walk(clone.path)
+            if "_txlog" not in d
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        stats_carried = clone.stats_summary()["count"] == visible
+        clone.update(
+            spark, "c_custkey % 7 = 0", {"c_acctbal": "c_acctbal + 500"}
+        )
+        src.append(
+            spark.createDataFrame(
+                [(-1, "marker", 0.0)],
+                "c_custkey long, c_name string, c_acctbal double",
+            )
+        )
+        src_isolated = (
+            clone.read(spark).filter("c_custkey = -1").count() == 0
+            and src.read(spark).filter("c_acctbal > 100000").count() == 0
+        )
+        clone.optimize(spark, target_files=2)
+        detached = all(
+            not _os.path.isabs(f) for f in clone._snapshot_files()
+        )
+        out = clone.read(spark).select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.lit(clone_metadata_only).alias("clone_metadata_only"),
+            F.lit(stats_carried).alias("stats_carried"),
+            F.lit(src_isolated).alias("src_isolated"),
+            F.lit(detached).alias("detached"),
         )
         return out.localCheckpoint(eager=True)
     finally:

@@ -77,6 +77,16 @@ class CommitConflict(Exception):
     and the transaction's outcome depends on the snapshot it read."""
 
 
+class ConstraintViolation(ValueError):
+    """A commit would have landed rows that fail a table CHECK
+    constraint; nothing was committed. Carries the per-constraint
+    violation counts for programmatic handling."""
+
+    def __init__(self, message: str, counts: dict[str, int]):
+        super().__init__(message)
+        self.counts = counts
+
+
 _LOG_DIR = "_txlog"
 _CKPT_SUFFIX = ".checkpoint.json"  # legacy (pre-r9) single-file JSON form
 _LAST_CKPT = "_last_checkpoint"
@@ -98,7 +108,7 @@ _CKPT_PQ_RE = re.compile(
 # column-mapped table read by code that doesn't know mappings would
 # quietly serve physical names. Schema-evolution commits stamp their
 # required features into the metadata; the fold checks on every read.
-SUPPORTED_READER_FEATURES = {"column_mapping", "partitioning"}
+SUPPORTED_READER_FEATURES = {"column_mapping", "partitioning", "clone"}
 
 # Writer features this code implements (r10, VERDICT r9 #5 — Delta's
 # writerFeatures half of the protocol action): a table whose metadata
@@ -107,7 +117,7 @@ SUPPORTED_READER_FEATURES = {"column_mapping", "partitioning"}
 # doesn't translate logical->physical names on write would commit
 # un-mapped physical names onto it. Checked in _commit, the one gate
 # every mutation passes through.
-SUPPORTED_WRITER_FEATURES = {"column_mapping", "partitioning"}
+SUPPORTED_WRITER_FEATURES = {"column_mapping", "partitioning", "check_constraints"}
 
 # Hive's sentinel directory value for a NULL partition key — what
 # Spark's own partitioned writer emits and its reader parses back.
@@ -797,6 +807,104 @@ class TxTable:
             raise CommitConflict(f"version {version} already committed") from e
         self._maybe_checkpoint(version)
 
+    @staticmethod
+    def _act_overlaps(act: dict, column: str, lo=None, hi=None, values=None):
+        """Could the file behind this add action contain a row with
+        ``column`` in [lo, hi] (or in ``values``)? The single-action
+        twin of ``pruned_files``/``pruned_files_in``, sharing their
+        exactness rules: missing stats keep (True — safe side), a
+        TRUNCATED string hi bound can never prove ``max < lo``, and
+        partition columns work for free because their hive values are
+        committed as exact singleton zones. ``column`` must already be
+        the PHYSICAL name. An EMPTY file (rows == 0 — Spark's writer
+        emits one per task that received no rows, so a small append on
+        a wide cluster commits several) trivially overlaps nothing; it
+        has no footer stats at all, so without this test it would read
+        as 'unknown — keep' and veto every rebase."""
+        if act.get("rows") == 0:
+            return False
+        st = (act.get("stats") or {}).get(column)
+        if st is None:
+            return True
+        if isinstance(st, dict):
+            mn, mx = st["lo"], st["hi"]
+            hi_usable = st.get("hi_exact", True)
+        else:
+            mn, mx = st
+            hi_usable = True
+        if values is not None:
+            return any(
+                v >= mn and (not hi_usable or v <= mx) for v in values
+            )
+        if lo is not None and hi_usable and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+        return True
+
+    def _commit_snapshot_dependent(
+        self,
+        base_version: int,
+        op: str,
+        actions: list[dict],
+        info: dict | None = None,
+        disjoint=None,
+        max_rebase: int = 10,
+    ) -> int:
+        """Commit for transactions whose ACTIONS were computed from the
+        snapshot at ``base_version`` (merge / delete / optimize), with
+        Delta's logical conflict resolution (r11 — the OCC
+        WriteSerializable model) instead of r7's raise-on-any-racer:
+
+        losing the version race no longer means losing the work when
+        the interleaved commits provably cannot change this
+        transaction's outcome. Each interleaved commit must be a PURE
+        blind append (op append/streamAppend, only ``add`` actions —
+        a remove, deletion vector, cdc sidecar or ANY metadata change
+        conflicts), and each appended file must satisfy ``disjoint``:
+
+        - ``disjoint=None``: never rebase — the transaction read the
+          whole table with no declared predicate, so any concurrent
+          row could have changed its result (Delta's
+          ConcurrentAppendException). Raise, caller re-runs.
+        - ``disjoint=True``: rebase over any pure append — correct
+          for OPTIMIZE, which re-houses exactly the files it removes
+          and leaves interleaved appends live and untouched.
+        - callable(add_action) -> bool: rebase iff every appended
+          file is provably outside the transaction's read predicate
+          (zone/partition disjointness) — the daily-delta MERGE
+          landing under a streaming ingest to other days, the shape
+          that otherwise NEVER commits on a busy table.
+
+        The check walks only the interleaved log entries (no data
+        I/O, no re-staging — the already-written files commit at the
+        new version verbatim). Anything unprovable raises the
+        original CommitConflict for the caller to re-run."""
+        checked = base_version
+        target = base_version + 1
+        for _ in range(max_rebase):
+            try:
+                self._commit(target, op, actions, info=info)
+                return target
+            except CommitConflict:
+                if disjoint is None:
+                    raise
+                latest = self.latest_version()
+                for v in range(checked + 1, latest + 1):
+                    entry = self._read_entry(v)
+                    if entry["op"] not in ("append", "streamAppend"):
+                        raise
+                    for a in entry["actions"]:
+                        if "add" not in a:
+                            raise  # meta / remove / dv / cdc rider
+                        if disjoint is not True and not disjoint(a):
+                            raise
+                checked = latest
+                target = latest + 1
+        raise CommitConflict(
+            f"snapshot-dependent {op} lost {max_rebase} rebases on {self.path}"
+        )
+
     # Stored string-bound cap: log entries and checkpoints hold zone
     # maps for EVERY live file, so unbounded string min/max (a 2 KB
     # URL, a document body) would bloat the log itself — the same
@@ -1024,12 +1132,39 @@ class TxTable:
                 continue
         raise CommitConflict(f"schema change lost 10 races on {self.path}")
 
+    def _refuse_constrained(self, column: str, what: str) -> None:
+        """Schema evolution guard: a CHECK constraint's stored SQL
+        binds by (logical) column name, so renaming or dropping a
+        referenced column would leave an expression that either fails
+        analysis on every future commit or — worse — silently binds to
+        nothing. Word-boundary match = conservative (a hit inside a
+        string literal also refuses); the small race window to a
+        concurrent ADD CONSTRAINT is closed by the writer-feature
+        check any such racer's commit performs."""
+        hit = [
+            n
+            for n, e in self.constraints().items()
+            if re.search(rf"(?<![A-Za-z0-9_`]){re.escape(column)}(?![A-Za-z0-9_])", e)
+        ]
+        if hit:
+            raise ValueError(
+                f"cannot {what} column {column!r}: referenced by CHECK "
+                f"constraint(s) {sorted(hit)}; drop them first"
+            )
+
     def rename_column(self, spark: SparkSession, old: str, new: str) -> int:
         """Metadata-only column RENAME (Delta column-mapping idea):
         the physical name in every data file stays; only the
         logical->physical mapping changes. Pre-rename snapshots keep
         the old name under time travel; post-rename appends write the
-        SAME physical column, so old and new files stay one column."""
+        SAME physical column, so old and new files stay one column.
+
+        Refuses when a CHECK constraint references the column (the
+        stored expression would silently stop binding) — Delta's rule.
+        The match is a conservative word-boundary search, so a name
+        that only appears inside a string literal also refuses; drop
+        the constraint, rename, re-add it under the new name."""
+        self._refuse_constrained(old, "rename")
 
         def mutate(mapping: dict, dropped: list) -> str:
             if old not in mapping:
@@ -1046,7 +1181,9 @@ class TxTable:
         bytes (historical snapshots still serve them); current reads
         stop projecting the column. Re-adding a column with the same
         name is refused (``_to_physical``) so old bytes can never
-        resurrect under a new logical column."""
+        resurrect under a new logical column. Refuses when a CHECK
+        constraint references the column (see rename_column)."""
+        self._refuse_constrained(name, "drop")
 
         pcols = set((self._fold_state()[3] or {}).get("partition_columns") or [])
 
@@ -1210,7 +1347,9 @@ class TxTable:
             out.update({"min": lo, "max": hi, "bounds_exact": exact})
         return out
 
-    def _reader(self, spark: SparkSession, meta: dict | None):
+    def _reader(
+        self, spark: SparkSession, meta: dict | None, base: str | None = None
+    ):
         """The one parquet reader configuration every data-serving
         path shares (``_scan``, the change feed). Schema-tracked
         tables (r9 partitioning): the LOG owns the schema (Delta's
@@ -1233,9 +1372,72 @@ class TxTable:
                 StructType.fromJson(json.loads(schema_json))
             )
             if meta.get("partition_columns"):
-                reader = reader.option("basePath", os.path.abspath(self.path))
+                reader = reader.option(
+                    "basePath", os.path.abspath(base or self.path)
+                )
             return reader
         return spark.read.option("mergeSchema", "true")
+
+    def _abs(self, name: str) -> str:
+        """Absolute filesystem path of a committed file name. Names
+        are table-relative except shallow-clone adds (r11), which are
+        committed ABSOLUTE — the Delta shallow-clone design: the clone
+        references the source's data files in place."""
+        return name if os.path.isabs(name) else os.path.join(self.path, name)
+
+    def _read_files(
+        self,
+        spark: SparkSession,
+        meta: dict | None,
+        files: list[str],
+        keyed: bool = False,
+    ) -> DataFrame:
+        """One parquet frame over committed file names — THE
+        resolution point for shallow-clone absolute names (r11):
+        table-relative names read under this table's root; absolute
+        (clone-referenced) names group by their recorded clone root so
+        each group's hive partition dirs resolve under its OWN
+        basePath (Spark allows exactly one basePath per scan).
+        ``keyed=True`` materializes the ``_f``/``_p`` provenance
+        columns per group BEFORE any union — the hidden ``_metadata``
+        column does not survive one."""
+
+        def _key(d: DataFrame) -> DataFrame:
+            return d.withColumn(
+                "_f",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            ).withColumn("_p", F.col("_metadata.row_index"))
+
+        local = [f for f in files if not os.path.isabs(f)]
+        ext = [f for f in files if os.path.isabs(f)]
+        frames: list[DataFrame] = []
+        if local:
+            d = self._reader(spark, meta).parquet(
+                *[os.path.join(self.path, f) for f in local]
+            )
+            frames.append(_key(d) if keyed else d)
+        if ext:
+            roots = sorted(
+                (meta or {}).get("clone_roots") or [], key=len, reverse=True
+            )
+            groups: dict[str, list[str]] = {}
+            for p in ext:
+                base = next(
+                    (
+                        r
+                        for r in roots
+                        if p.startswith(r.rstrip(os.sep) + os.sep)
+                    ),
+                    os.path.dirname(p),
+                )
+                groups.setdefault(base, []).append(p)
+            for base in sorted(groups):
+                d = self._reader(spark, meta, base=base).parquet(*groups[base])
+                frames.append(_key(d) if keyed else d)
+        out = frames[0]
+        for d in frames[1:]:
+            out = out.unionByName(d)
+        return out
 
     def _scan(
         self,
@@ -1255,9 +1457,6 @@ class TxTable:
         for callers that need per-row file identity (the delete paths).
         """
         meta = self._fold_state(version)[3]
-        df = self._reader(spark, meta).parquet(
-            *[os.path.join(self.path, f) for f in files]
-        )
         # r9 column mapping: physical file columns -> the LOGICAL view
         # at this version. Time travel reads the mapping of its own
         # version, so a pre-rename snapshot keeps its old names. The
@@ -1267,14 +1466,14 @@ class TxTable:
         dvs = self.dv_map(version)
         dv_names = sorted({d for f in files for d in dvs.get(f, [])})
         if not dv_names and not keep_keys:
-            return self._project_logical(df, meta)
+            return self._project_logical(
+                self._read_files(spark, meta, files), meta
+            )
         # the (basename, pos) anti-join below is only sound when
         # basenames are unique across the scanned set — refuse loudly
         # on legacy collisions rather than tombstone the wrong file
         self._base2rel(files)
-        keyed = df.withColumn(
-            "_f", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-        ).withColumn("_p", F.col("_metadata.row_index"))
+        keyed = self._read_files(spark, meta, files, keyed=True)
         if dv_names:
             dv = spark.read.parquet(
                 *[os.path.join(self.path, n) for n in dv_names]
@@ -1313,7 +1512,9 @@ class TxTable:
 
         Conflict semantics match ``merge``: tombstone positions are
         only valid against the snapshot that was read, so a racing
-        commit raises CommitConflict instead of blind-retrying."""
+        commit raises CommitConflict instead of blind-retrying —
+        except provably-disjoint interleaved blind appends, over
+        which the commit rebases (r11, _commit_snapshot_dependent)."""
         base_version = self.latest_version()
         if base_version < 0:
             raise ValueError(f"table {self.path} is empty")
@@ -1346,8 +1547,34 @@ class TxTable:
         # pcols=None — a sidecar, never split by the table partitioning
         names = self._stage(hits.repartition(1), pcols=None)
         actions = [{"dv": n, "files": covered} for n in names]
-        self._commit(base_version + 1, "deleteMor", actions)
-        return base_version + 1, len(covered), n_rows
+        # OCC rebase (r11): tombstone (file, pos) pairs reference the
+        # covered files, which a PURE interleaved append cannot touch
+        # — and with pruning declared, appends outside the predicate's
+        # ranges cannot hold rows this delete covers. Same contract as
+        # the copy-on-write path.
+        mapping = (
+            self._fold_state(base_version)[3] or {}
+        ).get("mapping") or {}
+        disjoint = None
+        if prune_column is not None or partitions:
+
+            def disjoint(act):
+                if prune_column is not None and not self._act_overlaps(
+                    act, mapping.get(prune_column, prune_column), lo=lo, hi=hi
+                ):
+                    return True
+                for col, vals in (partitions or {}).items():
+                    norm = [_zone_probe_value(v) for v in vals if v is not None]
+                    if not self._act_overlaps(
+                        act, mapping.get(col, col), values=norm
+                    ):
+                        return True
+                return False
+
+        v = self._commit_snapshot_dependent(
+            base_version, "deleteMor", actions, disjoint=disjoint
+        )
+        return v, len(covered), n_rows
 
     # ---- partitioning (r9) ----
     def partition_columns(self, version: int | None = None) -> list[str]:
@@ -1442,6 +1669,7 @@ class TxTable:
         ]
         if staged_fields is None:
             staged_fields = self._fields_from_footers(names)
+        self._enforce_constraints(names, meta0)
         actions = (
             self._add_actions(names) + removes + self._widened_meta(staged_fields)
         )
@@ -1630,10 +1858,9 @@ class TxTable:
         )
         if not keep:
             return self.read(spark).filter(F.lit(False))
-        df = self._reader(spark, meta).parquet(
-            *[os.path.join(self.path, f) for f in keep]
-        )
-        if dv_names:
+        if not dv_names:
+            df = self._read_files(spark, meta, keep)
+        else:
             # anti-join against ALL live vectors: tombstones key on
             # (basename, pos), and basenames are table-unique
             # (_base2rel refuses legacy collisions), so vectors for
@@ -1641,13 +1868,7 @@ class TxTable:
             # extra KB-sized parquets read
             self._base2rel(keep)
             df = (
-                df.withColumn(
-                    "_f",
-                    F.element_at(
-                        F.split(F.col("_metadata.file_path"), "/"), -1
-                    ),
-                )
-                .withColumn("_p", F.col("_metadata.row_index"))
+                self._read_files(spark, meta, keep, keyed=True)
                 .join(
                     spark.read.parquet(
                         *[os.path.join(self.path, n) for n in dv_names]
@@ -1904,8 +2125,15 @@ class TxTable:
             for f in self._to_physical(df.limit(0), meta_at_stage).schema.fields
         }
         actions = self._add_actions(names)
+        checked_cons: dict | None = None
         for _ in range(max_retries):
             v = self.latest_version() + 1
+            meta_now = self._fold_state()[3]
+            cons_now = dict((meta_now or {}).get("constraints") or {})
+            if cons_now != checked_cons:
+                checked_cons = self._enforce_constraints(
+                    names, meta_now, df.sparkSession
+                )
             extra = self._widened_meta(staged)
             try:
                 self._commit(v, "append", actions + extra)
@@ -1941,8 +2169,16 @@ class TxTable:
         live = [] if overwrite else self._snapshot_files()
         self._base2rel(names + [f for f in live if f not in names])
         actions = self._add_actions(names)
+        checked_cons: dict | None = None
         for _ in range(max_retries):
             v = self.latest_version() + 1
+            meta_now = self._fold_state()[3] if v > 0 else None
+            # constraint gate (r11): validate the NEW files once before
+            # the first attempt; a conflict retry re-scans only if a
+            # racer changed the constraint set in between
+            cons_now = dict((meta_now or {}).get("constraints") or {})
+            if cons_now != checked_cons:
+                checked_cons = self._enforce_constraints(names, meta_now)
             removes = (
                 [{"remove": f} for f in self._snapshot_files(v - 1)]
                 if overwrite and v > 0
@@ -1959,7 +2195,7 @@ class TxTable:
                 extra = [
                     {"meta": {"schema": StructType(list(flds.values())).json()}}
                 ]
-            elif (self._fold_state()[3] or {}).get("schema"):
+            elif (meta_now or {}).get("schema"):
                 extra = self._widened_meta(self._fields_from_footers(names))
             else:
                 extra = []
@@ -2029,6 +2265,204 @@ class TxTable:
             txn=txn,
         )
         return 0
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """name -> CHECK expression (Spark SQL) in force at
+        ``version`` (None = latest)."""
+        return dict(
+            (self._fold_state(version)[3] or {}).get("constraints") or {}
+        )
+
+    def add_check_constraint(
+        self, spark: SparkSession, name: str, expr: str
+    ) -> int:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr) — Delta's
+        table-constraint design (delta.constraints.* properties):
+
+        - EXISTING data is validated first with one snapshot scan (the
+          Delta contract: adding a constraint a current row violates
+          fails the ALTER, so a constraint in the log is a guarantee
+          about every visible row, past and future).
+        - The constraint commits as table metadata plus the
+          ``check_constraints`` WRITER feature — an older writer that
+          wouldn't enforce it refuses to commit (``_commit``'s guard)
+          instead of quietly landing violating rows. Readers need no
+          feature: reading constrained data is always safe.
+        - Every subsequent row-introducing commit (append, merge,
+          overwrite, stream batch, native-connector writes) validates
+          ONLY its new files — O(changed data), never a table rescan.
+          Row-preserving commits (optimize, copy-on-write delete,
+          which only keep existing rows) skip the check by
+          construction. RESTORE is the one documented hole, exactly as
+          in Delta: time travel can resurrect rows that predate the
+          constraint.
+
+        NULL semantics follow the SQL standard (and Delta, Postgres,
+        DuckDB): a row violates only when the expression IS FALSE — an
+        UNKNOWN/NULL result passes. Raises ConstraintViolation when
+        current rows fail, ValueError for an unparsable expression or
+        duplicate name, CommitConflict if another writer lands first
+        (re-run: the validation is only good for the snapshot it
+        scanned)."""
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"bad constraint name {name!r}")
+        base = self.latest_version()
+        if base < 0:
+            raise ValueError(f"table {self.path} is empty")
+        meta = dict(self._fold_state(base)[3] or {})
+        cons = dict(meta.get("constraints") or {})
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists on {self.path}: "
+                f"CHECK ({cons[name]})"
+            )
+        # one full-snapshot scan, through the DV-aware read so
+        # tombstoned rows don't fail a constraint they can't violate
+        self._raise_violations(self.read(spark, base), {name: expr})
+        cons[name] = expr
+        meta["constraints"] = cons
+        meta["writer_features"] = sorted(
+            set(meta.get("writer_features") or []) | {"check_constraints"}
+        )
+        self._commit(base + 1, "addConstraint", [{"meta": meta}])
+        return base + 1
+
+    def drop_constraint(self, name: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT — metadata-only. Dropping the
+        LAST constraint also retires the ``check_constraints`` writer
+        feature so pre-constraint writer versions can commit again."""
+        for _ in range(10):
+            base = self.latest_version()
+            meta = dict(self._fold_state(base)[3] or {})
+            cons = dict(meta.get("constraints") or {})
+            if name not in cons:
+                raise ValueError(f"no such constraint: {name!r}")
+            del cons[name]
+            meta["constraints"] = cons
+            if not cons:
+                meta["writer_features"] = sorted(
+                    set(meta.get("writer_features") or [])
+                    - {"check_constraints"}
+                )
+            try:
+                self._commit(base + 1, "dropConstraint", [{"meta": meta}])
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"drop constraint lost 10 races on {self.path}")
+
+    @staticmethod
+    def _raise_violations(df: DataFrame, cons: dict[str, str]) -> None:
+        """One aggregated pass counting rows where each expression IS
+        FALSE (SQL-standard: NULL passes); raises ConstraintViolation
+        with every failing constraint's count. All constraints share a
+        single scan regardless of how many there are."""
+        checks = {n: F.expr(e) for n, e in cons.items()}  # analysis check
+        row = df.agg(
+            *[
+                F.count(F.when(c.eqNullSafe(F.lit(False)), 1)).alias(n)
+                for n, c in checks.items()
+            ]
+        ).first()
+        bad = {n: row[n] for n in cons if row[n]}
+        if bad:
+            detail = "; ".join(
+                f"{n}: {bad[n]} row(s) fail CHECK ({cons[n]})" for n in bad
+            )
+            raise ConstraintViolation(
+                f"constraint violation — nothing committed: {detail}", bad
+            )
+
+    def _enforce_constraints(
+        self,
+        names: list[str],
+        meta: dict | None,
+        spark: SparkSession | None = None,
+    ) -> dict[str, str]:
+        """Validate a commit's staged files against ``meta``'s
+        constraints BEFORE the commit lands. Scans only ``names`` —
+        the new files — as the logical view (partition-dir columns and
+        column mapping applied), so a constraint on a partition or
+        renamed column sees the same names a query would. Returns the
+        constraint dict it validated so retry loops can detect a
+        concurrently-changed constraint set and re-validate only then.
+        With no constraints (or no files) this is a pure dict lookup —
+        zero Spark jobs on the common path."""
+        cons = dict((meta or {}).get("constraints") or {})
+        if not cons or not names:
+            return cons
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            # the native connector's commit hook runs in Spark's
+            # python-datasource worker — a driver-side process with
+            # filesystem access but NO SparkSession. Validate there
+            # with DuckDB over the same staged files: constraint
+            # expressions are ANSI SQL (the repo-wide oracle
+            # contract), and an expression DuckDB cannot bind fails
+            # the commit loudly rather than skipping the check.
+            self._duckdb_violations(names, meta, cons)
+            return cons
+        df = self._project_logical(
+            self._reader(spark, meta).parquet(
+                *[os.path.join(self.path, n) for n in names]
+            ),
+            meta,
+        )
+        self._raise_violations(df, cons)
+        return cons
+
+    def _duckdb_violations(
+        self, names: list[str], meta: dict | None, cons: dict[str, str]
+    ) -> None:
+        """Session-less twin of ``_raise_violations`` for the
+        python-datasource worker: one DuckDB scan of the staged files
+        (hive partition dirs become columns, schema union across
+        files, logical names via the column mapping) counting rows
+        where each expression IS FALSE — the same SQL-standard NULL
+        semantics. Any DuckDB binding/evaluation error is re-raised as
+        a refusal to commit, never a silent pass."""
+        import duckdb
+
+        paths = [
+            os.path.join(self.path, n).replace("'", "''") for n in names
+        ]
+        rel = (
+            "read_parquet(["
+            + ", ".join(f"'{p}'" for p in paths)
+            + "], union_by_name=true, hive_partitioning=true)"
+        )
+        mapping = (meta or {}).get("mapping")
+        if mapping:
+            sel = ", ".join(
+                f'"{phys}" AS "{log}"' for log, phys in mapping.items()
+            )
+            src = f"(SELECT {sel} FROM {rel})"
+        else:
+            src = f"(SELECT * FROM {rel})"
+        exprs = ", ".join(
+            f'count(*) FILTER (WHERE ({e}) IS FALSE) AS "{n}"'
+            for n, e in cons.items()
+        )
+        try:
+            row = duckdb.connect().execute(
+                f"SELECT {exprs} FROM {src} AS _staged"
+            ).fetchone()
+        except Exception as e:
+            raise ValueError(
+                f"table {self.path} has CHECK constraints {sorted(cons)} "
+                "that could not be validated outside a SparkSession "
+                f"(DuckDB fallback failed: {e}); keep constraint "
+                "expressions engine-portable ANSI SQL or commit through "
+                "a TxTable API with an active session"
+            ) from e
+        bad = {n: row[i] for i, n in enumerate(cons) if row[i]}
+        if bad:
+            detail = "; ".join(
+                f"{n}: {bad[n]} row(s) fail CHECK ({cons[n]})" for n in bad
+            )
+            raise ConstraintViolation(
+                f"constraint violation — nothing committed: {detail}", bad
+            )
 
     def set_change_data_feed(self, enabled: bool = True) -> int:
         """Delta's ``delta.enableChangeDataFeed`` table property
@@ -2159,6 +2593,8 @@ class TxTable:
                 f"{missing_pc} in key/compare_cols — the rewrite must "
                 "carry them to place rows in their partitions"
             )
+        read_parts: list[tuple[str, list]] = []  # rebase predicate (r11)
+        read_range: tuple | None = None
         if base_version < 0:
             merged = staged.select(*cols)
             old_files: list[str] = []
@@ -2175,6 +2611,7 @@ class TxTable:
                     # for pc and are never skipped — safe either way
                     keep = set(self.pruned_files_in(pc, vals, base_version)[0])
                     old_files = [f for f in old_files if f in keep]
+                    read_parts.append((pc, vals))
             if prune_on_key:
                 bounds = staged.select(
                     F.min(key).alias("lo"), F.max(key).alias("hi")
@@ -2183,6 +2620,7 @@ class TxTable:
                 touch, total = self.pruned_files(key, lo, hi, base_version)
                 touched = set(touch)
                 old_files = [f for f in old_files if f in touched]
+                read_range = (lo, hi)
             if old_files:
                 snapshot = self._scan(spark, old_files, base_version).select(*cols)
                 merged = scd1_merge(
@@ -2191,8 +2629,12 @@ class TxTable:
             else:
                 merged = staged.select(*cols)
         names = self._stage(merged)
-        actions = self._add_actions(names) + [{"remove": f} for f in old_files]
         meta0 = self._fold_state(base_version)[3] if base_version >= 0 else None
+        # constraint gate (r11): a merge's updates/inserts are new rows
+        # — validate the rewritten files (O(files touched), which the
+        # merge just wrote anyway) before anything commits
+        self._enforce_constraints(names, meta0, spark)
+        actions = self._add_actions(names) + [{"remove": f} for f in old_files]
         if (meta0 or {}).get("change_data_feed") and old_files:
             # CDC sidecar (r11, Delta's _change_data design): compute
             # the diff ONCE at write time from what was actually
@@ -2212,13 +2654,42 @@ class TxTable:
                 self._merge_cdc(old_df, new_df, key), pcols=None
             )
             actions += [{"cdc": n} for n in cdc_names]
-        self._commit(
-            base_version + 1,
+        # OCC rebase predicate (r11): with pruning declared, the merge
+        # read exactly {files overlapping staged partitions/key range};
+        # an interleaved blind append landing entirely OUTSIDE that
+        # predicate cannot contain a staged key, so the merge result
+        # stands and the commit rebases to the new head instead of
+        # dying — a daily-delta merge lands under live streaming
+        # ingest. Without pruning the merge read everything: any
+        # concurrent row could collide with a staged key (duplicate
+        # keys after rewrite), so conflicts stay loud (Delta's
+        # ConcurrentAppendException).
+        mapping = (meta0 or {}).get("mapping") or {}
+        disjoint = None
+        if read_parts or read_range is not None:
+
+            def disjoint(act):
+                for pc, vals in read_parts:
+                    if not self._act_overlaps(
+                        act, mapping.get(pc, pc), values=vals
+                    ):
+                        return True
+                if read_range is not None and not self._act_overlaps(
+                    act,
+                    mapping.get(key, key),
+                    lo=read_range[0],
+                    hi=read_range[1],
+                ):
+                    return True
+                return False
+
+        return self._commit_snapshot_dependent(
+            base_version,
             "merge",
             actions,
             info={"key": key, "compare_cols": list(compare_cols)},
+            disjoint=disjoint,
         )
-        return base_version + 1
 
     def delete(
         self,
@@ -2305,10 +2776,175 @@ class TxTable:
             actions += [
                 {"cdc": n} for n in self._stage(cdc_df, pcols=None)
             ]
-        self._commit(
-            base_version + 1, "delete", actions, info={"predicate": where}
+        # OCC rebase (r11): with zone/partition pruning declared, the
+        # delete's effective predicate is bounded to those ranges — an
+        # interleaved blind append wholly outside them cannot contain
+        # a row this delete would have removed, so the commit rebases
+        # instead of raising (see _commit_snapshot_dependent). An
+        # unbounded predicate read the whole table: conflicts stay.
+        mapping = (
+            self._fold_state(base_version)[3] or {}
+        ).get("mapping") or {}
+        disjoint = None
+        if prune_column is not None or partitions:
+
+            def disjoint(act):
+                if prune_column is not None and not self._act_overlaps(
+                    act, mapping.get(prune_column, prune_column), lo=lo, hi=hi
+                ):
+                    return True
+                for col, vals in (partitions or {}).items():
+                    norm = [_zone_probe_value(v) for v in vals if v is not None]
+                    if not self._act_overlaps(
+                        act, mapping.get(col, col), values=norm
+                    ):
+                        return True
+                return False
+
+        v = self._commit_snapshot_dependent(
+            base_version,
+            "delete",
+            actions,
+            info={"predicate": where},
+            disjoint=disjoint,
         )
-        return base_version + 1, len(hits), n_live - len(hits)
+        return v, len(hits), n_live - len(hits)
+
+    def update(
+        self,
+        spark: SparkSession,
+        where: str,
+        set_exprs: dict[str, str],
+        prune_column: str | None = None,
+        lo=None,
+        hi=None,
+        partitions: dict | None = None,
+    ) -> tuple[int, int, int]:
+        """Copy-on-write UPDATE ... SET (r11 — Delta's UPDATE shape,
+        completing the DML triangle beside ``merge`` and ``delete``):
+        rewrite ONLY the files containing ≥1 row matching ``where``;
+        in those files, matching rows get each ``set_exprs`` column
+        replaced by its (Spark SQL) expression and every other row
+        passes through unchanged. Returns (new version, files
+        rewritten, rows updated).
+
+        Semantics pinned to SQL UPDATE: every right-hand side
+        evaluates against the OLD row — ``{"a": "b", "b": "a"}`` swaps
+        the columns, it does not chain. Expressions and the predicate
+        bind LOGICAL column names (column mapping applied), and a SET
+        on a partition column genuinely moves rows between partitions
+        (the rewrite re-stages under the table's declared hive
+        layout). Updated rows are NEW rows: table CHECK constraints
+        validate the rewritten files before anything commits, exactly
+        as for merge — a violating SET refuses with
+        ``ConstraintViolation`` and the snapshot is untouched.
+
+        Scale shape (same two pruning layers as ``delete``): zone maps
+        via ``prune_column``/[lo, hi] and partition values via
+        ``partitions`` bound the candidate set from metadata alone,
+        then one predicate scan selects the files actually hit. With
+        pruning declared, the commit REBASES over provably-disjoint
+        interleaved blind appends (``_commit_snapshot_dependent``) —
+        a scoped backfill UPDATE lands under live ingest.
+
+        Change feed: with ``change_data_feed`` set, the commit lands a
+        CDC sidecar of ``update_preimage``/``update_postimage`` rows
+        (Delta CDF's update shape) computed from data the rewrite
+        already scanned; without one, ``read_changes`` reconstructs
+        the same rows from the recorded predicate + SET map over the
+        removed files — either way the feed never re-reads the table.
+        Tombstoned rows are invisible throughout (``_scan``): a
+        deleted row is neither updated nor resurrected."""
+        base_version = self.latest_version()
+        if base_version < 0:
+            raise ValueError(f"table {self.path} is empty")
+        meta0 = self._fold_state(base_version)[3]
+        candidates = (
+            self.pruned_files(prune_column, lo, hi, base_version)[0]
+            if prune_column is not None
+            else self._snapshot_files(base_version)
+        )
+        for col, vals in (partitions or {}).items():
+            norm = [_zone_probe_value(v) for v in vals if v is not None]
+            keep = set(self.pruned_files_in(col, norm, base_version)[0])
+            candidates = [f for f in candidates if f in keep]
+        if not candidates:
+            return base_version, 0, 0
+        cand_df = self._scan(spark, candidates, base_version, keep_keys=True)
+        base2rel = self._base2rel(candidates)
+        hits = [
+            base2rel[r[0]]
+            for r in cand_df.filter(where).select("_f").distinct().collect()
+        ]
+        if not hits:
+            return base_version, 0, 0
+        old = self._scan(spark, hits, base_version)
+        unknown = sorted(set(set_exprs) - set(old.columns))
+        if unknown:
+            raise ValueError(
+                f"UPDATE SET references unknown column(s) {unknown}; "
+                f"table columns: {old.columns}"
+            )
+        cond = F.expr(where)
+
+        def _apply_set(d: DataFrame, guard: bool) -> DataFrame:
+            # one projection, every RHS bound to the INPUT row — the
+            # SQL evaluate-then-assign rule; ``guard`` wraps each
+            # assignment in the predicate for the mixed rewrite frame
+            return d.select(
+                *[
+                    (
+                        F.when(cond, F.expr(set_exprs[c]))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if guard
+                        else F.expr(set_exprs[c]).alias(c)
+                    )
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in d.columns
+                ]
+            )
+
+        n_rows = old.filter(cond).count()
+        names = self._stage(_apply_set(old, guard=True))
+        self._enforce_constraints(names, meta0, spark)
+        actions = self._add_actions(names) + [{"remove": f} for f in hits]
+        if (meta0 or {}).get("change_data_feed"):
+            pre = old.filter(cond)
+            cdc_df = pre.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                _apply_set(pre, guard=False).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+            actions += [{"cdc": n} for n in self._stage(cdc_df, pcols=None)]
+        mapping = (meta0 or {}).get("mapping") or {}
+        disjoint = None
+        if prune_column is not None or partitions:
+
+            def disjoint(act):
+                if prune_column is not None and not self._act_overlaps(
+                    act, mapping.get(prune_column, prune_column), lo=lo, hi=hi
+                ):
+                    return True
+                for col, vals in (partitions or {}).items():
+                    norm = [_zone_probe_value(v) for v in vals if v is not None]
+                    if not self._act_overlaps(
+                        act, mapping.get(col, col), values=norm
+                    ):
+                        return True
+                return False
+
+        v = self._commit_snapshot_dependent(
+            base_version,
+            "update",
+            actions,
+            info={"predicate": where, "set": dict(set_exprs)},
+            disjoint=disjoint,
+        )
+        return v, len(hits), n_rows
 
     def live_files(self, version: int | None = None) -> list[tuple[str, int]]:
         """(file name, version that added it) for the live snapshot —
@@ -2362,6 +2998,19 @@ class TxTable:
             op = entry["op"]
             if op == "optimize":
                 continue
+            if op == "clone":
+                # inception of a shallow clone: its referenced rows are
+                # inserts. A file-level (append-only) feed cannot
+                # subtract the tombstones a clone may carry — serve it
+                # only when clean; the row-level feed always can.
+                if allow_dv or not any("dv" in a for a in entry["actions"]):
+                    yield v, op, entry
+                    continue
+                raise ValueError(
+                    f"append-only change feed crossed a clone commit at "
+                    f"version {v} of {self.path} carrying deletion "
+                    "vectors; use the row-level feed (read_changes)"
+                )
             if op in ("append", "streamAppend", "createPartitioned") or (
                 allow_dv
                 and op
@@ -2370,6 +3019,7 @@ class TxTable:
                     "restore",
                     "merge",
                     "delete",
+                    "update",
                     "overwrite",
                     "overwritePartitions",
                 )
@@ -2475,17 +3125,7 @@ class TxTable:
 
         def _keyed(files: list[str], meta_v: dict | None) -> DataFrame:
             self._base2rel(files)  # position joins key on basenames
-            return (
-                self._reader(spark, meta_v)
-                .parquet(*[os.path.join(self.path, f) for f in files])
-                .withColumn(
-                    "_f",
-                    F.element_at(
-                        F.split(F.col("_metadata.file_path"), "/"), -1
-                    ),
-                )
-                .withColumn("_p", F.col("_metadata.row_index"))
-            )
+            return self._read_files(spark, meta_v, files, keyed=True)
 
         def _dv_frame(files: list[str], version: int) -> DataFrame | None:
             """(file-basename, pos) tombstones covering ``files`` as of
@@ -2521,10 +3161,7 @@ class TxTable:
             """Logical rows of a commit's freshly added files (no
             tombstones can exist on them at their own version)."""
             return self._project_logical(
-                self._reader(spark, meta_l).parquet(
-                    *[os.path.join(self.path, f) for f in files]
-                ),
-                meta_l,
+                self._read_files(spark, meta_l, files), meta_l
             )
 
         # metadata tracked INCREMENTALLY across the range: one fold at
@@ -2610,7 +3247,7 @@ class TxTable:
                     _emit_raw(_visible(removed, v - 1, meta_v), "delete", v)
                 if added:
                     _emit_raw(_added_rows(added, meta_v), "insert", v)
-            elif op in ("delete", "merge"):
+            elif op in ("delete", "merge", "update"):
                 cdc = [a["cdc"] for a in entry["actions"] if "cdc" in a]
                 if cdc:
                     # CDC sidecar fast path (r11): the commit landed
@@ -2642,6 +3279,31 @@ class TxTable:
                             )
                     _emit_raw(d, "delete", v)
                     continue
+                if op == "update":
+                    # reconstruct from the recorded predicate + SET map
+                    # (r11): preimage = the removed files' visible rows
+                    # matching the predicate, postimage = the same rows
+                    # with each SET expression applied against the OLD
+                    # row — definitionally what the rewrite computed
+                    info = entry.get("info") or {}
+                    pred, sets = info.get("predicate"), info.get("set")
+                    if pred is None or sets is None:
+                        raise ValueError(
+                            f"change feed crossed an update commit at "
+                            f"version {v} of {self.path} with no recorded "
+                            "predicate/SET — its row-level changes cannot "
+                            "be reconstructed"
+                        )
+                    pre = _visible(removed, v - 1, meta_v).filter(pred)
+                    post = pre.select(
+                        *[
+                            F.expr(sets[c]).alias(c) if c in sets else F.col(c)
+                            for c in pre.columns
+                        ]
+                    )
+                    _emit_raw(pre, "update_preimage", v)
+                    _emit_raw(post, "update_postimage", v)
+                    continue
                 info = entry.get("info") or {}
                 key = info.get("key")
                 if key is None:
@@ -2669,14 +3331,19 @@ class TxTable:
                         "_commit_version", F.lit(v)
                     )
                 )
+            elif op == "clone":
+                # a shallow clone's inception (r11): the referenced
+                # rows ARE inserts to this table's feed — minus the
+                # tombstones the clone carried over (it copied the DV
+                # sidecars, so _visible subtracts them locally)
+                files = [a["add"] for a in entry["actions"] if "add" in a]
+                if files:
+                    _emit_raw(_visible(files, v, meta_v), "insert", v)
             else:
                 files = [a["add"] for a in entry["actions"] if "add" in a]
                 if not files:
                     continue
-                d = self._reader(spark, meta_v).parquet(
-                    *[os.path.join(self.path, f) for f in files]
-                )
-                _emit(d, meta_v, "insert", v)
+                _emit(self._read_files(spark, meta_v, files), meta_v, "insert", v)
         if not dfs:
             return (
                 self.read(spark, latest)
@@ -2689,6 +3356,86 @@ class TxTable:
             # allowMissingColumns: a feed may cross a widening append
             out = out.unionByName(d, allowMissingColumns=True)
         return out
+
+    def clone_to(
+        self, dest_path: str, version: int | None = None
+    ) -> "TxTable":
+        """SHALLOW CLONE (r11 — Delta's ``CREATE TABLE ... SHALLOW
+        CLONE``): create a NEW table at ``dest_path`` whose version-0
+        commit references this table's live files IN PLACE as
+        absolute-path add actions — zero data movement, O(live files)
+        metadata work: cloning a 100 TB table costs one log write.
+
+        - The clone then evolves independently: its own appends /
+          merges / deletes / updates stage LOCAL files under its root;
+          row-rewriting commits drop source references as they go, and
+          ``optimize()`` fully DETACHES the clone (every source
+          reference rewritten local) — the documented answer to the
+          Delta caveat below.
+        - Stats / row counts / partitionValues ride along unchanged,
+          so zone-map and partition pruning behave identically on the
+          clone; the log-owned schema, column mapping, partitioning
+          and CHECK constraints carry over as table metadata.
+        - Deletion-vector sidecars are COPIED (KB-sized by design) so
+          the clone owns its tombstones; DV (basename, pos) keys stay
+          valid because referenced files keep their basenames.
+        - The clone's metadata demands the ``clone`` READER feature:
+          a code version that would naively join relative paths
+          refuses the table instead of misreading it. Reading the
+          SOURCE is unchanged.
+        - Time travel below the clone point is answered by the SOURCE
+          table, not the clone (its log begins at the clone commit) —
+          Delta's rule.
+
+        The Delta caveat applies verbatim: VACUUM / ``expire_log`` on
+        the SOURCE can delete files a shallow clone still references.
+        ``optimize()`` the clone to detach it first when the source's
+        lifecycle is not under your control."""
+        import shutil
+
+        src_version = self.latest_version() if version is None else version
+        if src_version < 0:
+            raise ValueError(f"table {self.path} is empty")
+        adds, _txns, dvs, meta = self._fold_state(src_version)
+        dest = TxTable(dest_path)
+        if dest.latest_version() >= 0:
+            raise ValueError(f"table {dest_path} already exists")
+        src_root = os.path.abspath(self.path)
+        new_meta = dict(meta or {})
+        roots = list(new_meta.get("clone_roots") or [])
+        if src_root not in roots:
+            roots.append(src_root)  # clone-of-clone keeps older roots
+        new_meta["clone_roots"] = roots
+        new_meta["features"] = sorted(
+            set(new_meta.get("features") or []) | {"clone"}
+        )
+        os.makedirs(dest.path, exist_ok=True)
+        actions: list[dict] = [{"meta": new_meta}]
+        for name in sorted(adds):
+            a = dict(adds[name])
+            a["add"] = name if os.path.isabs(name) else os.path.join(
+                src_root, name
+            )
+            actions.append(a)
+        dv_actions: dict[str, list[str]] = {}
+        for f in sorted(dvs):
+            fa = f if os.path.isabs(f) else os.path.join(src_root, f)
+            for n in dvs[f]:
+                dv_actions.setdefault(n, []).append(fa)
+        for n in sorted(dv_actions):
+            src_dv = n if os.path.isabs(n) else os.path.join(src_root, n)
+            dst_dv = os.path.join(dest.path, os.path.basename(n))
+            shutil.copy2(src_dv, dst_dv)
+            actions.append(
+                {"dv": os.path.basename(n), "files": dv_actions[n]}
+            )
+        dest._commit(
+            0,
+            "clone",
+            actions,
+            info={"source": src_root, "source_version": src_version},
+        )
+        return dest
 
     def restore(self, spark: SparkSession, version: int) -> int:
         """RESTORE the table to a past ``version`` AS A NEW COMMIT
@@ -2829,6 +3576,7 @@ class TxTable:
             if df is not None
             else None
         )
+        checked_cons: dict | None = None
         for _ in range(max_retries):
             # Pin the target version BEFORE the dedup check: if a racer
             # lands ANY commit between this check and our commit, our
@@ -2845,6 +3593,11 @@ class TxTable:
             if names is None:  # stage once, only if genuinely new
                 assert df is not None
                 names = self._stage(df)
+            cons_now = dict((_meta or {}).get("constraints") or {})
+            if cons_now != checked_cons:
+                checked_cons = self._enforce_constraints(
+                    names, _meta, df.sparkSession if df is not None else None
+                )
             if v == 0:
                 from pyspark.sql.types import StructType
 
@@ -2935,8 +3688,14 @@ class TxTable:
         actions = self._add_actions(names) + [
             {"remove": f} for f in self._snapshot_files(base_version)
         ]
-        self._commit(base_version + 1, "optimize", actions)
-        return base_version + 1
+        # OCC rebase (r11): compaction re-houses exactly the files it
+        # removes; an interleaved PURE append stays live and untouched
+        # at the rebased version, so OPTIMIZE lands under streaming
+        # ingest instead of starving (disjoint=True — any blind
+        # append qualifies; removes/DVs/metadata still conflict).
+        return self._commit_snapshot_dependent(
+            base_version, "optimize", actions, disjoint=True
+        )
 
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY — one dict per surviving log entry, with

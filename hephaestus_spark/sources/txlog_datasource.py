@@ -156,7 +156,7 @@ def _table_schema(table: TxTable, version: int | None = None) -> "pa.Schema":
     if not files:
         raise ValueError(f"txlog table {table.path} has no data")
     newest = max(files, key=lambda nv: nv[1])[0]
-    schema = pq.read_schema(os.path.join(table.path, newest))
+    schema = pq.read_schema(table._abs(newest))
     if meta:
         mapping = meta.get("mapping") or {}
         rev = {p: l for l, p in mapping.items()}
@@ -408,10 +408,10 @@ class TxLogBatchReader(DataSourceReader):
         )
         return [
             TxLogPartition(
-                os.path.join(self.table.path, n),
+                self.table._abs(n),
                 v,
                 tuple(
-                    os.path.join(self.table.path, d) for d in dvs.get(n, ())
+                    self.table._abs(d) for d in dvs.get(n, ())
                 ),
                 target,
                 tuple(sorted(_parse_partition_values(n).items())),
@@ -485,7 +485,7 @@ class TxLogStreamReader(DataSourceStreamReader):
     def _part(self, name: str, v: int, **kw) -> TxLogPartition:
         cdc = kw.pop("cdc", False)
         return TxLogPartition(
-            os.path.join(self.table.path, name),
+            self.table._abs(name),
             v,
             kw.pop("dv_paths", ()),
             self.target_schema if cdc else self.data_schema,
@@ -498,7 +498,7 @@ class TxLogStreamReader(DataSourceStreamReader):
         if not self.cdf:
             return [
                 TxLogPartition(
-                    os.path.join(self.table.path, n),
+                    self.table._abs(n),
                     v,
                     (),
                     self.target_schema,
@@ -509,7 +509,7 @@ class TxLogStreamReader(DataSourceStreamReader):
                 )
             ]
         t = self.table
-        abs_ = lambda names: tuple(os.path.join(t.path, n) for n in names)
+        abs_ = lambda names: tuple(t._abs(n) for n in names)
         parts: list[TxLogPartition] = []
         for v, op, entry in t._change_entries(
             start["version"], end["version"], True

@@ -1,0 +1,193 @@
+"""SHALLOW CLONE (sources/txlog.py r11 — Delta's CREATE TABLE ...
+SHALLOW CLONE): a new table whose version-0 commit references the
+source's live files in place (absolute-path adds, zero data movement),
+evolving independently afterwards; zone-map/partition pruning carries
+over, DV sidecars are copied so tombstones hold, OPTIMIZE detaches the
+clone from the source, and an unaware reader version refuses via the
+``clone`` reader feature."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hephaestus_spark.sources import txlog
+from hephaestus_spark.sources.txlog import TxTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, name string, val double")
+
+
+def _seed(spark, path, n=40, files=4):
+    t = TxTable(path)
+    df = _df(spark, [(i, f"r{i}", float(i)) for i in range(n)])
+    t.append(df.repartitionByRange(files, F.col("id")).sortWithinPartitions("id"))
+    return t
+
+
+def test_clone_is_metadata_only_and_reads_identically(spark, tmp_path):
+    src = _seed(spark, str(tmp_path / "src"))
+    clone = src.clone_to(str(tmp_path / "dst"))
+    # zero data files under the clone root — pure metadata
+    data_files = [
+        f
+        for _dir, _s, fs in os.walk(clone.path)
+        for f in fs
+        if f.endswith(".parquet") and "_txlog" not in _dir
+    ]
+    assert data_files == []
+    assert {(r["id"], r["val"]) for r in clone.read(spark).collect()} == {
+        (i, float(i)) for i in range(40)
+    }
+    assert clone.history()[0]["op"] == "clone"
+    # stats rode along: metadata COUNT answers without data I/O
+    assert clone.stats_summary()["count"] == 40
+
+
+def test_clone_evolves_independently_of_source(spark, tmp_path):
+    src = _seed(spark, str(tmp_path / "src"))
+    clone = src.clone_to(str(tmp_path / "dst"))
+    clone.append(_df(spark, [(1000, "x", 1.0)]).coalesce(1))
+    clone.update(spark, "id = 0", {"val": "999.0"})
+    src.append(_df(spark, [(2000, "y", 2.0)]).coalesce(1))
+    got_clone = {r["id"]: r["val"] for r in clone.read(spark).collect()}
+    got_src = {r["id"]: r["val"] for r in src.read(spark).collect()}
+    assert 1000 in got_clone and 2000 not in got_clone
+    assert got_clone[0] == 999.0
+    assert 2000 in got_src and 1000 not in got_src and got_src[0] == 0.0
+
+
+def test_clone_pruning_carries_over(spark, tmp_path):
+    src = _seed(spark, str(tmp_path / "src"), n=100, files=4)
+    clone = src.clone_to(str(tmp_path / "dst"))
+    keep, total = clone.pruned_files("id", 10, 19)
+    assert total == 4 and len(keep) == 1
+    got = {r["id"] for r in clone.read_pruned(spark, "id", 10, 19).collect()}
+    assert got == set(range(10, 20))
+
+
+def test_clone_of_partitioned_table(spark, tmp_path):
+    src = TxTable(str(tmp_path / "src"))
+    df = spark.createDataFrame(
+        [(i, "2024-01-01" if i % 2 == 0 else "2024-01-02", float(i)) for i in range(20)],
+        "id long, day string, val double",
+    )
+    src.append(df, partition_by=["day"])
+    clone = src.clone_to(str(tmp_path / "dst"))
+    assert clone.partition_columns() == ["day"]
+    got = {r["id"]: r["day"] for r in clone.read(spark).collect()}
+    assert len(got) == 20 and got[0] == "2024-01-01" and got[1] == "2024-01-02"
+    # partition listing and partition-scoped ops work on the clone
+    assert {p["day"] for p in clone.partitions()} == {
+        "2024-01-01",
+        "2024-01-02",
+    }
+    # post-clone append lands LOCAL hive files; the mixed read unions
+    # the two basePath groups correctly
+    clone.append(
+        spark.createDataFrame(
+            [(100, "2024-01-03", 1.0)], "id long, day string, val double"
+        )
+    )
+    got = {r["id"]: r["day"] for r in clone.read(spark).collect()}
+    assert got[100] == "2024-01-03" and len(got) == 21
+
+
+def test_clone_carries_tombstones(spark, tmp_path):
+    src = _seed(spark, str(tmp_path / "src"), n=20, files=2)
+    src.delete_mor(spark, "id IN (3, 4)")
+    clone = src.clone_to(str(tmp_path / "dst"))
+    got = {r["id"] for r in clone.read(spark).collect()}
+    assert got == set(range(20)) - {3, 4}
+    assert clone.stats_summary()["count"] == 18
+    # and the clone's own MoR delete works on referenced files
+    clone.delete_mor(spark, "id = 5")
+    assert 5 not in {r["id"] for r in clone.read(spark).collect()}
+    assert 5 in {r["id"] for r in src.read(spark).collect()}
+
+
+def test_optimize_detaches_clone(spark, tmp_path):
+    src = _seed(spark, str(tmp_path / "src"))
+    clone = src.clone_to(str(tmp_path / "dst"))
+    clone.optimize(spark, target_files=1)
+    # every live file is now local — the source can vacuum freely
+    assert all(
+        not os.path.isabs(f) for f in clone._snapshot_files()
+    )
+    assert {r["id"] for r in clone.read(spark).collect()} == set(range(40))
+
+
+def test_clone_of_clone(spark, tmp_path):
+    src = _seed(spark, str(tmp_path / "a"), n=10, files=1)
+    c1 = src.clone_to(str(tmp_path / "b"))
+    c1.append(_df(spark, [(100, "x", 1.0)]).coalesce(1))
+    c2 = c1.clone_to(str(tmp_path / "c"))
+    got = {r["id"] for r in c2.read(spark).collect()}
+    assert got == set(range(10)) | {100}
+    # both roots recorded: a's files resolve under a, b's under b
+    meta = c2._fold_state()[3]
+    roots = meta["clone_roots"]
+    assert len(roots) == 2
+
+
+def test_unaware_reader_refuses_clone_table(spark, tmp_path, monkeypatch):
+    src = _seed(spark, str(tmp_path / "src"), n=10, files=1)
+    clone = src.clone_to(str(tmp_path / "dst"))
+    monkeypatch.setattr(
+        txlog,
+        "SUPPORTED_READER_FEATURES",
+        txlog.SUPPORTED_READER_FEATURES - {"clone"},
+    )
+    with pytest.raises(ValueError, match="reader features"):
+        TxTable(clone.path).read(spark)
+    # the SOURCE stays readable — its metadata never changed
+    assert TxTable(src.path).read(spark).count() == 10
+
+
+def test_clone_change_feed_serves_inception_as_inserts(spark, tmp_path):
+    src = _seed(spark, str(tmp_path / "src"), n=10, files=1)
+    src.delete_mor(spark, "id = 3")
+    clone = src.clone_to(str(tmp_path / "dst"))
+    clone.append(_df(spark, [(100, "x", 1.0)]).coalesce(1))
+    ch = clone.read_changes(spark, -1).collect()
+    by_ver = {}
+    for r in ch:
+        by_ver.setdefault(r["_commit_version"], []).append(
+            (r["_change_type"], r["id"])
+        )
+    assert sorted(by_ver[0]) == [
+        ("insert", i) for i in range(10) if i != 3
+    ]
+    assert by_ver[1] == [("insert", 100)]
+
+
+def test_clone_refuses_existing_destination(spark, tmp_path):
+    src = _seed(spark, str(tmp_path / "src"), n=10, files=1)
+    dst = _seed(spark, str(tmp_path / "dst"), n=5, files=1)
+    with pytest.raises(ValueError, match="already exists"):
+        src.clone_to(dst.path)
+
+
+def test_clone_at_past_version(spark, tmp_path):
+    src = _seed(spark, str(tmp_path / "src"), n=10, files=1)
+    src.append(_df(spark, [(100, "x", 1.0)]).coalesce(1))
+    clone = src.clone_to(str(tmp_path / "dst"), version=0)
+    assert {r["id"] for r in clone.read(spark).collect()} == set(range(10))
+
+
+def test_native_datasource_reads_clone(spark, tmp_path):
+    from hephaestus_spark.sources.txlog_datasource import TxLogDataSource
+
+    spark.dataSource.register(TxLogDataSource)
+    src = _seed(spark, str(tmp_path / "src"), n=20, files=2)
+    src.delete_mor(spark, "id = 7")
+    clone = src.clone_to(str(tmp_path / "dst"))
+    got = {
+        r["id"]
+        for r in spark.read.format("txlog").load(clone.path).collect()
+    }
+    assert got == set(range(20)) - {7}
