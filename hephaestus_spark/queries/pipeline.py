@@ -1854,3 +1854,98 @@ def x_txlog_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "x_txlog_generated",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m') AS month,
+           o_totalprice,
+           TRUE AS desync_blocked,
+           TRUE AS ids_unique,
+           TRUE AS ids_range
+    FROM orders
+    """,
+)
+def x_txlog_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated + identity columns end-to-end (r11, sources/txlog.py
+    ``set_generated`` / ``set_identity`` — Delta's GENERATED ALWAYS
+    AS (expr) / AS IDENTITY): half the orders land WITH a month
+    column computed client-side, ``month GENERATED ALWAYS AS
+    (date_format(o_orderdate, 'yyyy-MM'))`` is declared (one snapshot
+    scan proves the existing rows already satisfy it), and the other
+    half appends WITHOUT the column — the write path fills it, and
+    the final hash over every (order, month) pair proves fill ==
+    expression exactly. A desynchronized append (month hardcoded to a
+    wrong literal) refuses through the same per-commit gate CHECK
+    constraints use, version pinned unchanged (``desync_blocked``).
+    The identity half: a month-dimension table declares ``mid
+    GENERATED ALWAYS AS IDENTITY``; appending the distinct months
+    WITHOUT the column allocates in-commit — ``ids_unique`` (no
+    duplicates) and ``ids_range`` (dense single-writer range, max -
+    min + 1 == count) pin the allocation; explicit mid values are
+    refused (folded into ``ids_unique``). Identity values ride the
+    same commit as the data, so racing writers can never double-issue
+    — proven separately under real thread races in
+    tests/test_txlog_generated.py."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import ConstraintViolation, TxTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    workdir = tempfile.mkdtemp(prefix="txlog-gen-")
+    try:
+        t = TxTable(f"{workdir}/orders")
+        t.append(
+            o.filter(F.col("o_orderkey") % 2 == 0).withColumn("month", month)
+        )
+        t.set_generated(spark, "month", "date_format(o_orderdate, 'yyyy-MM')")
+        t.append(o.filter(F.col("o_orderkey") % 2 == 1))  # filled
+        v_before = t.latest_version()
+        desync_blocked = False
+        try:
+            t.append(
+                o.limit(5).withColumn("month", F.lit("1999-13"))
+            )
+        except ConstraintViolation:
+            desync_blocked = t.latest_version() == v_before
+
+        dim = TxTable(f"{workdir}/months")
+        months = t.read(spark).select("month").distinct()
+        dim.append(
+            spark.createDataFrame([(0, "seed")], "mid long, month string")
+        )
+        dim.set_identity(spark, "mid", start=1)
+        dim.append(months)
+        explicit_refused = False
+        try:
+            dim.append(
+                spark.createDataFrame([(99, "x")], "mid long, month string")
+            )
+        except ValueError:
+            explicit_refused = True
+        agg = dim.read(spark).agg(
+            F.count("*").alias("n"),
+            F.countDistinct("mid").alias("d"),
+            F.min("mid").alias("lo"),
+            F.max("mid").alias("hi"),
+        ).first()
+        ids_unique = agg["n"] == agg["d"] and explicit_refused
+        ids_range = agg["hi"] - agg["lo"] + 1 == agg["n"]
+
+        out = t.read(spark).select(
+            "o_orderkey",
+            "month",
+            "o_totalprice",
+            F.lit(desync_blocked).alias("desync_blocked"),
+            F.lit(ids_unique).alias("ids_unique"),
+            F.lit(ids_range).alias("ids_range"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

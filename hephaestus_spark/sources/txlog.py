@@ -117,7 +117,13 @@ SUPPORTED_READER_FEATURES = {"column_mapping", "partitioning", "clone"}
 # doesn't translate logical->physical names on write would commit
 # un-mapped physical names onto it. Checked in _commit, the one gate
 # every mutation passes through.
-SUPPORTED_WRITER_FEATURES = {"column_mapping", "partitioning", "check_constraints"}
+SUPPORTED_WRITER_FEATURES = {
+    "column_mapping",
+    "partitioning",
+    "check_constraints",
+    "generated_columns",
+    "identity_columns",
+}
 
 # Hive's sentinel directory value for a NULL partition key — what
 # Spark's own partitioned writer emits and its reader parses back.
@@ -1133,23 +1139,41 @@ class TxTable:
         raise CommitConflict(f"schema change lost 10 races on {self.path}")
 
     def _refuse_constrained(self, column: str, what: str) -> None:
-        """Schema evolution guard: a CHECK constraint's stored SQL
-        binds by (logical) column name, so renaming or dropping a
-        referenced column would leave an expression that either fails
-        analysis on every future commit or — worse — silently binds to
-        nothing. Word-boundary match = conservative (a hit inside a
-        string literal also refuses); the small race window to a
-        concurrent ADD CONSTRAINT is closed by the writer-feature
-        check any such racer's commit performs."""
+        """Schema evolution guard: a CHECK constraint's (or generated
+        column's) stored SQL binds by (logical) column name, so
+        renaming or dropping a referenced column would leave an
+        expression that either fails analysis on every future commit
+        or — worse — silently binds to nothing. Word-boundary match =
+        conservative (a hit inside a string literal also refuses); the
+        small race window to a concurrent ADD CONSTRAINT is closed by
+        the writer-feature check any such racer's commit performs."""
+        pat = rf"(?<![A-Za-z0-9_`]){re.escape(column)}(?![A-Za-z0-9_])"
         hit = [
             n
             for n, e in self.constraints().items()
-            if re.search(rf"(?<![A-Za-z0-9_`]){re.escape(column)}(?![A-Za-z0-9_])", e)
+            if re.search(pat, e)
         ]
         if hit:
             raise ValueError(
                 f"cannot {what} column {column!r}: referenced by CHECK "
                 f"constraint(s) {sorted(hit)}; drop them first"
+            )
+        gen = self.generated()
+        ghit = sorted(
+            c
+            for c, e in gen.items()
+            if c == column or re.search(pat, e)
+        )
+        if ghit:
+            raise ValueError(
+                f"cannot {what} column {column!r}: involved in generated "
+                f"column(s) {ghit}; drop_generated first"
+            )
+        ident = (self._fold_state()[3] or {}).get("identity") or {}
+        if column in ident:
+            raise ValueError(
+                f"cannot {what} column {column!r}: it is an identity "
+                "column; drop_identity first"
             )
 
     def rename_column(self, spark: SparkSession, old: str, new: str) -> int:
@@ -1618,6 +1642,7 @@ class TxTable:
         meta0 = self._fold_state()[3] or {}
         if not (meta0.get("partition_columns") or []):
             raise ValueError(f"table {self.path} is not partitioned")
+        df = self._fill_generated(df, meta0)
         names = self._stage(df)
         # a widening df must publish the widened schema in the SAME
         # commit (same rule as append on a schema-tracked table) — or
@@ -1637,6 +1662,7 @@ class TxTable:
         the log schema when ``staged_fields`` (or the files' footers)
         bring new columns."""
         meta0 = self._fold_state()[3] or {}
+        self._refuse_identity_names()
         declared = meta0.get("partition_columns") or []
         if not declared:
             raise ValueError(f"table {self.path} is not partitioned")
@@ -1953,6 +1979,17 @@ class TxTable:
         table it must match the declared partitioning (or be omitted
         — staging partitions automatically)."""
         meta = self._fold_state()[3]
+        df = self._fill_generated(df, meta)
+        ident = (meta or {}).get("identity") or {}
+        if ident:
+            supplied = sorted(set(ident) & set(df.columns))
+            if supplied:
+                raise ValueError(
+                    f"column(s) {supplied} are GENERATED ALWAYS AS IDENTITY "
+                    f"on {self.path}: explicit values are refused — omit "
+                    "them and the append allocates"
+                )
+            return self._append_identity(df, max_retries)
         declared = (meta or {}).get("partition_columns") or []
         if partition_by:
             mapping = (meta or {}).get("mapping") or {}
@@ -2129,7 +2166,7 @@ class TxTable:
         for _ in range(max_retries):
             v = self.latest_version() + 1
             meta_now = self._fold_state()[3]
-            cons_now = dict((meta_now or {}).get("constraints") or {})
+            cons_now = self._effective_checks(meta_now)
             if cons_now != checked_cons:
                 checked_cons = self._enforce_constraints(
                     names, meta_now, df.sparkSession
@@ -2154,6 +2191,7 @@ class TxTable:
         files (mode("overwrite") semantics); the remove set is
         recomputed on every conflict retry so a racing append's files
         are replaced too, matching what an overwrite means."""
+        self._refuse_identity_names()
         declared = (self._fold_state()[3] or {}).get("partition_columns") or []
         bad = [n for n in names if set(_parse_partition_values(n)) != set(declared)]
         if bad:
@@ -2176,7 +2214,7 @@ class TxTable:
             # constraint gate (r11): validate the NEW files once before
             # the first attempt; a conflict retry re-scans only if a
             # racer changed the constraint set in between
-            cons_now = dict((meta_now or {}).get("constraints") or {})
+            cons_now = self._effective_checks(meta_now)
             if cons_now != checked_cons:
                 checked_cons = self._enforce_constraints(names, meta_now)
             removes = (
@@ -2351,6 +2389,332 @@ class TxTable:
                 continue
         raise CommitConflict(f"drop constraint lost 10 races on {self.path}")
 
+    def generated(self, version: int | None = None) -> dict[str, str]:
+        """column -> GENERATED ALWAYS AS expression in force at
+        ``version`` (None = latest)."""
+        return dict(
+            (self._fold_state(version)[3] or {}).get("generated") or {}
+        )
+
+    @staticmethod
+    def _gen_check(name: str, expr: str) -> str:
+        """The enforcement predicate of one generated column as
+        engine-portable SQL — ``IS NOT DISTINCT FROM`` parses
+        identically in Spark and DuckDB (probed), and unlike ``=`` it
+        is never UNKNOWN, so a NULL-producing expression still pins
+        the stored value exactly."""
+        return f"{name} IS NOT DISTINCT FROM ({expr})"
+
+    def set_generated(self, spark: SparkSession, name: str, expr: str) -> int:
+        """Declare ``name`` GENERATED ALWAYS AS (``expr``) — Delta's
+        generated columns:
+
+        - EXISTING data must already satisfy ``name IS NOT DISTINCT
+          FROM (expr)`` (one snapshot scan, same contract as
+          ``add_check_constraint`` — a generation rule in the log is a
+          guarantee over every visible row). Delta only allows the
+          declaration at table creation; validating here is the
+          superset that makes post-hoc declaration sound.
+        - Every later user-supplied frame (append, stream batch,
+          dynamic partition overwrite) that OMITS the column gets it
+          computed from ``expr`` before staging; a frame that supplies
+          it, and every row-rewriting commit (merge/update) and
+          externally-staged file set, is VALIDATED against the rule by
+          the same per-commit gate constraints use — O(new files),
+          refusing with ``ConstraintViolation`` before anything lands.
+          An UPDATE that rewrites a source column but not the
+          generated one therefore refuses instead of desynchronizing.
+        - Rides the metadata with the ``generated_columns`` WRITER
+          feature: an unaware writer (which would neither fill nor
+          validate) refuses the table; readers need nothing.
+
+        The expression binds LOGICAL column names and must not
+        reference the generated column itself; renaming or dropping a
+        referenced column (or the generated column) refuses while the
+        rule exists (``_refuse_constrained``)."""
+        if re.search(
+            rf"(?<![A-Za-z0-9_`]){re.escape(name)}(?![A-Za-z0-9_])", expr
+        ):
+            raise ValueError(
+                f"generated column {name!r} cannot reference itself: {expr}"
+            )
+        base = self.latest_version()
+        if base < 0:
+            raise ValueError(f"table {self.path} is empty")
+        meta = dict(self._fold_state(base)[3] or {})
+        gen = dict(meta.get("generated") or {})
+        if name in gen:
+            raise ValueError(
+                f"column {name!r} is already generated on {self.path}: "
+                f"AS ({gen[name]})"
+            )
+        if name in (meta.get("identity") or {}):
+            raise ValueError(f"column {name!r} is an identity column")
+        self._raise_violations(
+            self.read(spark, base), {name: self._gen_check(name, expr)}
+        )
+        gen[name] = expr
+        meta["generated"] = gen
+        meta["writer_features"] = sorted(
+            set(meta.get("writer_features") or []) | {"generated_columns"}
+        )
+        self._commit(base + 1, "setGenerated", [{"meta": meta}])
+        return base + 1
+
+    def drop_generated(self, name: str) -> int:
+        """Retire a generation rule (metadata-only); the column and
+        its values stay. Dropping the last rule retires the
+        ``generated_columns`` writer feature."""
+        for _ in range(10):
+            base = self.latest_version()
+            meta = dict(self._fold_state(base)[3] or {})
+            gen = dict(meta.get("generated") or {})
+            if name not in gen:
+                raise ValueError(f"no generated column: {name!r}")
+            del gen[name]
+            meta["generated"] = gen
+            if not gen:
+                meta["writer_features"] = sorted(
+                    set(meta.get("writer_features") or [])
+                    - {"generated_columns"}
+                )
+            try:
+                self._commit(base + 1, "dropGenerated", [{"meta": meta}])
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"drop generated lost 10 races on {self.path}")
+
+    def _fill_generated(self, df: DataFrame, meta: dict | None) -> DataFrame:
+        """Materialize every generated column a user-supplied frame
+        omitted (the Delta write-path behavior). Columns the frame
+        already carries are left alone — the per-commit validation
+        gate decides whether the supplied values satisfy the rule."""
+        for col, expr in ((meta or {}).get("generated") or {}).items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr))
+        return df
+
+    def identity(self, version: int | None = None) -> dict[str, dict]:
+        """column -> {"start", "step", "next"} for every identity
+        column at ``version`` (None = latest). ``next`` is the
+        high-water mark: the value the next allocated row receives."""
+        return dict(
+            (self._fold_state(version)[3] or {}).get("identity") or {}
+        )
+
+    def set_identity(
+        self, spark: SparkSession, name: str, start: int = 1, step: int = 1
+    ) -> int:
+        """Declare ``name`` GENERATED ALWAYS AS IDENTITY — Delta's
+        identity columns: appends may no longer supply the column
+        (explicit values are refused, the GENERATED ALWAYS contract);
+        instead every append allocates values ``next, next+step, ...``
+        and advances the mark IN THE SAME COMMIT (Delta's in-commit
+        allocation), so two racing appends can never hand out the
+        same value — the loser's commit fails, it re-reads the mark
+        and re-assigns. Values are unique and allocation-ordered, NOT
+        dense: a lost race or an aborted commit leaves gaps, exactly
+        as in Delta/Postgres sequences.
+
+        The mark starts at ``start`` or past the column's existing
+        extreme (one snapshot scan — Delta's ALTER ... SYNC IDENTITY
+        semantics), so declaring identity on a populated table never
+        re-issues a live value. Rides the ``identity_columns`` WRITER
+        feature: an unaware writer (which would neither refuse
+        explicit values nor allocate) refuses the table."""
+        if step == 0:
+            raise ValueError("identity step must be nonzero")
+        for _ in range(10):
+            base = self.latest_version()
+            if base < 0:
+                raise ValueError(f"table {self.path} is empty")
+            meta = dict(self._fold_state(base)[3] or {})
+            if name in (meta.get("identity") or {}):
+                raise ValueError(f"{name!r} is already an identity column")
+            if name in (meta.get("generated") or {}):
+                raise ValueError(f"{name!r} is a generated column")
+            agg = (
+                self.read(spark, base)
+                .agg(F.max(name).alias("mx"), F.min(name).alias("mn"))
+                .first()
+            )
+            # minimal-safe sync: start when it lies strictly beyond the
+            # existing extreme (the sequence then never revisits a live
+            # value), else one step past the extreme
+            if step > 0:
+                mx = agg["mx"]
+                nxt = start if mx is None or start > int(mx) else int(mx) + step
+            else:
+                mn = agg["mn"]
+                nxt = start if mn is None or start < int(mn) else int(mn) + step
+            ident = dict(meta.get("identity") or {})
+            ident[name] = {
+                "start": int(start),
+                "step": int(step),
+                "next": int(nxt),
+            }
+            meta["identity"] = ident
+            meta["writer_features"] = sorted(
+                set(meta.get("writer_features") or []) | {"identity_columns"}
+            )
+            try:
+                self._commit(base + 1, "setIdentity", [{"meta": meta}])
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"set identity lost 10 races on {self.path}")
+
+    def drop_identity(self, name: str) -> int:
+        """Retire an identity declaration (metadata-only); the column
+        and its values stay. Dropping the last one retires the
+        ``identity_columns`` writer feature."""
+        for _ in range(10):
+            base = self.latest_version()
+            meta = dict(self._fold_state(base)[3] or {})
+            ident = dict(meta.get("identity") or {})
+            if name not in ident:
+                raise ValueError(f"no identity column: {name!r}")
+            del ident[name]
+            meta["identity"] = ident
+            if not ident:
+                meta["writer_features"] = sorted(
+                    set(meta.get("writer_features") or [])
+                    - {"identity_columns"}
+                )
+            try:
+                self._commit(base + 1, "dropIdentity", [{"meta": meta}])
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"drop identity lost 10 races on {self.path}")
+
+    def _refuse_identity_names(self) -> None:
+        """Externally-staged commits (the native connector's writers
+        land finished task files) cannot allocate identity values or
+        refuse explicit ones — block them on identity tables instead
+        of silently bypassing GENERATED ALWAYS. Generated columns need
+        no twin guard: externally-staged files still pass through the
+        validation gate, where a missing or wrong value refuses."""
+        ident = (self._fold_state()[3] or {}).get("identity") or {}
+        if ident:
+            raise ValueError(
+                f"table {self.path} has identity column(s) "
+                f"{sorted(ident)}: externally-staged commits cannot "
+                "allocate — write through TxTable.append / "
+                "append_stream_batch"
+            )
+
+    def _identity_filler(self, df: DataFrame):
+        """(fill(bases) -> DataFrame, n_rows) for identity
+        assignment. Deterministic and JVM-only: the input is pinned
+        with localCheckpoint so partition membership cannot shift
+        between jobs, per-partition counts are collected once (driver
+        state = one int per partition), and each row receives
+        ``base + (partition_offset + row_number - 1) * step`` through
+        one partition-local window — no global sort, no Python row
+        path. ``fill`` re-derives the frame for fresh base values
+        after a lost commit race without re-reading the source."""
+        from pyspark.sql.window import Window
+
+        pinned = df.localCheckpoint(eager=True).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        counts = {
+            r["_pid"]: r["n"]
+            for r in pinned.groupBy("_pid")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        offs, acc = {}, 0
+        for pid in sorted(counts):
+            offs[pid] = acc
+            acc += counts[pid]
+        omap = F.create_map(
+            *[F.lit(x) for pid in sorted(offs) for x in (pid, offs[pid])]
+        )
+        w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+        rank = omap[F.col("_pid")] + F.row_number().over(w) - 1
+
+        def fill(bases: dict[str, dict]) -> DataFrame:
+            d = pinned
+            for c in sorted(bases):
+                spec = bases[c]
+                d = d.withColumn(
+                    c,
+                    (
+                        F.lit(int(spec["next"])).cast("long")
+                        + rank * F.lit(int(spec["step"])).cast("long")
+                    ),
+                )
+            return d.drop("_pid")
+
+        return fill, acc
+
+    def _append_identity(self, df: DataFrame, max_retries: int) -> int:
+        """Append onto a table with identity columns: allocate values
+        from the current marks, commit data + advanced marks
+        ATOMICALLY (the mark bump rides the same log entry), re-assign
+        and re-stage on a lost race (the orphaned first staging is
+        vacuum's normal diet). Schema widening composes: the widened
+        meta is computed per retry and the identity bump overlaid on
+        it, so neither clobbers the other."""
+        spark = df.sparkSession
+        fill, n_rows = self._identity_filler(df)
+        staged: list[str] | None = None
+        used: dict | None = None
+        checked_cons: dict | None = None
+        for _ in range(max_retries):
+            v = self.latest_version() + 1
+            meta_now = self._fold_state()[3] or {}
+            ident = dict(meta_now.get("identity") or {})
+            bases = {c: dict(ident[c]) for c in ident}
+            if bases != used:
+                filled = fill(bases)
+                staged = self._stage(filled)
+                used = bases
+                staged_fields = {
+                    f.name: f
+                    for f in self._to_physical(
+                        filled.limit(0), meta_now
+                    ).schema.fields
+                }
+            cons_now = self._effective_checks(meta_now)
+            if cons_now != checked_cons:
+                checked_cons = self._enforce_constraints(
+                    staged, meta_now, spark
+                )
+            wid = self._widened_meta(staged_fields)
+            new_meta = wid[0]["meta"] if wid else dict(meta_now)
+            new_meta["identity"] = {
+                c: {
+                    **ident[c],
+                    "next": ident[c]["next"] + n_rows * ident[c]["step"],
+                }
+                for c in ident
+            }
+            try:
+                self._commit(
+                    v, "append", self._add_actions(staged) + [{"meta": new_meta}]
+                )
+                return v
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"identity append lost {max_retries} races on {self.path}"
+        )
+
+    @classmethod
+    def _effective_checks(cls, meta: dict | None) -> dict[str, str]:
+        """Declared CHECK constraints plus the implicit per-generated-
+        column equality checks — the full predicate set every
+        row-introducing commit must satisfy. Retry loops compare this
+        dict to decide whether a racer changed the rules mid-commit."""
+        cons = dict((meta or {}).get("constraints") or {})
+        for c, e in ((meta or {}).get("generated") or {}).items():
+            cons[f"generated:{c}"] = cls._gen_check(c, e)
+        return cons
+
     @staticmethod
     def _raise_violations(df: DataFrame, cons: dict[str, str]) -> None:
         """One aggregated pass counting rows where each expression IS
@@ -2387,8 +2751,14 @@ class TxTable:
         constraint dict it validated so retry loops can detect a
         concurrently-changed constraint set and re-validate only then.
         With no constraints (or no files) this is a pure dict lookup —
-        zero Spark jobs on the common path."""
-        cons = dict((meta or {}).get("constraints") or {})
+        zero Spark jobs on the common path.
+
+        Generated columns (r11) enforce through the SAME gate: each
+        rule contributes an implicit ``col IS NOT DISTINCT FROM
+        (expr)`` check (never UNKNOWN, so a NULL-producing expression
+        still pins the stored value), sharing the one aggregated scan
+        with the declared constraints."""
+        cons = self._effective_checks(meta)
         if not cons or not names:
             return cons
         spark = spark or SparkSession.getActiveSession()
@@ -2884,6 +3254,14 @@ class TxTable:
             raise ValueError(
                 f"UPDATE SET references unknown column(s) {unknown}; "
                 f"table columns: {old.columns}"
+            )
+        bad_ident = sorted(
+            set(set_exprs) & set((meta0 or {}).get("identity") or {})
+        )
+        if bad_ident:  # Delta's rule: identity values are immutable
+            raise ValueError(
+                f"cannot UPDATE identity column(s) {bad_ident} — values "
+                "are GENERATED ALWAYS"
             )
         cond = F.expr(where)
 
@@ -3550,6 +3928,26 @@ class TxTable:
         genuinely new. A skipped replay leaves pre-staged ``names`` as
         unreferenced files for vacuum (bounded: one batch's files)."""
         meta0 = self._fold_state()[3] or {}
+        if df is not None:
+            df = self._fill_generated(df, meta0)
+        if names is not None:
+            self._refuse_identity_names()
+        id_fill = None
+        if df is not None and meta0.get("identity"):
+            supplied = sorted(set(meta0["identity"]) & set(df.columns))
+            if supplied:
+                raise ValueError(
+                    f"column(s) {supplied} are GENERATED ALWAYS AS IDENTITY "
+                    f"on {self.path}: explicit values are refused"
+                )
+            # identity allocation for the streaming sink (r11): the
+            # filler pins the batch once; the loop below re-assigns +
+            # re-stages only when a lost race moved the marks, and the
+            # advanced marks ride the same txn-stamped commit — the
+            # exactly-once dedup check still precedes any staging, so
+            # a replayed batch allocates nothing
+            id_fill, id_rows = self._identity_filler(df)
+        id_used: dict | None = None
         declared = meta0.get("partition_columns") or []
         if names is not None:
             bad = [
@@ -3590,10 +3988,24 @@ class TxTable:
             latest = txns.get(app_id)
             if latest is not None and batch_id <= latest:
                 return None  # this micro-batch already landed
-            if names is None:  # stage once, only if genuinely new
+            if id_fill is not None:
+                ident_now = dict((_meta or {}).get("identity") or {})
+                bases = {c: dict(ident_now[c]) for c in ident_now}
+                if bases != id_used:
+                    filled = id_fill(bases)
+                    names = self._stage(filled)
+                    id_used = bases
+                    staged_fields = {
+                        f.name: f
+                        for f in self._to_physical(
+                            filled.limit(0), _meta
+                        ).schema.fields
+                    }
+                    checked_cons = None  # new files -> re-validate
+            elif names is None:  # stage once, only if genuinely new
                 assert df is not None
                 names = self._stage(df)
-            cons_now = dict((_meta or {}).get("constraints") or {})
+            cons_now = self._effective_checks(_meta)
             if cons_now != checked_cons:
                 checked_cons = self._enforce_constraints(
                     names, _meta, df.sparkSession if df is not None else None
@@ -3618,6 +4030,20 @@ class TxTable:
                 extra = self._widened_meta(flds)
             else:
                 extra = []
+            if id_fill is not None:
+                # advanced identity marks ride the SAME commit; overlay
+                # on the widened meta (or the fresh fold) so neither
+                # clobbers the other
+                new_meta = extra[0]["meta"] if extra else dict(_meta or {})
+                new_meta["identity"] = {
+                    c: {
+                        **ident_now[c],
+                        "next": ident_now[c]["next"]
+                        + id_rows * ident_now[c]["step"],
+                    }
+                    for c in ident_now
+                }
+                extra = [{"meta": new_meta}]
             try:
                 self._commit(
                     v,
@@ -3696,6 +4122,52 @@ class TxTable:
         return self._commit_snapshot_dependent(
             base_version, "optimize", actions, disjoint=True
         )
+
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL (r11 — Delta's one-row table summary), from
+        the log alone plus one ``stat()`` per live file for sizes (no
+        data reads): location, current version, creation/last-modified
+        commit timestamps, file/row counts, total bytes, partition
+        columns, and the full governance surface (constraints,
+        generated/identity columns, reader/writer features, clone
+        roots, CDF flag). Absolute (clone-referenced) files that the
+        source has since vacuumed contribute size 0 rather than
+        failing the summary."""
+        v = self.latest_version()
+        if v < 0:
+            raise ValueError(f"table {self.path} is empty")
+        adds, _txns, dvs, meta = self._fold_state(v)
+        meta = meta or {}
+        entries = self._read_log()
+        size = 0
+        for name in adds:
+            try:
+                size += os.stat(self._abs(name)).st_size
+            except OSError:
+                pass
+        stats = self.stats_summary()
+        return {
+            "format": "txlog+parquet",
+            "location": os.path.abspath(self.path),
+            "version": v,
+            "created_ts": entries[0].get("ts") if entries else None,
+            "last_modified_ts": entries[-1].get("ts") if entries else None,
+            "num_files": len(adds),
+            "num_rows": stats.get("count"),
+            "num_rows_exact": stats.get("count_exact"),
+            "size_bytes": size,
+            "num_deletion_vectors": len(
+                {n for ns in dvs.values() for n in ns}
+            ),
+            "partition_columns": list(meta.get("partition_columns") or []),
+            "constraints": dict(meta.get("constraints") or {}),
+            "generated": dict(meta.get("generated") or {}),
+            "identity": dict(meta.get("identity") or {}),
+            "reader_features": sorted(meta.get("features") or []),
+            "writer_features": sorted(meta.get("writer_features") or []),
+            "clone_roots": list(meta.get("clone_roots") or []),
+            "change_data_feed": bool(meta.get("change_data_feed")),
+        }
 
     def history(self) -> list[dict]:
         """DESCRIBE HISTORY — one dict per surviving log entry, with

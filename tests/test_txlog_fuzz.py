@@ -58,7 +58,16 @@ def test_lifecycle_fuzz_partitioned(spark, tmp_path, seed):
 
     for step in range(12):
         op = rng.choice(
-            ["append", "delete_mor", "delete", "optimize", "overwrite", "restore"]
+            [
+                "append",
+                "delete_mor",
+                "delete",
+                "optimize",
+                "overwrite",
+                "restore",
+                "update",
+                "clone",
+            ]
         )
         if op == "append":
             rows = fresh_rows(rng.randint(1, 4))
@@ -92,6 +101,34 @@ def test_lifecycle_fuzz_partitioned(spark, tmp_path, seed):
             v = t.overwrite_partitions(spark, _df(spark, rows))
             model = {i: dv for i, dv in model.items() if dv[0] != day}
             model.update({i: (d, x) for i, d, x in rows})
+        elif op == "update":
+            # r11: random modulo-scoped UPDATE bumping val; the model
+            # applies the same arithmetic to the same keys
+            k = rng.randint(2, 4)
+            m = rng.randrange(k)
+            bump = float(rng.randint(1, 100))
+            hit = {i for i in model if i % k == m}
+            v = t.update(spark, f"id % {k} = {m}", {"val": f"val + {bump}"})[0]
+            if not hit:
+                assert v == max(states)
+                continue
+            model = {
+                i: (d, x + bump) if i in hit else (d, x)
+                for i, (d, x) in model.items()
+            }
+        elif op == "clone":
+            # r11: shallow-clone the table mid-walk; the clone must
+            # serve the model exactly, diverge independently, and the
+            # ORIGINAL walk continues untouched
+            cpath = str(tmp_path / f"clone{seed}-{step}")
+            c = t.clone_to(cpath)
+            assert _snapshot(spark, c) == model, f"seed={seed} step={step} clone"
+            if model:
+                c.delete(spark, "id % 2 = 0")
+                assert _snapshot(spark, t) == model, (
+                    f"seed={seed} step={step} clone-isolation"
+                )
+            continue  # no commit on the fuzzed table itself
         else:  # restore
             target = rng.choice(sorted(states))
             v = t.restore(spark, target)
