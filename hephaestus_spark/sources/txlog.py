@@ -796,11 +796,26 @@ class TxTable:
         for a in actions:
             if "add" in a:
                 a["v"] = version
+        # In-commit monotone timestamps (r11 — Delta's
+        # inCommitTimestamps idea): a commit's stamp is clamped to be
+        # strictly after its predecessor's, so the version->time
+        # mapping is monotone BY CONSTRUCTION even across writers with
+        # skewed clocks — TIMESTAMP AS OF (version_at) then has a
+        # unique well-ordered answer instead of a max-scan caveat.
+        # Cost: one tiny JSON read of the previous entry per commit.
+        ts = time.time()
+        if version > 0:
+            try:
+                prev = self._read_entry(version - 1).get("ts")
+                if prev is not None and ts <= prev:
+                    ts = prev + 1e-6
+            except (OSError, ValueError, KeyError):
+                pass  # predecessor expired: wall clock stands
         entry = {
             "version": version,
             "op": op,
             "actions": actions,
-            "ts": time.time(),
+            "ts": ts,
         }
         if txn:
             entry["txn"] = txn
@@ -1705,12 +1720,15 @@ class TxTable:
     # ---- public API ----
     def version_at(self, ts: float) -> int:
         """Newest version whose commit timestamp is <= ``ts`` — the
-        resolution step behind Delta's TIMESTAMP AS OF. Commit stamps
-        come from the writers' clocks, so with multiple writers the
-        mapping is only as monotone as those clocks; the scan takes
-        the max qualifying version rather than assuming monotonicity.
-        Raises when ``ts`` predates the oldest surviving entry (after
-        expire_log the answer below the horizon is unknowable — same
+        resolution step behind Delta's TIMESTAMP AS OF. Commits
+        written since r11 carry MONOTONE in-commit timestamps
+        (``_commit`` clamps each stamp strictly past its
+        predecessor's, Delta's inCommitTimestamps), so the mapping is
+        well-ordered by construction; the scan still takes the max
+        qualifying version so pre-r11 logs with skewed multi-writer
+        clocks resolve to the same answer they always did. Raises when
+        ``ts`` predates the oldest surviving entry (after expire_log
+        the answer below the horizon is unknowable — same
         loud-refusal rule as version time travel)."""
         best = None
         for e in self._read_log():
@@ -2833,6 +2851,39 @@ class TxTable:
             raise ConstraintViolation(
                 f"constraint violation — nothing committed: {detail}", bad
             )
+
+    def properties(self, version: int | None = None) -> dict[str, str]:
+        """Free-form table properties (TBLPROPERTIES) at ``version``.
+        Purely descriptive key/value strings — ownership tags, data
+        SLAs, pipeline pointers; engine behavior never branches on
+        them (behavioral switches are first-class metadata: partition
+        columns, constraints, CDF, features)."""
+        return dict(
+            (self._fold_state(version)[3] or {}).get("properties") or {}
+        )
+
+    def set_properties(self, props: dict[str, str]) -> int:
+        """SET TBLPROPERTIES — upsert the given keys (a None value
+        unsets the key, Delta's UNSET). Metadata-only commit,
+        conflict-retried like every other metadata mutation."""
+        for _ in range(10):
+            base = self.latest_version()
+            if base < 0:
+                raise ValueError(f"table {self.path} is empty")
+            meta = dict(self._fold_state(base)[3] or {})
+            cur = dict(meta.get("properties") or {})
+            for k, v in props.items():
+                if v is None:
+                    cur.pop(k, None)
+                else:
+                    cur[k] = str(v)
+            meta["properties"] = cur
+            try:
+                self._commit(base + 1, "setProperties", [{"meta": meta}])
+                return base + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"set properties lost 10 races on {self.path}")
 
     def set_change_data_feed(self, enabled: bool = True) -> int:
         """Delta's ``delta.enableChangeDataFeed`` table property
@@ -4167,6 +4218,7 @@ class TxTable:
             "writer_features": sorted(meta.get("writer_features") or []),
             "clone_roots": list(meta.get("clone_roots") or []),
             "change_data_feed": bool(meta.get("change_data_feed")),
+            "properties": dict(meta.get("properties") or {}),
         }
 
     def history(self) -> list[dict]:
@@ -4258,9 +4310,13 @@ class TxTable:
                         pass
         return expired
 
-    def vacuum(self, grace_seconds: float = 3600.0) -> list[str]:
+    def vacuum(
+        self, grace_seconds: float = 3600.0, dry_run: bool = False
+    ) -> list[str]:
         """Remove files unreferenced by ANY log version (aborted
-        stages), returning what was deleted. Deleting removed-but-
+        stages), returning what was deleted. ``dry_run=True`` (r11 —
+        Delta's VACUUM DRY RUN) returns the same list WITHOUT touching
+        the filesystem, so operators can audit before reclaiming. Deleting removed-but-
         historical files would break the time-travel promise, so those
         always survive — until ``expire_log`` moves the horizon past
         them.
@@ -4311,7 +4367,8 @@ class TxTable:
                 and os.path.isdir(full)
                 and os.path.getmtime(full) <= cutoff
             ):
-                shutil.rmtree(full, ignore_errors=True)
+                if not dry_run:
+                    shutil.rmtree(full, ignore_errors=True)
                 deleted.append(f)
         # data files live at the root or, for partitioned tables (r9),
         # under hive col=value/ dirs — walk everything but the log and
@@ -4328,6 +4385,7 @@ class TxTable:
                     and rel not in referenced
                     and os.path.getmtime(full) <= cutoff
                 ):
-                    os.remove(full)
+                    if not dry_run:
+                        os.remove(full)
                     deleted.append(rel)
         return deleted
