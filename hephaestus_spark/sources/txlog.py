@@ -960,11 +960,24 @@ class TxTable:
         md = pq.ParquetFile(os.path.join(self.path, name)).metadata
         num: dict = {}
         strs: dict = {}
+        # null counts (r11 — Delta's nullCount): summed across row
+        # groups, kept only when EVERY row group reports one (a single
+        # silent gap would turn "0 nulls, skip the file" into wrong
+        # answers). Tracked for every column with statistics — incl.
+        # all-null columns, which have no min/max at all and would
+        # otherwise be invisible to pruning.
+        nulls: dict = {}
+        no_nulls: set = set()
         for rg in range(md.num_row_groups):
             row_group = md.row_group(rg)
             for ci in range(row_group.num_columns):
                 col = row_group.column(ci)
                 st = col.statistics
+                cname = col.path_in_schema
+                if st is None or st.null_count is None:
+                    no_nulls.add(cname)
+                elif cname not in no_nulls:
+                    nulls[cname] = nulls.get(cname, 0) + st.null_count
                 if st is None or not st.has_min_max:
                     continue
                 mn, mx = st.min, st.max
@@ -1000,7 +1013,9 @@ class TxTable:
                     else:
                         num[cname] = [min(cur[0], mn), max(cur[1], mx)]
         num.update(strs)
-        return num
+        for c in no_nulls:
+            nulls.pop(c, None)
+        return num, nulls
 
     def _file_rows(self, name: str) -> int:
         import pyarrow.parquet as pq
@@ -1035,20 +1050,24 @@ class TxTable:
             pschema = self._partition_dtypes(self._fold_state()[3])
         out = []
         for n in names:
-            act = {
-                "add": n,
-                "stats": self._file_stats(n),
-                "rows": self._file_rows(n),
-            }
+            stats, nulls = self._file_stats(n)
+            rows = self._file_rows(n)
+            act = {"add": n, "stats": stats, "rows": rows}
             pvals = _parse_partition_values(n)
             if pvals:
                 act["partitionValues"] = pvals
                 for col, raw in pvals.items():
                     if raw is None:
-                        continue  # null partition: no zone, never skipped
+                        # null partition: no zone, never range-skipped —
+                        # but the null COUNT is exact (file-constant)
+                        nulls[col] = rows
+                        continue
+                    nulls[col] = 0
                     st = _typed_partition_stat(raw, pschema.get(col, ""))
                     if st is not None:
                         act["stats"][col] = st
+            if nulls:
+                act["nulls"] = nulls
             out.append(act)
         return out
 
@@ -1979,6 +1998,77 @@ class TxTable:
             return self.read(spark, version).filter(F.lit(False))
         df = self._scan(spark, keep, version)
         return df.filter(F.col(column).isin(list(values)))
+
+    def pruned_files_null(
+        self, column: str, want_null: bool, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """(surviving files, total live files) for an ``IS NULL`` /
+        ``IS NOT NULL`` predicate on ``column``, from the committed
+        per-file null COUNTS (r11 — Delta's nullCount stat): a file
+        with 0 nulls cannot satisfy IS NULL; a file whose null count
+        equals its row count cannot satisfy IS NOT NULL. This is the
+        ONLY metadata that can prune all-null columns (they have no
+        min/max at all) and hive-null partitions (their count is
+        file-constant by construction). Files without a recorded count
+        (pre-r11 commits, a row group that didn't report) are always
+        kept — the safe side, same rule as missing zone maps."""
+        meta = self._fold_state(version)[3]
+        if meta:  # null counts key on PHYSICAL names, like zone maps
+            column = (meta.get("mapping") or {}).get(column, column)
+        adds = self._snapshot_adds(version)
+        keep = []
+        for name, act in adds.items():
+            n = (act.get("nulls") or {}).get(column)
+            if n is not None:
+                if want_null and n == 0:
+                    continue
+                rows = act.get("rows")
+                if not want_null and rows is not None and n == rows:
+                    continue
+            keep.append(name)
+        return keep, len(adds)
+
+    def read_pruned_null(
+        self,
+        spark: SparkSession,
+        column: str,
+        want_null: bool,
+        version: int | None = None,
+    ) -> DataFrame:
+        """File-skipping IS [NOT] NULL read: scan only files the null
+        counts cannot rule out, then apply the residual filter."""
+        keep, _total = self.pruned_files_null(column, want_null, version)
+        if not keep:
+            return self.read(spark, version).filter(F.lit(False))
+        df = self._scan(spark, keep, version)
+        c = F.col(column)
+        return df.filter(c.isNull() if want_null else c.isNotNull())
+
+    def null_counts(self, version: int | None = None) -> dict[str, dict]:
+        """Per-column total null counts across the live snapshot, from
+        the log alone: {logical column: {"nulls": N, "exact": bool}}.
+        Exact only when every live file recorded a count for the
+        column AND no deletion vectors are live (a tombstoned row's
+        nullness is unknowable without reading data — the count then
+        upper-bounds the visible nulls)."""
+        adds, _txns, dvs, meta = self._fold_state(version)
+        rev = {p: l for l, p in ((meta or {}).get("mapping") or {}).items()}
+        out: dict[str, dict] = {}
+        missing: set[str] = set()
+        any_dv = any(dvs.values())
+        for act in adds.values():
+            nulls = act.get("nulls") or {}
+            seen = set(nulls)
+            # a column absent from this file's counts is inexact
+            for c in seen:
+                e = out.setdefault(
+                    rev.get(c, c), {"nulls": 0, "exact": not any_dv}
+                )
+                e["nulls"] += nulls[c]
+            missing |= {rev.get(c, c) for c in (act.get("stats") or {}) if c not in seen}
+        for c in missing & set(out):
+            out[c]["exact"] = False
+        return out
 
     def append(
         self,
