@@ -191,3 +191,56 @@ def test_native_datasource_reads_clone(spark, tmp_path):
         for r in spark.read.format("txlog").load(clone.path).collect()
     }
     assert got == set(range(20)) - {7}
+
+
+def test_stream_source_reads_clone_incrementally(spark, tmp_path):
+    """readStream over a SHALLOW CLONE: the clone commit's referenced
+    (absolute-path) files deliver as the first batch, post-clone
+    appends deliver incrementally — the streaming source resolves
+    clone references exactly like batch reads."""
+    from hephaestus_spark.sources.txlog_datasource import TxLogDataSource
+
+    spark.dataSource.register(TxLogDataSource)
+    src = _seed(spark, str(tmp_path / "src"), n=20, files=2)
+    clone = src.clone_to(str(tmp_path / "dst"))
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run():
+        q = (
+            spark.readStream.format("txlog")
+            .load(clone.path)
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out).count() == 20
+    clone.append(_df(spark, [(100, "x", 1.0)]).coalesce(1))
+    run()
+    got = {r["id"] for r in spark.read.parquet(out).collect()}
+    assert got == set(range(20)) | {100}
+
+
+def test_change_feed_passes_metadata_only_commits(spark, tmp_path):
+    """setProperties / setGenerated / setIdentity / addConstraint are
+    metadata-only commits — the row-level feed crosses them
+    contributing no rows, and later rows still serve."""
+    src = _seed(spark, str(tmp_path / "t"), n=4, files=1)
+    src.set_properties({"owner": "x"})
+    src.add_check_constraint(spark, "v", "val >= 0")
+    src.set_generated(spark, "name", "concat('r', cast(id as string))")
+    src.append(
+        spark.createDataFrame([(100, 5.0)], "id long, val double")
+    )  # name filled
+    ch = src.read_changes(spark, -1).collect()
+    by_ver = {}
+    for r in ch:
+        by_ver.setdefault(r["_commit_version"], []).append(r["id"])
+    assert sorted(by_ver[0]) == [0, 1, 2, 3]
+    assert by_ver[4] == [100]
+    assert set(by_ver) == {0, 4}  # metadata commits contributed no rows
