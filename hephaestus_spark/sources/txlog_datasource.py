@@ -528,7 +528,12 @@ class TxLogStreamReader(DataSourceStreamReader):
                     self._part(n, v, change_type="delete", dv_select=(sel, ()))
                     for n in covered
                 ]
-            elif op in ("merge", "delete"):
+            elif op in ("merge", "delete", "update"):
+                # r12 (ADVICE r11): 'update' fell through this chain and
+                # emitted NOTHING — silent row loss. Its CDC sidecars
+                # carry update_preimage/update_postimage rows, exactly
+                # like merge's; serve them the same way, and fail loudly
+                # when a sidecar-less rewrite crosses the stream.
                 if not cdc:
                     raise ValueError(
                         f"streaming change feed crossed a '{op}' commit at "
@@ -538,6 +543,19 @@ class TxLogStreamReader(DataSourceStreamReader):
                         "this range)"
                     )
                 parts += [self._part(n, v, cdc=True) for n in cdc]
+            elif op == "clone":
+                # r12 (ADVICE r11): a shallow clone's inception inserts
+                # also fell through silently. Mirror read_changes: the
+                # referenced files' VISIBLE rows (the commit's own DV
+                # sidecars masked) are inserts at the clone version.
+                dv_now = t.dv_map(v)
+                parts += [
+                    self._part(
+                        n, v, change_type="insert",
+                        dv_paths=abs_(dv_now.get(n, ())),
+                    )
+                    for n in adds
+                ]
             elif op in ("overwrite", "overwritePartitions"):
                 dv_prev = t.dv_map(v - 1)
                 parts += [

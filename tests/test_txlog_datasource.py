@@ -334,3 +334,80 @@ def test_stream_cdf_requires_sidecars_for_rewrites(spark, tmp_path):
         spark.read.format("txlog").option("readChangeFeed", "true").load(
             path
         ).collect()
+
+
+def test_stream_cdf_serves_update_and_clone(spark, tmp_path):
+    """r12 (ADVICE r11, high): streaming CDF must serve 'update' commits
+    (from their CDC sidecars, like merge/delete) and 'clone' inception
+    commits (referenced files' VISIBLE rows as inserts, the clone's own
+    carried-over deletion vectors masked) — both previously fell through
+    partitions() silently, dropping rows."""
+    path = str(tmp_path / "t")
+    t = TxTable(path)
+    t.append(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id long, val double"
+        )
+    )                                                   # v0
+    t.set_change_data_feed(True)                        # v1 (meta-only)
+    t.delete_mor(spark, "id = 4")                       # v2 (DV the clone carries)
+    t.update(spark, "id = 2", {"val": "val + 100"})     # v3 (cdc sidecar)
+
+    def run(src, ckpt, out):
+        q = (
+            spark.readStream.format("txlog")
+            .option("readChangeFeed", "true")
+            .load(src)
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    got = run(path, str(tmp_path / "ck1"), str(tmp_path / "o1"))
+    rows = {
+        (r["id"], r["_change_type"], r["_commit_version"], r["val"])
+        for r in got.collect()
+    }
+    assert (2, "update_preimage", 3, 2.0) in rows
+    assert (2, "update_postimage", 3, 102.0) in rows
+    # 10 inserts + 1 delete + pre/postimage, nothing dropped or doubled
+    assert got.count() == 13
+
+    clone = t.clone_to(str(tmp_path / "c"))
+    got_c = run(clone.path, str(tmp_path / "ck2"), str(tmp_path / "o2"))
+    crows = {
+        (r["id"], r["_change_type"], r["_commit_version"], r["val"])
+        for r in got_c.collect()
+    }
+    # inception inserts at the clone's v0: all visible rows (id=4
+    # tombstoned out via the carried DV; id=2 shows its updated value)
+    assert crows == {
+        (i, "insert", 0, 102.0 if i == 2 else float(i))
+        for i in range(10)
+        if i != 4
+    }
+
+
+def test_stream_cdf_rejects_sidecarless_update(spark, tmp_path):
+    """An UPDATE committed without CDC sidecars fails the stream loudly
+    (same contract as merge/delete) instead of dropping its rows."""
+    path = str(tmp_path / "t")
+    t = TxTable(path)
+    t.append(spark.createDataFrame([(1, 1.0)], "id long, val double"))
+    t.update(spark, "id = 1", {"val": "9.0"})  # no CDF -> no sidecar
+    q = (
+        spark.readStream.format("txlog")
+        .option("readChangeFeed", "true")
+        .load(path)
+        .writeStream.format("memory")
+        .queryName("cdf_rejects_update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="set_change_data_feed"):
+        q.awaitTermination(120)
+        raise AssertionError("stream should have failed")
