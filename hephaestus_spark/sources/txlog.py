@@ -180,6 +180,45 @@ def _zone_probe_value(v):
     return v
 
 
+def _sql_literal(v) -> str:
+    """A Python value rendered as a Spark SQL literal (r12). Strings
+    are single-quoted with embedded quotes doubled; dates/timestamps
+    become ISO strings (Spark's implicit cast resolves them against
+    date/timestamp columns, same coercion the hive partition reader
+    applies); bools/numerics render natively."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        v = str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _with_partition_residual(where: str, partitions: dict | None) -> str:
+    """Row-level enforcement of the DML ``partitions`` option (r12,
+    ADVICE r11): the documented contract is exact — effective predicate
+    = ``where AND col IN (values)`` — but it was previously applied only
+    at FILE granularity via zone overlap, silently over-deleting /
+    over-updating when the column is not a declared partition column
+    (every ``where``-matching row in any zone-overlapping file was
+    rewritten). ANDing the IN-list into the row predicate makes the
+    contract hold for arbitrary columns; for true partition columns
+    (file-constant values) the residual is a per-file constant that
+    Catalyst folds, so the original zero-extra-I/O behavior is kept."""
+    if not partitions:
+        return where
+    clauses = []
+    for col, vals in partitions.items():
+        lits = [_sql_literal(v) for v in vals if v is not None]
+        if not lits:  # empty IN-list matches no row
+            return "FALSE"
+        clauses.append(f"`{col}` IN ({', '.join(lits)})")
+    return f"({where}) AND " + " AND ".join(clauses)
+
+
 # Commits between checkpoints. Delta's default is 10; the fold cost
 # bound is interval × one small JSON read, independent of table age.
 CHECKPOINT_INTERVAL = 10
@@ -1587,6 +1626,8 @@ class TxTable:
             candidates = [f for f in candidates if f in keep]
         if not candidates:
             return base_version, 0, 0
+        # r12 (ADVICE r11): tombstone exactly `where AND col IN (…)`
+        where = _with_partition_residual(where, partitions)
         cand = self._scan(spark, candidates, base_version, keep_keys=True)
         hits = cand.filter(where).select(
             F.col("_f").alias("file"), F.col("_p").alias("pos")
@@ -2047,27 +2088,32 @@ class TxTable:
     def null_counts(self, version: int | None = None) -> dict[str, dict]:
         """Per-column total null counts across the live snapshot, from
         the log alone: {logical column: {"nulls": N, "exact": bool}}.
-        Exact only when every live file recorded a count for the
-        column AND no deletion vectors are live (a tombstoned row's
-        nullness is unknowable without reading data — the count then
-        upper-bounds the visible nulls)."""
+        Exact only when EVERY live file recorded a count for the
+        column AND no deletion vectors are live. Inexact counts bound
+        nothing: DVs make them over-estimates of the visible nulls,
+        while files that predate the column (schema-widened appends —
+        their rows are implicitly NULL for it) or plain stats gaps make
+        them under-estimates."""
         adds, _txns, dvs, meta = self._fold_state(version)
         rev = {p: l for l, p in ((meta or {}).get("mapping") or {}).items()}
         out: dict[str, dict] = {}
-        missing: set[str] = set()
+        coverage: dict[str, int] = {}
         any_dv = any(dvs.values())
         for act in adds.values():
-            nulls = act.get("nulls") or {}
-            seen = set(nulls)
-            # a column absent from this file's counts is inexact
-            for c in seen:
-                e = out.setdefault(
-                    rev.get(c, c), {"nulls": 0, "exact": not any_dv}
-                )
-                e["nulls"] += nulls[c]
-            missing |= {rev.get(c, c) for c in (act.get("stats") or {}) if c not in seen}
-        for c in missing & set(out):
-            out[c]["exact"] = False
+            for c, n in (act.get("nulls") or {}).items():
+                lc = rev.get(c, c)
+                e = out.setdefault(lc, {"nulls": 0, "exact": not any_dv})
+                e["nulls"] += n
+                coverage[lc] = coverage.get(lc, 0) + 1
+        # r12 (ADVICE r11): exactness requires a count from EVERY live
+        # file — deriving "missing" from stats keys alone missed files
+        # written before a column existed (schema-widened appends):
+        # their rows are all implicitly NULL for the new column, so the
+        # total undercounts. Per-column coverage vs the live file count
+        # catches both that case and ordinary stats gaps.
+        for c, e in out.items():
+            if coverage.get(c, 0) < len(adds):
+                e["exact"] = False
         return out
 
     def append(
@@ -2097,6 +2143,21 @@ class TxTable:
                     f"on {self.path}: explicit values are refused — omit "
                     "them and the append allocates"
                 )
+            # r12 (ADVICE r11): the identity path returned before the
+            # partition_by check ran, so a mismatched declaration was
+            # silently IGNORED instead of erroring like it does on
+            # non-identity tables. Identity tables exist only after
+            # add_identity_column declared them, so partitioning is
+            # already fixed — validate, never absorb.
+            if partition_by:
+                mapping = (meta or {}).get("mapping") or {}
+                phys = [mapping.get(c, c) for c in partition_by]
+                declared = (meta or {}).get("partition_columns") or []
+                if phys != declared:
+                    raise ValueError(
+                        f"table {self.path} is partitioned by {declared}, "
+                        f"not {phys}; partitioning is fixed at creation"
+                    )
             return self._append_identity(df, max_retries)
         declared = (meta or {}).get("partition_columns") or []
         if partition_by:
@@ -3252,6 +3313,10 @@ class TxTable:
         n_live = len(self._snapshot_files(base_version))
         if not candidates:
             return base_version, 0, n_live
+        # r12 (ADVICE r11): row-level partitions enforcement — the
+        # rewrite, the CDC sidecar, and the recorded predicate all see
+        # the exact `where AND col IN (…)` the contract documents
+        where = _with_partition_residual(where, partitions)
         cand_df = self._scan(spark, candidates, base_version, keep_keys=True)
         # _f provenance is the file BASENAME (unique via the staged
         # per-file counter, checked by _base2rel); log actions key on
@@ -3381,6 +3446,10 @@ class TxTable:
             candidates = [f for f in candidates if f in keep]
         if not candidates:
             return base_version, 0, 0
+        # r12 (ADVICE r11): enforce the partitions option at ROW
+        # granularity — the effective predicate (and the recorded one
+        # CDF reconstruction replays) is exactly `where AND col IN (…)`
+        where = _with_partition_residual(where, partitions)
         cand_df = self._scan(spark, candidates, base_version, keep_keys=True)
         base2rel = self._base2rel(candidates)
         hits = [

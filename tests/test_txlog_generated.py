@@ -294,3 +294,21 @@ def test_describe_detail(spark, tmp_path):
     assert d["num_deletion_vectors"] == 1
     assert "check_constraints" in d["writer_features"]
     assert d["created_ts"] <= d["last_modified_ts"]
+
+
+def test_identity_append_validates_partition_by(spark, tmp_path):
+    """r12 (ADVICE r11): append() on an identity table used to return
+    via _append_identity BEFORE the partition_by check, silently
+    ignoring a mismatched declaration; it must raise exactly as on
+    non-identity tables."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "uid long, name string"))
+    t.set_identity(spark, "uid", start=1, step=1)
+    with pytest.raises(ValueError, match="partitioned by"):
+        t.append(
+            spark.createDataFrame([("b",)], "name string"),
+            partition_by=["name"],
+        )
+    # a matching (empty-vs-declared) declaration still appends fine
+    t.append(spark.createDataFrame([("c",)], "name string"))
+    assert t.read(spark).count() == 2

@@ -111,3 +111,25 @@ def test_pre_null_stat_files_always_kept(spark, tmp_path):
     keep, total = t2.pruned_files_null("val", want_null=True)
     assert keep and len(keep) == total  # unknown -> kept
     assert t2.null_counts().get("val") is None
+
+
+def test_null_counts_inexact_after_schema_widening(spark, tmp_path):
+    """r12 (ADVICE r11): a file written BEFORE a column was added has
+    neither stats nor a null count for it — its rows are all implicitly
+    NULL for that column, so the summed count undercounts and must not
+    claim exact=True (coverage is now tracked against the live file
+    count, not derived from stats keys)."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,), (2,)], "id long").coalesce(1))
+    # widening append: adds `val`, old file has no entry for it
+    t.append(
+        spark.createDataFrame(
+            [(3, 3.0), (4, None)], "id long, val double"
+        ).coalesce(1)
+    )
+    nc = t.null_counts()
+    assert nc["id"]["exact"] is True and nc["id"]["nulls"] == 0
+    # recorded nulls for val: 1 (from the new file) — but 2 rows of the
+    # old file are implicitly NULL, so the claim must be inexact
+    assert nc["val"]["nulls"] == 1
+    assert nc["val"]["exact"] is False

@@ -686,3 +686,40 @@ def test_delete_scoped_to_partitions(spark, tmp_path):
     assert n_rows == 1 and covered == 1
     ids2 = sorted(r["id"] for r in t.read(spark).collect())
     assert 202 not in ids2 and {2, 102, 302} <= set(ids2)
+
+
+def test_partitions_option_exact_on_non_partition_column(spark, tmp_path):
+    """r12 (ADVICE r11): the DML `partitions` option is documented as
+    exact — `where AND col IN (values)` — for ARBITRARY columns, but
+    was only applied at file granularity (zone overlap), silently
+    over-deleting/over-updating rows whose column value is not listed
+    but co-lives in a zone-overlapping file. Now a row-level residual
+    enforces the contract."""
+    t = TxTable(str(tmp_path / "t"))
+    # one file, vals 1.0 and 2.0 interleaved: zone [1.0, 2.0] overlaps
+    # the probe value, so WITHOUT the residual every id>0 row dies
+    t.append(_df(spark, [
+        (1, "2024-01-01", 1.0), (2, "2024-01-01", 2.0),
+        (3, "2024-01-01", 1.0), (4, "2024-01-01", 2.0),
+    ]).coalesce(1))
+    v, rewritten, _ = t.delete(spark, "id > 0", partitions={"val": [1.0]})
+    assert rewritten == 1
+    left = sorted(r["id"] for r in t.read(spark).collect())
+    assert left == [2, 4]  # val=2.0 rows survive the scoped delete
+    # update twin: only the listed value's rows change
+    t.update(spark, "id > 0", {"day": "'moved'"}, partitions={"val": [2.0]})
+    got = {r["id"]: r["day"] for r in t.read(spark).collect()}
+    assert got == {2: "moved", 4: "moved"}
+    # delete_mor twin: tombstones only the listed value's rows
+    t2 = TxTable(str(tmp_path / "t2"))
+    t2.append(_df(spark, [
+        (1, "d", 1.0), (2, "d", 2.0), (3, "d", 1.0)
+    ]).coalesce(1))
+    v2, covered, n_rows = t2.delete_mor(
+        spark, "id > 0", partitions={"val": [1.0]}
+    )
+    assert n_rows == 2
+    assert sorted(r["id"] for r in t2.read(spark).collect()) == [2]
+    # empty value list matches nothing (IN () semantics)
+    v3, rw3, _ = t2.delete(spark, "id > 0", partitions={"val": []})
+    assert rw3 == 0
