@@ -232,10 +232,15 @@ def main() -> None:
     # sweep to drain). The `remeasured` field keeps both numbers so
     # the hygiene is auditable either way.
     best = _best_prior(sf)
+    recent_ref = _recent_reference(sf)
     host_ratio = mt_ratio if mt_ratio is not None else calib_ratio
     remeasured: dict[str, dict[str, float]] = {}
     for name in names:
-        if name not in best or timings[name] <= best[name] * 3:
+        # r12: burst threshold against the recent-rounds reference
+        # (fallback: all-time best) — 3x a lucky ratcheted minimum
+        # fired remeasures on honest medians
+        ref = recent_ref.get(name, best.get(name))
+        if ref is None or timings[name] <= ref * 3:
             continue
         if host_ratio is not None and host_ratio >= 2:
             continue  # the whole host is slow — a re-run proves nothing
@@ -269,26 +274,60 @@ def main() -> None:
         out["build_sec"] = builds
     if shuffles:
         out["shuffle"] = shuffles
-    regressions = _regressions_vs_best(timings, sf)
-    if regressions:  # bench hygiene: flag >1.5x vs best prior round
+    # r12 (VERDICT r11 #2): the OPERATIVE comparator is the median of
+    # each query's last-3-rounds times, not the all-time min — the
+    # ratchet captured lucky samples, so every later honest median
+    # read as a 1.3-2x phantom regression (the parity-calibrated
+    # plan-frozen control q02 read 1.53x of 'best'). The all-time-best
+    # ratio stays in the record for reference, clearly labeled.
+    recent = recent_ref
+    regressions = _regressions_vs_ref(timings, recent, best)
+    if regressions:  # bench hygiene: flag >1.5x vs recent reference
         out["regressions"] = regressions
-    med = _vs_best_median(timings, sf)
+    med = _median_ratio(timings, recent)
     if med is not None:
-        # Ambient-drift separator: the median now/all-time-best ratio
-        # across ALL queries. ~1.0 = machine comparable to the best
-        # round, so any flag above is a genuine plan regression; well
+        # Ambient-drift separator: the median now/recent-reference
+        # ratio across ALL queries. ~1.0 = host comparable to recent
+        # rounds, so any flag above is a genuine plan regression; well
         # above 1.0 = the whole run is uniformly slower (CPU/cache
         # state), and only flags far beyond the median indicate plans.
-        out["vs_best_median_ratio"] = med
-        if mt_ratio is not None and mt_ratio > 0:
+        out["vs_recent_median_ratio"] = med
+        rcal = _recent_calibration(sf).get("spark_mt32_sec")
+        mt_recent = (
+            round(calib["spark_mt32_sec"] / rcal, 2)
+            if rcal and "spark_mt32_sec" in calib
+            else None
+        )
+        if mt_recent is not None and mt_recent > 0:
             # r11 (VERDICT r10 #1): the same median with the measured
             # multi-core contention divided OUT — the 32-way Spark
             # calibration job ran under the same ambient load as the
-            # queries, so its own vs-best ratio IS the contention
+            # queries, so its own vs-recent ratio IS the contention
             # factor. ~equal raw and normalized ratios = the drift (if
             # any) is in the plans; normalized ≪ raw = the drift is
             # the machine. The raw number and per-query timings stay.
-            out["vs_best_median_ratio_normalized"] = round(med / mt_ratio, 2)
+            out["calibration"]["mt_vs_recent_ratio"] = mt_recent
+            out["vs_recent_median_ratio_normalized"] = round(
+                med / mt_recent, 2
+            )
+    med_best = _median_ratio(timings, best)
+    if med_best is not None:
+        out["vs_best_median_ratio"] = med_best  # reference-only ratchet
+        if mt_ratio is not None and mt_ratio > 0:
+            out["vs_best_median_ratio_normalized"] = round(
+                med_best / mt_ratio, 2
+            )
+        # Ambient-noise self-flag (r12): the per-query MIN hitting
+        # ~parity with the all-time best while the medians sit well
+        # above is the signature of ambient contention — the host CAN
+        # still go best-speed, the middle samples just got unlucky. A
+        # plan regression moves the mins too.
+        min_med = _median_ratio(mins, best)
+        if min_med is not None and min_med <= 1.15 and med_best >= 1.4:
+            out["ambient_noise_suspected"] = {
+                "queries_min_vs_best_median": min_med,
+                "queries_median_vs_best_median": med_best,
+            }
     if not extra:
         sf1 = _sf1_section(spark, timings, sf)
         if sf1:
@@ -416,15 +455,15 @@ def _sf1_skew_section(spark, timings: dict[str, float], sf: float) -> dict | Non
     return section
 
 
-def _best_prior(sf: float) -> dict[str, float]:
-    """Best recorded per-query time at the SAME sf across all prior
-    records: the driver's BENCH_r*.json AND the repo-local
+def _records(sf: float):
+    """Yield (round, record) for every readable prior record at this
+    sf: the driver's BENCH_r*.json AND the repo-local
     BENCH_LOCAL_r*.json (r8 — driver wrappers for r6/r7 truncated to a
     2000-char stdout tail with ``parsed: null``, silently dropping
     those rounds from this history; the LOCAL copies are lossless)."""
-    best: dict[str, float] = {}
     for pattern in ("BENCH_r*.json", "BENCH_LOCAL_r*.json"):
         for path in sorted(glob.glob(os.path.join(_REPO_DIR, pattern))):
+            m = re.search(r"_r(\d+)[a-z]?\.json$", path)
             try:
                 with open(path) as f:
                     rec = json.load(f)
@@ -432,12 +471,54 @@ def _best_prior(sf: float) -> dict[str, float]:
                 continue
             # driver records wrap the bench line under "parsed"
             rec = rec.get("parsed") or rec  # "parsed" may be null
-            if rec.get("sf") != sf:
+            if rec.get("sf") != sf or m is None:
                 continue
-            for q, t in rec.get("queries", {}).items():
-                if isinstance(t, (int, float)) and t > 0:
-                    best[q] = min(best.get(q, t), t)
+            yield int(m.group(1)), rec
+
+
+def _best_prior(sf: float) -> dict[str, float]:
+    """All-time-min per-query time. Kept for REFERENCE ONLY (r12,
+    VERDICT r11 #2): a running minimum of medians is a ratchet that
+    captures lucky samples, so honest later medians read as phantom
+    1.3-2x 'regressions' — the operative comparator is
+    ``_recent_reference``."""
+    best: dict[str, float] = {}
+    for _rnd, rec in _records(sf):
+        for q, t in rec.get("queries", {}).items():
+            if isinstance(t, (int, float)) and t > 0:
+                best[q] = min(best.get(q, t), t)
     return best
+
+
+def _round_medians(sf: float) -> dict[int, dict[str, float]]:
+    """round -> {query: sec}, taking the per-round MIN when a round
+    left both a driver and a local record (two samples of identical
+    plans — the less-contended one is the round's cleaner number)."""
+    rounds: dict[int, dict[str, float]] = {}
+    for rnd, rec in _records(sf):
+        tgt = rounds.setdefault(rnd, {})
+        for q, t in rec.get("queries", {}).items():
+            if isinstance(t, (int, float)) and t > 0:
+                tgt[q] = min(tgt.get(q, t), t)
+    return rounds
+
+
+def _recent_reference(sf: float, window: int = 3) -> dict[str, float]:
+    """The operative comparator (r12, VERDICT r11 #2): per query, the
+    MEDIAN of its last ``window`` rounds' times. Robust in both
+    directions — one lucky sample cannot ratchet it down (the ratchet
+    made parity-calibrated clean re-runs read 1.5-2x 'over'), and one
+    contended round cannot drag it up; a real plan change shifts it
+    within ``window`` rounds. A clean re-run on a comparable host
+    reproduces ratios against this reference to ~10%."""
+    rounds = _round_medians(sf)
+    ref: dict[str, float] = {}
+    queries = {q for per in rounds.values() for q in per}
+    for q in queries:
+        hist = [rounds[r][q] for r in sorted(rounds) if q in rounds[r]]
+        tail = hist[-window:]
+        ref[q] = sorted(tail)[len(tail) // 2]
+    return ref
 
 
 def _best_calibration(sf: float) -> dict[str, float]:
@@ -448,41 +529,61 @@ def _best_calibration(sf: float) -> dict[str, float]:
     Returns {probe_name: best_sec} over both the single-thread Python
     loop and (r11) the 32-way Spark job."""
     best: dict[str, float] = {}
-    for pattern in ("BENCH_r*.json", "BENCH_LOCAL_r*.json"):
-        for path in sorted(glob.glob(os.path.join(_REPO_DIR, pattern))):
-            try:
-                with open(path) as f:
-                    rec = json.load(f)
-            except (OSError, ValueError):
-                continue
-            rec = rec.get("parsed") or rec
-            if rec.get("sf") != sf:
-                continue
-            for key in ("py_loop_1t_sec", "spark_mt32_sec"):
-                c = (rec.get("calibration") or {}).get(key)
-                if isinstance(c, (int, float)) and c > 0:
-                    best[key] = min(best.get(key, c), c)
+    for _rnd, rec in _records(sf):
+        for key in ("py_loop_1t_sec", "spark_mt32_sec"):
+            c = (rec.get("calibration") or {}).get(key)
+            if isinstance(c, (int, float)) and c > 0:
+                best[key] = min(best.get(key, c), c)
     return best
 
 
-def _regressions_vs_best(
-    timings: dict[str, float], sf: float, factor: float = 1.5
+def _recent_calibration(sf: float, window: int = 3) -> dict[str, float]:
+    """Median-of-recent-rounds calibration reference (r12) — the same
+    de-ratcheting as ``_recent_reference``, so the contention divisor
+    is itself robust (dividing by a lucky all-time-min probe time
+    OVERSTATES contention and masks plan regressions)."""
+    rounds: dict[int, dict[str, float]] = {}
+    for rnd, rec in _records(sf):
+        tgt = rounds.setdefault(rnd, {})
+        for key in ("py_loop_1t_sec", "spark_mt32_sec"):
+            c = (rec.get("calibration") or {}).get(key)
+            if isinstance(c, (int, float)) and c > 0:
+                tgt[key] = min(tgt.get(key, c), c)
+    ref: dict[str, float] = {}
+    for key in ("py_loop_1t_sec", "spark_mt32_sec"):
+        hist = [rounds[r][key] for r in sorted(rounds) if key in rounds[r]]
+        tail = hist[-window:]
+        if tail:
+            ref[key] = sorted(tail)[len(tail) // 2]
+    return ref
+
+
+def _regressions_vs_ref(
+    timings: dict[str, float],
+    recent: dict[str, float],
+    best: dict[str, float],
+    factor: float = 1.5,
 ) -> dict[str, dict[str, float]]:
-    """Per-query times regressing > ``factor`` vs the best recorded
-    prior round at the SAME sf. Empty dict = healthy; when present,
-    the driver-visible JSON carries the evidence instead of hiding a
-    plan regression in a total."""
-    best = _best_prior(sf)
+    """Per-query times regressing > ``factor`` vs the recent-rounds
+    reference at the SAME sf (r12 — was vs the all-time-min ratchet).
+    Empty dict = healthy; when present, the driver-visible JSON
+    carries the evidence (incl. the old all-time best for context)
+    instead of hiding a plan regression in a total."""
     return {
-        q: {"now": t, "best_prior": best[q]}
+        q: {
+            "now": t,
+            "recent_ref": recent[q],
+            **({"best_prior": best[q]} if q in best else {}),
+        }
         for q, t in timings.items()
-        if q in best and t > best[q] * factor
+        if q in recent and t > recent[q] * factor
     }
 
 
-def _vs_best_median(timings: dict[str, float], sf: float) -> float | None:
-    best = _best_prior(sf)
-    ratios = sorted(t / best[q] for q, t in timings.items() if q in best)
+def _median_ratio(
+    timings: dict[str, float], ref: dict[str, float]
+) -> float | None:
+    ratios = sorted(t / ref[q] for q, t in timings.items() if q in ref)
     if not ratios:
         return None
     return round(ratios[len(ratios) // 2], 2)

@@ -1067,6 +1067,78 @@ def x_txlog_cdf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_txlog_merge_evolve",
+    oracle="""
+    SELECT c_custkey, c_name,
+           c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 50 ELSE 0 END
+             AS c_acctbal,
+           CASE WHEN c_custkey % 7 = 0 THEN 'gold' END AS tier,
+           TRUE AS widened_in_log
+    FROM customer
+    UNION ALL
+    SELECT -c_custkey, c_name, c_acctbal, 'new', TRUE
+    FROM customer WHERE c_custkey % 11 = 2
+    """,
+)
+def x_txlog_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE schema evolution (r12, VERDICT r11 #3 — Delta's
+    ``withSchemaEvolution``, sources/txlog.py::merge): customers land
+    as v0; a merge whose source carries a column the table has never
+    seen (``tier``) widens the table IN THE SAME COMMIT — every 7th
+    key updates (acctbal+50, tier 'gold'), negated 11th keys insert
+    (tier 'new'), and the thousands of untouched rows read the new
+    column as NULL without any of their files being rewritten for the
+    widening. ``widened_in_log`` pins that the schema change is a LOG
+    fact: the post-merge version serves ``tier`` under an explicit
+    schema read while the pre-merge version does not. Cost shape: the
+    widening itself is one meta action; only merge-hit files
+    rewrite."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    workdir = tempfile.mkdtemp(prefix="txlog-merge-evolve-")
+    try:
+        t = TxTable(f"{workdir}/customers")
+        t.append(c.repartitionByRange(4, F.col("c_custkey")))
+        staged = (
+            c.filter(F.col("c_custkey") % 7 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + 50)
+            .withColumn("tier", F.lit("gold"))
+            .unionByName(
+                c.filter(F.col("c_custkey") % 11 == 2)
+                .withColumn("c_custkey", -F.col("c_custkey"))
+                .withColumn("tier", F.lit("new"))
+            )
+        )
+        v = t.merge(
+            spark,
+            staged,
+            "c_custkey",
+            ["c_name", "c_acctbal", "tier"],
+            schema_evolution=True,
+        )
+        widened = (
+            "tier" in t.read(spark, version=v).columns
+            and "tier" not in t.read(spark, version=v - 1).columns
+        )
+        out = t.read(spark).select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            "tier",
+            F.lit(widened).alias("widened_in_log"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
     "x_txlog_constraints",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal,

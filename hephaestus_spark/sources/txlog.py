@@ -1091,7 +1091,15 @@ class TxTable:
         for n in names:
             stats, nulls = self._file_stats(n)
             rows = self._file_rows(n)
+            # bytes: Delta's add-action `size` — recorded so streaming
+            # admission control (maxBytesPerTrigger, r12) can cost a
+            # backlog from metadata alone; readers fall back to
+            # os.path.getsize for pre-r12 entries.
             act = {"add": n, "stats": stats, "rows": rows}
+            try:
+                act["bytes"] = os.path.getsize(self._abs(n))
+            except OSError:
+                pass
             pvals = _parse_partition_values(n)
             if pvals:
                 act["partitionValues"] = pvals
@@ -3116,6 +3124,7 @@ class TxTable:
         compare_cols: list[str],
         prune_on_key: bool = False,
         prune_on_partitions: bool = False,
+        schema_evolution: bool = False,
     ) -> int:
         """Copy-on-write SCD-1 MERGE: read the current snapshot, apply
         the set-wise merge (operators/merge.py — the same null-safe
@@ -3151,7 +3160,19 @@ class TxTable:
         That is the intended contract for partition-local keys (the
         daily-feed shape); when keys can move between partitions,
         leave it off and pay the full-condition merge. Composes with
-        ``prune_on_key`` (partitions first, key zones within)."""
+        ``prune_on_key`` (partitions first, key zones within).
+
+        ``schema_evolution=True`` (r12, VERDICT r11 #3 — Delta's
+        ``withSchemaEvolution`` merge, the standard ingest path for
+        evolving upstreams): ``compare_cols`` naming columns the table
+        does not have yet WIDEN it in the same commit — existing rows
+        read the new columns as NULL (the snapshot side is padded with
+        typed NULL literals before the set-wise merge, so no data file
+        is rewritten for the widening itself), staged rows carry their
+        values, and the commit publishes the widened schema exactly
+        like a widening append (``_widened_meta`` — type changes still
+        refuse loudly). Without the flag, a new source column raises a
+        clear error instead of an opaque AnalysisException."""
         base_version = self.latest_version()
         cols = [key] + compare_cols
         # merge rewrites whole files through _stage's auto partitionBy,
@@ -3167,10 +3188,33 @@ class TxTable:
             )
         read_parts: list[tuple[str, list]] = []  # rebase predicate (r11)
         read_range: tuple | None = None
+        new_cols: list[str] = []  # columns the merge adds (r12)
         if base_version < 0:
             merged = staged.select(*cols)
             old_files: list[str] = []
         else:
+            cur = self.read(spark, version=base_version)
+            have = set(cur.columns)
+            new_cols = [c for c in cols if c not in have]
+            if new_cols and not schema_evolution:
+                raise ValueError(
+                    f"merge on {self.path}: source columns {new_cols} do "
+                    "not exist in the table; pass schema_evolution=True "
+                    "to widen it (existing rows read them as NULL)"
+                )
+            if schema_evolution:
+                # evolution widens, it never mutates: an existing
+                # column arriving with a different type refuses HERE
+                # (same contract as _widened_meta) instead of blowing
+                # up as a cast error deep inside the set-wise merge
+                ctypes = {f.name: f.dataType for f in cur.schema.fields}
+                for f in staged.select(*cols).schema.fields:
+                    if f.name in ctypes and ctypes[f.name] != f.dataType:
+                        raise ValueError(
+                            f"column {f.name!r} is {ctypes[f.name]} in "
+                            f"table {self.path}, staged as {f.dataType}; "
+                            "type changes need an explicit migration"
+                        )
             old_files = self._snapshot_files(base_version)
             if prune_on_partitions:
                 for pc in self.partition_columns(base_version):
@@ -3194,7 +3238,23 @@ class TxTable:
                 old_files = [f for f in old_files if f in touched]
                 read_range = (lo, hi)
             if old_files:
-                snapshot = self._scan(spark, old_files, base_version).select(*cols)
+                snap = self._scan(spark, old_files, base_version)
+                if new_cols:
+                    # widen the snapshot side with typed NULLs — the
+                    # set-wise merge then treats every existing row as
+                    # "no value yet" for the evolved columns
+                    stypes = {
+                        f.name: f.dataType
+                        for f in staged.select(*cols).schema.fields
+                    }
+                    snap = snap.select(
+                        "*",
+                        *[
+                            F.lit(None).cast(stypes[c]).alias(c)
+                            for c in new_cols
+                        ],
+                    )
+                snapshot = snap.select(*cols)
                 merged = scd1_merge(
                     snapshot, staged.select(*cols), key, compare_cols
                 ).drop("action")
@@ -3207,6 +3267,21 @@ class TxTable:
         # merge just wrote anyway) before anything commits
         self._enforce_constraints(names, meta0, spark)
         actions = self._add_actions(names) + [{"remove": f} for f in old_files]
+        meta_read = meta0  # what the CDC read-back resolves schema with
+        if new_cols:
+            # publish the widened schema in the SAME commit (exactly a
+            # widening append's contract); interleaved meta changes
+            # conflict the rebase below, so this union cannot go stale
+            staged_fields = {
+                f.name: f
+                for f in self._to_physical(
+                    merged.limit(0), meta0
+                ).schema.fields
+            }
+            widened = self._widened_meta(staged_fields)
+            actions += widened
+            if widened:  # the read-back must see the NEW columns
+                meta_read = widened[0]["meta"]
         if (meta0 or {}).get("change_data_feed") and old_files:
             # CDC sidecar (r11, Delta's _change_data design): compute
             # the diff ONCE at write time from what was actually
@@ -3216,12 +3291,21 @@ class TxTable:
             # parquets in the same commit. Sidecar volume ~ changed
             # rows; the feed then serves this commit join-free.
             new_df = self._project_logical(
-                self._reader(spark, meta0).parquet(
+                self._reader(spark, meta_read).parquet(
                     *[os.path.join(self.path, f) for f in names]
                 ),
-                meta0,
+                meta_read,
             )
             old_df = self._scan(spark, old_files, base_version)
+            if new_cols:  # the preimage reads evolved columns as NULL
+                ntypes = {f.name: f.dataType for f in new_df.schema.fields}
+                old_df = old_df.select(
+                    "*",
+                    *[
+                        F.lit(None).cast(ntypes[c]).alias(c)
+                        for c in new_cols
+                    ],
+                )
             cdc_names = self._stage(
                 self._merge_cdc(old_df, new_df, key), pcols=None
             )

@@ -430,6 +430,19 @@ class TxLogBatchReader(DataSourceReader):
         )
 
 
+def _parse_byte_limit(v) -> int:
+    """Delta-style size string: plain int, or k/m/g[b] suffix."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("k", 1 << 10), ("mb", 1 << 20),
+                   ("m", 1 << 20), ("gb", 1 << 30), ("g", 1 << 30),
+                   ("b", 1)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)].strip(), m
+            break
+    return int(s) * mult
+
+
 class TxLogStreamReader(DataSourceStreamReader):
     """Streaming source. Default mode serves the append-only file
     feed; ``cdf=True`` (``.option("readChangeFeed", "true")``, r11 —
@@ -452,7 +465,36 @@ class TxLogStreamReader(DataSourceStreamReader):
     - metadata-only commits contribute nothing.
 
     Everything is per-file executor work (position sets from KB-sized
-    DV parquets) — no joins, no driver data."""
+    DV parquets) — no joins, no driver data.
+
+    Admission control (r12, VERDICT r11 #1 — Delta's
+    ``maxFilesPerTrigger`` / ``maxBytesPerTrigger``): without a cap,
+    ``latestOffset`` jumps straight to the table's latest version, so
+    a stream starting against a deep backlog (or resuming after
+    downtime) plans the ENTIRE pending history as one micro-batch —
+    at 100 TB that one batch is the scale-killer. With a cap,
+    ``latestOffset`` walks the servable commits past the current
+    position and stops before the commit that would push the admitted
+    file count/bytes over the limit (always admitting at least one
+    commit, Delta's progress guarantee — a single oversized commit
+    still goes through rather than wedging the stream). Offsets stay
+    plain version numbers, so exactly-once across restarts is
+    unchanged: the cap only chooses WHERE the batch boundaries fall,
+    never what rows exist between two offsets.
+
+    Position tracking: the Python DataSource API (unlike Scala's
+    ``SupportsAdmissionControl``) hands ``latestOffset()`` no start
+    offset, so the reader learns its position from ``initialOffset``
+    (fresh query) / ``partitions(start, end)`` (every planned batch,
+    including the restart replay of the last offset-log batch —
+    the same engine behavior pyspark's own
+    ``_SimpleStreamReaderWrapper`` documents it depends on). A
+    monotone position hint is also persisted next to the log
+    (``_admission-<id>``) purely as a capping aid after a clean
+    stop-and-restart; correctness NEVER depends on it — a stale or
+    shared hint can only make one batch larger than the cap, never
+    skip or repeat rows, because the hint is monotone over ends
+    already returned (end >= any checkpointed start)."""
 
     def __init__(
         self,
@@ -460,11 +502,22 @@ class TxLogStreamReader(DataSourceStreamReader):
         starting_version: int,
         target_schema=None,
         cdf: bool = False,
+        max_files: "int | None" = None,
+        max_bytes: "int | None" = None,
+        stream_id: "str | None" = None,
     ):
         self.table = table
         self.starting_version = starting_version
         self.target_schema = target_schema
         self.cdf = cdf
+        if max_files is not None and max_files <= 0:
+            raise ValueError("maxFilesPerTrigger must be a positive int")
+        if max_bytes is not None and max_bytes <= 0:
+            raise ValueError("maxBytesPerTrigger must be positive")
+        self.max_files = max_files
+        self.max_bytes = max_bytes
+        self.stream_id = stream_id or "default"
+        self._pos: "int | None" = None  # last planned/returned end
         # insert/delete partitions read plain data files that do NOT
         # carry _change_type — align them to the schema WITHOUT it,
         # then stamp the constant (cdc sidecars align to the full one)
@@ -477,10 +530,102 @@ class TxLogStreamReader(DataSourceStreamReader):
             )
 
     def initialOffset(self) -> dict:
+        self._pos = self.starting_version
         return {"version": self.starting_version}
 
+    # ---- admission control (r12) ----
+    def _hint_path(self) -> str:
+        return os.path.join(
+            self.table.path, "_txlog", f"_admission-{self.stream_id}"
+        )
+
+    def _load_hint(self) -> "int | None":
+        try:
+            with open(self._hint_path()) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _save_hint(self, end: int) -> None:
+        # best-effort and monotone; a read-only table dir just means
+        # the one-uncapped-batch-after-clean-restart caveat applies
+        try:
+            prev = self._load_hint()
+            if prev is not None and prev >= end:
+                return
+            p = self._hint_path()
+            tmp = f"{p}.{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as f:
+                f.write(str(end))
+            os.replace(tmp, p)
+        except OSError:
+            pass
+
+    def _admission_cost(self, entry: dict) -> "tuple[int, int]":
+        """(files, bytes) a batch containing this commit schedules.
+        Plain mode reads only added files (``change_files``); CDF mode
+        additionally reads CDC sidecars, DV-covered files, and
+        replaced files (overwrite/restore deletes). Bytes come from
+        the add action's recorded ``bytes`` when present (r12 logs),
+        else one driver-side getsize — metadata-only either way."""
+        acts = entry["actions"]
+        sized: "dict[str, int | None]" = {
+            a["add"]: a.get("bytes") for a in acts if "add" in a
+        }
+        if self.cdf:
+            for a in acts:
+                if "cdc" in a:
+                    sized.setdefault(a["cdc"], None)
+                elif "remove" in a:
+                    sized.setdefault(a["remove"], None)
+                elif "dv" in a:
+                    for n in a.get("files", ()):
+                        sized.setdefault(n, None)
+        total = 0
+        for n, b in sized.items():
+            if b is None:
+                try:
+                    b = os.path.getsize(self.table._abs(n))
+                except OSError:
+                    b = 0
+            total += b
+        return len(sized), total
+
     def latestOffset(self) -> dict:
-        return {"version": self.table.latest_version()}
+        latest = self.table.latest_version()
+        if self.max_files is None and self.max_bytes is None:
+            return {"version": latest}
+        pos = self._pos if self._pos is not None else self._load_hint()
+        if pos is None:
+            # clean-restart with no persisted hint: the API gives us no
+            # start offset, so this one batch is uncapped; partitions()
+            # teaches the position and every later batch honors the cap
+            self._save_hint(latest)
+            return {"version": latest}
+        if latest <= pos:
+            return {"version": pos}
+        files = nbytes = 0
+        end, exhausted = pos, True
+        for v, _op, entry in self.table._change_entries(
+            pos, latest, self.cdf
+        ):
+            f, b = self._admission_cost(entry)
+            over = (
+                self.max_files is not None and files + f > self.max_files
+            ) or (self.max_bytes is not None and nbytes + b > self.max_bytes)
+            if over and end > pos:  # at-least-one-commit progress
+                exhausted = False
+                break
+            files += f
+            nbytes += b
+            end = v
+            if over:
+                exhausted = False
+                break
+        if exhausted:
+            end = latest  # sweep trailing metadata-only commits too
+        self._save_hint(end)
+        return {"version": end}
 
     def _part(self, name: str, v: int, **kw) -> TxLogPartition:
         cdc = kw.pop("cdc", False)
@@ -495,6 +640,12 @@ class TxLogStreamReader(DataSourceStreamReader):
         )
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # every planned batch (incl. the restart replay of the last
+        # offset-log batch) tells us where the stream really is —
+        # keep the max: a replay must not move the position backwards
+        v = max(start["version"], end["version"])
+        if self._pos is None or v > self._pos:
+            self._pos = v
         if not self.cdf:
             return [
                 TxLogPartition(
@@ -614,7 +765,12 @@ class TxLogStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass  # the log is the source of truth; nothing to release
+        # the log is the source of truth; nothing to release — but a
+        # committed end is also a position floor (belt-and-braces: the
+        # batch's partitions() call already taught us this)
+        v = end["version"]
+        if self._pos is None or v > self._pos:
+            self._pos = v
 
 
 def _to_physical_batch(batch: "pa.RecordBatch", meta: dict | None):
@@ -831,6 +987,13 @@ class TxLogDataSource(DataSource):
     - ``path``: table directory (required; ``.load(path)`` sets it)
     - ``version``: batch time travel (optional)
     - ``startingVersion``: stream start, exclusive (default -1 = all)
+    - ``maxFilesPerTrigger`` / ``maxBytesPerTrigger``: streaming
+      admission control (r12) — cap the data files / bytes a single
+      micro-batch admits from the backlog (Delta's contract: at least
+      one commit always goes through; exactly-once is unaffected).
+      ``maxBytesPerTrigger`` accepts plain ints or ``10m``/``1g``.
+    - ``streamId``: names the per-stream admission position hint
+      (only relevant when several capped streams read one table)
     - ``appId``: stream-writer txn app id (default
       ``txlog-writer-<table basename>``)
     """
@@ -901,11 +1064,16 @@ class TxLogDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> TxLogStreamReader:
         table = self._table()
+        mf = self.options.get("maxfilespertrigger")
+        mb = self.options.get("maxbytespertrigger")
         return TxLogStreamReader(
             table,
             int(self.options.get("startingversion", -1)),
             _attach_physical(_declared_arrow_schema(schema), table, None),
             cdf=self._cdf(),
+            max_files=int(mf) if mf is not None else None,
+            max_bytes=_parse_byte_limit(mb) if mb is not None else None,
+            stream_id=self.options.get("streamid"),
         )
 
     def _pcols(self) -> "list[str] | None":

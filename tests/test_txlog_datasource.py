@@ -411,3 +411,166 @@ def test_stream_cdf_rejects_sidecarless_update(spark, tmp_path):
     with pytest.raises(Exception, match="set_change_data_feed"):
         q.awaitTermination(120)
         raise AssertionError("stream should have failed")
+
+
+# ---- streaming admission control (r12, VERDICT r11 #1) ----
+
+
+def _drain(reader, cur=None):
+    """Drive the reader exactly as MicroBatchExecution does: latestOffset
+    -> partitions(cur, end) -> commit(end), until the offset stops
+    advancing. Returns the planned (start, end, n_partitions) batches."""
+    if cur is None:
+        cur = reader.initialOffset()
+    batches = []
+    while True:
+        end = reader.latestOffset()
+        if end == cur:
+            return batches, cur
+        parts = reader.partitions(cur, end)
+        batches.append((cur["version"], end["version"], len(parts)))
+        reader.commit(end)
+        cur = end
+
+
+def _commits(t, spark, n, files_each=2, rows_each=4, start=0):
+    for c in range(n):
+        df = spark.createDataFrame(
+            [(start + c * rows_each + i, float(i)) for i in range(rows_each)],
+            "id long, val double",
+        )
+        t.append(df.repartition(files_each))
+
+
+def test_admission_caps_files_per_batch(spark, tmp_path):
+    """maxFilesPerTrigger=2 against a 5-commit (2 files each) backlog:
+    one commit per micro-batch, five batches, every offset step pinned —
+    vs the uncapped reader's single whole-history batch."""
+    from hephaestus_spark.sources.txlog_datasource import TxLogStreamReader
+
+    t = TxTable(str(tmp_path / "t"))
+    _commits(t, spark, 5)
+    uncapped, _ = _drain(TxLogStreamReader(t, -1))
+    assert uncapped == [(-1, 4, 10)]  # the scale-killer: all 10 files at once
+    capped, cur = _drain(TxLogStreamReader(t, -1, max_files=2))
+    assert capped == [(-1, 0, 2), (0, 1, 2), (1, 2, 2), (2, 3, 2), (3, 4, 2)]
+    # total files served identical — the cap moves boundaries, not rows
+    assert sum(n for _, _, n in capped) == 10
+
+
+def test_admission_oversized_commit_still_progresses(spark, tmp_path):
+    """A single commit larger than the cap is admitted alone (Delta's
+    at-least-one progress guarantee) instead of wedging the stream."""
+    from hephaestus_spark.sources.txlog_datasource import TxLogStreamReader
+
+    t = TxTable(str(tmp_path / "t"))
+    _commits(t, spark, 1, files_each=4)  # 4 files > cap of 1
+    _commits(t, spark, 1, files_each=1, start=100)
+    capped, _ = _drain(TxLogStreamReader(t, -1, max_files=1))
+    assert capped == [(-1, 0, 4), (0, 1, 1)]
+
+
+def test_admission_bytes_cap_and_suffix_parse(spark, tmp_path):
+    from hephaestus_spark.sources.txlog_datasource import (
+        TxLogStreamReader,
+        _parse_byte_limit,
+    )
+
+    assert _parse_byte_limit("1024") == 1024
+    assert _parse_byte_limit("10k") == 10240
+    assert _parse_byte_limit("2mb") == 2 << 20
+    assert _parse_byte_limit("1g") == 1 << 30
+    t = TxTable(str(tmp_path / "t"))
+    _commits(t, spark, 3, files_each=1)
+    # every parquet here is ~KBs; a 1-byte cap degenerates to one
+    # commit per batch via the progress guarantee
+    capped, _ = _drain(TxLogStreamReader(t, -1, max_bytes=1))
+    assert [(s, e) for s, e, _ in capped] == [(-1, 0), (0, 1), (1, 2)]
+    # a huge cap admits everything at once
+    wide, _ = _drain(TxLogStreamReader(t, -1, max_bytes=1 << 40))
+    assert [(s, e) for s, e, _ in wide] == [(-1, 2)]
+
+
+def test_admission_position_survives_restarts(spark, tmp_path):
+    """Crash-restart (uncommitted batch replayed through partitions())
+    and clean-restart (persisted hint) both resume capped; a fresh
+    reader never re-serves or skips a version."""
+    from hephaestus_spark.sources.txlog_datasource import TxLogStreamReader
+
+    t = TxTable(str(tmp_path / "t"))
+    _commits(t, spark, 4, files_each=1)
+    r1 = TxLogStreamReader(t, -1, max_files=1)
+    cur = r1.initialOffset()
+    end = r1.latestOffset()
+    assert end == {"version": 0}
+    r1.partitions(cur, end)  # batch planned but NOT committed -> crash
+    # crash-restart: the engine replays the offset-log batch through
+    # partitions() before asking for a new offset
+    r2 = TxLogStreamReader(t, -1, max_files=1)
+    r2.partitions(cur, end)  # replay
+    nxt = r2.latestOffset()
+    assert nxt == {"version": 1}  # capped continuation, no re-serve
+    r2.partitions(end, nxt)
+    r2.commit(nxt)
+    # clean-restart: a brand-new reader (fresh process, no replay) finds
+    # the persisted monotone hint and stays capped
+    r3 = TxLogStreamReader(t, -1, max_files=1)
+    assert r3.latestOffset() == {"version": 2}
+    # hint is monotone: an older reader instance cannot drag it back
+    assert r1.latestOffset() == {"version": 1}  # r1's own pos, not hint
+    hint = os.path.join(t.path, "_txlog", "_admission-default")
+    assert int(open(hint).read()) >= 2
+
+
+def test_admission_cdf_counts_sidecars(spark, tmp_path):
+    """CDF-mode costing includes CDC sidecars and replaced files, and a
+    capped CDF drain equals the uncapped one row-for-row."""
+    from hephaestus_spark.sources.txlog_datasource import TxLogStreamReader
+
+    t = TxTable(str(tmp_path / "t"))
+    _commits(t, spark, 1, files_each=1)          # v0 append
+    t.set_change_data_feed(True)                  # v1 metadata-only
+    _commits(t, spark, 1, files_each=1, start=50)  # v2 append
+    t.delete(spark, "id = 0")                     # v3 CoW delete + sidecar
+    r = TxLogStreamReader(t, -1, cdf=True, max_files=1)
+    batches, _ = _drain(r)
+    # v1 costs nothing and rides with v0; v3 (add+remove+cdc = 3 files)
+    # exceeds the cap but is admitted alone via the progress guarantee
+    assert [(s, e) for s, e, _ in batches] == [(-1, 1), (1, 2), (2, 3)]
+
+
+def test_admission_end_to_end_results_unchanged(spark, tmp_path):
+    """A real capped stream (processingTime micro-batches) delivers the
+    same rows as an uncapped availableNow run, in >1 micro-batch."""
+    import time
+
+    t = _seed(spark, str(tmp_path / "t"))  # v0: 4 files, v1: 1+ file
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("txlog")
+        .option("maxFilesPerTrigger", "2")
+        .load(t.path)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("path", out)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() == 110:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        else:
+            raise AssertionError("capped stream never caught up")
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 110
+    # the 4-file v0 commit alone cannot fit one 2-file batch with v1:
+    # at least two distinct micro-batches wrote the sink
+    assert got.select("_commit_version").distinct().count() == 2
