@@ -83,8 +83,8 @@ def test_commit_is_exclusive_and_merge_conflicts_loudly(spark, tmp_path):
     t2 = TxTable(str(tmp_path / "t"))
     original_stage = t2._stage
 
-    def stage_with_interloper(df):
-        names = original_stage(df)
+    def stage_with_interloper(df, **kw):
+        names = original_stage(df, **kw)
         # another writer lands between this merge's read and commit
         TxTable(t2.path).append(_df(spark, [(99, "x", 9.0)]))
         return names
@@ -138,7 +138,7 @@ def test_stream_batch_race_lands_exactly_once(spark, tmp_path):
     # t1's dedup check and t1's commit (stage hook, as in the merge test)
     original_stage = t1._stage
 
-    def stage_with_racer(d):
+    def stage_with_racer(d, **kw):
         names = original_stage(d)
         t2.append_stream_batch(df, "app", 5)
         return names

@@ -39,11 +39,11 @@ def _race(monkeypatch, victim_ops: set[str], racer, times: int = 1):
     orig = TxTable._commit
     state = {"left": times}
 
-    def patched(self, version, op, actions, txn=None, info=None):
+    def patched(self, version, op, actions, txn=None, info=None, **kw):
         if op in victim_ops and state["left"] > 0:
             state["left"] -= 1
             racer()
-        return orig(self, version, op, actions, txn=txn, info=info)
+        return orig(self, version, op, actions, txn=txn, info=info, **kw)
 
     monkeypatch.setattr(TxTable, "_commit", patched)
 

@@ -187,11 +187,11 @@ def test_update_rebases_over_disjoint_append(spark, tmp_path, monkeypatch):
     orig = TxTable._commit
     state = {"left": 1}
 
-    def patched(self, version, op, actions, txn=None, info=None):
+    def patched(self, version, op, actions, txn=None, info=None, **kw):
         if op == "update" and state["left"] > 0:
             state["left"] -= 1
             TxTable(path).append(racer)
-        return orig(self, version, op, actions, txn=txn, info=info)
+        return orig(self, version, op, actions, txn=txn, info=info, **kw)
 
     monkeypatch.setattr(TxTable, "_commit", patched)
     v, rewritten, n_rows = t.update(
@@ -214,11 +214,11 @@ def test_update_without_prune_conflicts(spark, tmp_path, monkeypatch):
     orig = TxTable._commit
     state = {"left": 1}
 
-    def patched(self, version, op, actions, txn=None, info=None):
+    def patched(self, version, op, actions, txn=None, info=None, **kw):
         if op == "update" and state["left"] > 0:
             state["left"] -= 1
             TxTable(path).append(racer)
-        return orig(self, version, op, actions, txn=txn, info=info)
+        return orig(self, version, op, actions, txn=txn, info=info, **kw)
 
     monkeypatch.setattr(TxTable, "_commit", patched)
     with pytest.raises(CommitConflict):
