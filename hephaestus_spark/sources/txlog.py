@@ -4477,7 +4477,58 @@ class TxTable:
             actions,
             info={"source": src_root, "source_version": src_version},
         )
+        # r12 (VERDICT r11 #6): best-effort clone marker in the SOURCE
+        # log dir — expire_log refuses to move the horizon past a
+        # registered clone's inception (the exact sequence that lets a
+        # later vacuum reclaim files the clone still references).
+        # Advisory only: a read-only source just keeps the documented
+        # Delta caveat.
+        try:
+            with open(
+                os.path.join(
+                    self.path, _LOG_DIR, f"_clone-{uuid.uuid4().hex[:12]}"
+                ),
+                "x",
+            ) as f:
+                json.dump(
+                    {
+                        "dest": os.path.abspath(dest.path),
+                        "source_version": src_version,
+                        "ts": time.time(),
+                    },
+                    f,
+                )
+        except OSError:
+            pass
         return dest
+
+    def clone_markers(self) -> list[dict]:
+        """Registered shallow clones of THIS table (advisory ``_clone-*``
+        markers, r12). Markers whose destination no longer exists are
+        dropped lazily."""
+        d = os.path.join(self.path, _LOG_DIR)
+        out = []
+        if not os.path.isdir(d):
+            return out
+        for f in sorted(os.listdir(d)):
+            if not f.startswith("_clone-"):
+                continue
+            full = os.path.join(d, f)
+            try:
+                with open(full) as fh:
+                    m = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            if not os.path.isdir(
+                os.path.join(m.get("dest", ""), _LOG_DIR)
+            ):
+                try:  # the clone was deleted: marker is stale
+                    os.remove(full)
+                except OSError:
+                    pass
+                continue
+            out.append(m)
+        return out
 
     def restore(self, spark: SparkSession, version: int) -> int:
         """RESTORE the table to a past ``version`` AS A NEW COMMIT
@@ -4727,6 +4778,7 @@ class TxTable:
         spark: SparkSession,
         target_files: int = 1,
         cluster_by: str | list[str] | None = None,
+        purge_dvs: float | None = None,
     ) -> int:
         """Small-file compaction (Delta OPTIMIZE shape): rewrite the
         current snapshot's files into ``target_files`` and commit the
@@ -4749,10 +4801,70 @@ class TxTable:
         be non-negative integers (callers bucketize wider domains, per
         layout.py). Append order decays clustering; periodic clustered
         OPTIMIZE restores it. ``tests/test_txlog.py`` pins prune-rate
-        floors on freshly clustered tables for both forms."""
+        floors on freshly clustered tables for both forms.
+
+        ``purge_dvs`` (r12, VERDICT r11 #6 — Delta's ``REORG TABLE …
+        APPLY (PURGE)``): rewrite ONLY the files whose tombstoned-row
+        fraction EXCEEDS the given threshold (0.0 = any file carrying
+        a deletion vector), materializing their soft deletes and
+        shedding their vectors; every other file — data and vectors —
+        is untouched. The full ``optimize()`` already purges DVs as a
+        side effect of rewriting everything; this is the targeted form
+        that makes DV hygiene affordable on a 100 TB table (rewrite
+        the 2% of files that are half-deleted, not the table).
+        Tombstone fractions come from the KB-sized DV parquets +
+        committed row counts — no data reads for unselected files.
+        Mutually exclusive with ``cluster_by``; ``target_files`` is
+        ignored (the rewrite keeps the partition layout). Returns the
+        unchanged base version when nothing crosses the threshold."""
         base_version = self.latest_version()
         if base_version < 0:
             raise ValueError(f"table {self.path} is empty")
+        if purge_dvs is not None:
+            if cluster_by is not None:
+                raise ValueError(
+                    "purge_dvs rewrites a DV-selected file subset — it "
+                    "does not compose with cluster_by (run them as "
+                    "separate OPTIMIZE commits)"
+                )
+            import pyarrow.parquet as _pq
+
+            adds, _txns, dvs, _meta = self._fold_state(base_version)
+            covered = sorted(dvs)
+            if not covered:
+                return base_version
+            base2rel = {os.path.basename(f): f for f in covered}
+            # distinct tombstoned positions per covered file (a
+            # position can appear in several live vectors; reads
+            # anti-join so duplicates are harmless, but the FRACTION
+            # must not double-count)
+            positions: dict[str, set] = {}
+            for dvn in sorted({d for ds in dvs.values() for d in ds}):
+                t = _pq.read_table(self._abs(dvn), columns=["file", "pos"])
+                for b, p in zip(
+                    t.column("file").to_pylist(), t.column("pos").to_pylist()
+                ):
+                    rel = base2rel.get(b)
+                    if rel is not None:
+                        positions.setdefault(rel, set()).add(p)
+            hits = []
+            for f in covered:
+                rows = (adds.get(f) or {}).get("rows")
+                if rows and len(positions.get(f, ())) / rows > purge_dvs:
+                    hits.append(f)
+            if not hits:
+                return base_version
+            names = self._stage(self._scan(spark, hits, base_version))
+            actions = self._add_actions(names) + [
+                {"remove": f} for f in hits
+            ]
+            return self._commit_snapshot_dependent(
+                base_version,
+                "optimize",
+                actions,
+                info={"purge_dvs": purge_dvs, "files": len(hits)},
+                disjoint=True,
+            )
         snapshot = self.read(spark, base_version)
         if isinstance(cluster_by, (list, tuple)) and len(cluster_by) > 1:
             from hephaestus_spark.operators.layout import zorder_key
@@ -4886,7 +4998,9 @@ class TxTable:
         out["vacuumed"] = self.vacuum(vacuum_grace)
         return out
 
-    def expire_log(self, retain_versions: int = 0) -> list[int]:
+    def expire_log(
+        self, retain_versions: int = 0, ignore_clones: bool = False
+    ) -> list[int]:
         """Log retention (r8 — Delta's logRetentionDuration, counted in
         versions): delete log entries BELOW the newest checkpoint
         (minus ``retain_versions`` of slack), plus superseded
@@ -4901,11 +5015,36 @@ class TxTable:
         horizon guard), ``history()`` starts at the horizon, and the
         next ``vacuum`` reclaims data files that only pre-horizon
         versions referenced — the storage point of expiry. Returns the
-        expired entry versions."""
+        expired entry versions.
+
+        Clone safety (r12, VERDICT r11 #6): expiry past a registered
+        shallow clone's inception is exactly what lets the NEXT vacuum
+        reclaim files the clone still references (they become
+        referenced by no surviving log record of ours), so it REFUSES
+        while such a clone exists — detach the clone (``optimize()``
+        it) or pass ``ignore_clones=True`` after deciding its fate.
+        Advisory by design: markers are best-effort (a clone of a
+        read-only source can't register), so the documented Delta
+        caveat still applies to unregistered clones."""
         cks = self._checkpoint_versions()
         if not cks:
             return []
         horizon = cks[-1] - retain_versions
+        if not ignore_clones:
+            at_risk = [
+                m
+                for m in self.clone_markers()
+                if m.get("source_version", 0) < horizon
+            ]
+            if at_risk:
+                dests = sorted(m["dest"] for m in at_risk)
+                raise ValueError(
+                    f"expire_log on {self.path}: horizon {horizon} passes "
+                    f"the inception of shallow clone(s) {dests}; a later "
+                    "vacuum would reclaim files they still reference. "
+                    "Detach them (clone.optimize()) or pass "
+                    "ignore_clones=True"
+                )
         expired = []
         for v in self._versions():
             if v < horizon:

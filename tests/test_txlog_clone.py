@@ -244,3 +244,98 @@ def test_change_feed_passes_metadata_only_commits(spark, tmp_path):
     assert sorted(by_ver[0]) == [0, 1, 2, 3]
     assert by_ver[4] == [100]
     assert set(by_ver) == {0, 4}  # metadata commits contributed no rows
+
+
+# ---- REORG purge + clone-aware retention (r12, VERDICT r11 #6) ----
+
+
+def test_optimize_purge_dvs_rewrites_only_high_tombstone_files(spark, tmp_path):
+    """Delta's REORG … APPLY (PURGE): with ids 0..39 in 4 range files
+    of 10, tombstone 60% of file0 and 10% of file1; purge_dvs=0.3
+    rewrites EXACTLY file0 (its deletes materialized, vector shed)
+    while file1 keeps both its bytes and its vector, and the visible
+    rows are identical throughout."""
+    t = _seed(spark, str(tmp_path / "t"))
+    t.delete_mor(spark, "id IN (0,1,2,3,4,5)")   # 6/10 of file0
+    t.delete_mor(spark, "id = 15")               # 1/10 of file1
+    before_files = set(t._snapshot_files())
+    before_rows = sorted(r["id"] for r in t.read(spark).collect())
+    assert t.detail()["num_deletion_vectors"] == 2
+    v = t.optimize(spark, purge_dvs=0.3)
+    assert v == t.latest_version() and t.history()[-1]["op"] == "optimize"
+    after_files = set(t._snapshot_files())
+    # exactly one file rewritten, three untouched
+    assert len(before_files & after_files) == 3
+    assert len(after_files) == 4
+    assert sorted(r["id"] for r in t.read(spark).collect()) == before_rows
+    # file1's vector survives; file0's is shed with its file
+    assert t.detail()["num_deletion_vectors"] == 1
+    # time travel still serves the pre-purge states
+    assert t.read(spark, version=0).count() == 40
+
+
+def test_optimize_purge_zero_threshold_sheds_every_vector(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"))
+    t.delete_mor(spark, "id IN (3, 17, 33)")
+    base = t.latest_version()
+    v = t.optimize(spark, purge_dvs=0.0)
+    assert v == base + 1
+    assert t.detail()["num_deletion_vectors"] == 0
+    assert sorted(r["id"] for r in t.read(spark).collect()) == sorted(
+        i for i in range(40) if i not in (3, 17, 33)
+    )
+    # nothing covered -> no commit at all
+    assert t.optimize(spark, purge_dvs=0.0) == v
+
+
+def test_optimize_purge_rejects_cluster_by(spark, tmp_path):
+    t = _seed(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="cluster_by"):
+        t.optimize(spark, purge_dvs=0.0, cluster_by="id")
+
+
+def test_expire_log_refuses_past_live_clone_inception(spark, tmp_path):
+    """The dangerous sequence — clone, then source expires its log past
+    the clone point and vacuums — now refuses at the expire step while
+    the clone is registered; ignore_clones + a detached/deleted clone
+    both unblock it."""
+    src = _seed(spark, str(tmp_path / "src"))
+    clone = src.clone_to(str(tmp_path / "clone"))
+    assert [m["dest"] for m in src.clone_markers()] == [
+        os.path.abspath(clone.path)
+    ]
+    # roll the source far enough to own a checkpoint above the clone
+    for i in range(12):
+        src.append(_df(spark, [(100 + i, "x", 1.0)]).coalesce(1))
+    src.delete(spark, "id < 10")  # rewrites: clone-referenced files die
+    with pytest.raises(ValueError, match="shallow clone"):
+        src.expire_log()
+    # the clone still reads perfectly (nothing was reclaimed)
+    assert clone.read(spark).count() == 40
+    # explicit override: expiry + vacuum proceed (the documented
+    # manual path — the operator has decided the clone's fate)
+    expired = src.expire_log(ignore_clones=True)
+    assert expired
+    # deleting the clone makes its marker stale; the next expire_log
+    # needs no override
+    import shutil
+
+    shutil.rmtree(clone.path)
+    assert src.clone_markers() == []
+    src.expire_log()  # no raise
+
+
+def test_vacuum_after_guarded_expiry_keeps_clone_alive(spark, tmp_path):
+    """End-to-end: with the guard honored (no expiry), the source's
+    vacuum reclaims nothing a clone references."""
+    src = _seed(spark, str(tmp_path / "src"))
+    clone = src.clone_to(str(tmp_path / "clone"))
+    src.delete(spark, "id < 20")  # source rewrites half its files
+    with pytest.raises(ValueError, match="shallow clone"):
+        # force a checkpoint so expire_log would have a horizon
+        for i in range(12):
+            src.append(_df(spark, [(200 + i, "y", 2.0)]).coalesce(1))
+        src.expire_log()
+    src.vacuum(grace_seconds=0.0)
+    assert clone.read(spark).count() == 40
+    assert {r["id"] for r in clone.read(spark).collect()} == set(range(40))
