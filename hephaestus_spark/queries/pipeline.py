@@ -1139,6 +1139,70 @@ def x_txlog_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_txlog_reorg_purge",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal,
+           TRUE AS partial_rewrite, TRUE AS vectors_reduced
+    FROM customer
+    WHERE NOT (
+      c_custkey <= (SELECT MAX(c_custkey) FROM customer) // 4
+      OR c_custkey % 50 = 3
+    )
+    """,
+)
+def x_txlog_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REORG … APPLY (PURGE) (r12, VERDICT r11 #6 —
+    sources/txlog.py::optimize(purge_dvs)): customers land range-
+    clustered over 4 files; one merge-on-read DELETE tombstones the
+    whole bottom key quartile (concentrated in the low-range file) and
+    another sprinkles ~2% everywhere. ``optimize(purge_dvs=0.5)`` then
+    rewrites ONLY the file(s) past the tombstone threshold —
+    ``partial_rewrite`` pins that at least one pre-purge file survived
+    byte-identical AND at least one was rewritten, ``vectors_reduced``
+    that the purged files' deletion vectors were shed while the
+    sprinkled ones remain live. The oracle replays both deletes as a
+    plain filter: the hash proves the targeted rewrite is
+    row-for-row invisible. Cost shape: tombstone fractions come from
+    KB-sized DV parquets + committed row counts; unselected files are
+    neither read nor written."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    workdir = tempfile.mkdtemp(prefix="txlog-reorg-")
+    try:
+        t = TxTable(f"{workdir}/customers")
+        t.append(c.repartitionByRange(4, F.col("c_custkey")))
+        k = c.agg(F.max("c_custkey")).first()[0] // 4
+        t.delete_mor(spark, f"c_custkey <= {k}")   # ~the low file
+        t.delete_mor(spark, "c_custkey % 50 = 3")  # sprinkle everywhere
+        before_files = set(t._snapshot_files())
+        before_dv = t.detail()["num_deletion_vectors"]
+        t.optimize(spark, purge_dvs=0.5)
+        after_files = set(t._snapshot_files())
+        after_dv = t.detail()["num_deletion_vectors"]
+        partial = (
+            len(before_files & after_files) >= 1
+            and len(after_files - before_files) >= 1
+        )
+        reduced = before_dv > after_dv >= 1
+        out = t.read(spark).select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.lit(partial).alias("partial_rewrite"),
+            F.lit(reduced).alias("vectors_reduced"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
     "x_txlog_constraints",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal,

@@ -341,16 +341,22 @@ class TxTable:
         if os.path.exists(single):
             return [single]
         d = os.path.join(self.path, _LOG_DIR)
-        found: dict[int, str] = {}
-        nparts = None
+        # r12: group candidate parts BY their declared set size — two
+        # writers materializing the same version with different part
+        # counts (the driver fold vs the Spark writer) must never have
+        # their sets MIXED (part 1 of one + part 2 of the other is a
+        # wrong row multiset); a complete set of either is correct.
+        sets: dict[int, dict[int, str]] = {}
         if os.path.isdir(d):
             for f in os.listdir(d):
                 m = _CKPT_PQ_RE.match(f)
                 if m and int(m.group(1)) == version and m.group(2):
-                    found[int(m.group(2))] = os.path.join(d, f)
-                    nparts = int(m.group(3))
-        if nparts and len(found) == nparts:
-            return [found[i] for i in range(1, nparts + 1)]
+                    sets.setdefault(int(m.group(3)), {})[
+                        int(m.group(2))
+                    ] = os.path.join(d, f)
+        for nparts, found in sorted(sets.items()):
+            if len(found) == nparts:
+                return [found[i] for i in range(1, nparts + 1)]
         return []
 
     def _load_checkpoint(self, version: int) -> dict | None:
@@ -524,6 +530,21 @@ class TxTable:
         previous checkpoint."""
         if version <= 0 or version % CHECKPOINT_INTERVAL != 0:
             return
+        # r12: big checkpoint-backed tables write the NEXT checkpoint
+        # through Spark (previous checkpoint + tail — the add-set
+        # never touches the driver); the driver fold below remains the
+        # small-table path and the fallback (checkpointing must never
+        # fail a commit that already landed)
+        active = SparkSession.getActiveSession()
+        if (
+            active is not None
+            and self._ckpt_live_rows() >= self.DML_SPARK_PLAN_THRESHOLD
+        ):
+            try:
+                if self.checkpoint_spark(active, version) == version:
+                    return
+            except Exception:
+                pass
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -574,6 +595,9 @@ class TxTable:
                     pq.write_table(tbl, f)
         except FileExistsError:
             return  # another writer already materialized this one
+        self._advance_ckpt_pointer(version, nparts)
+
+    def _advance_ckpt_pointer(self, version: int, nparts: int) -> None:
         hint = os.path.join(self.path, _LOG_DIR, _LAST_CKPT)
         try:
             with open(hint) as f:
@@ -585,6 +609,137 @@ class TxTable:
         with open(tmp, "w") as f:
             json.dump({"version": version, "parts": nparts}, f)
         os.replace(tmp, hint)
+
+    def checkpoint_spark(self, spark: SparkSession, version=None):
+        """Write the ``version`` checkpoint THROUGH SPARK (r12): new
+        checkpoint = previous checkpoint parquet (a cluster scan, the
+        unbounded add-set never touches the driver) + the log tail
+        folded driver-side (≤ CHECKPOINT_INTERVAL small entries) —
+        Delta's incremental-checkpoint idea. This removes the LAST
+        periodic driver materialization: without it, every interval-th
+        commit on a million-file table folds the whole state into
+        Python dicts inside the commit path. Driver state here is the
+        tail plus the bounded non-add rows (txn apps, files with live
+        tombstones, one meta row).
+
+        Content equals the driver-fold checkpoint exactly (payloads
+        are verbatim json round-trips; pinned by test) — only the
+        row-to-part assignment differs, which ``_complete_ckpt_parquet``
+        isolates per declared set size. Races stay first-writer-wins:
+        parts hard-link into place in order with exclusive creates,
+        and the first collision abandons this writer's whole set.
+
+        Returns the version on success, or None when the Spark path
+        does not apply (no prior complete checkpoint, or an empty
+        state) — callers fall back to the driver fold."""
+        import shutil
+
+        upto = self.latest_version() if version is None else version
+        ckdf, ckv = None, -1
+        for v in reversed(self._checkpoint_versions()):
+            if v > upto:
+                continue
+            parts = self._complete_ckpt_parquet(v)
+            if parts:
+                ckdf, ckv = spark.read.parquet(*parts), v
+                break
+        if ckdf is None:
+            return None
+        if ckv == upto:
+            return upto  # already materialized
+        # ---- tail fold (mirrors _apply exactly) ----
+        tail_adds: dict[str, dict] = {}
+        removed_ever: set[str] = set()
+        tail_dvs: dict[str, list[str]] = {}
+        meta, meta_in_tail = None, False
+        txn_tail: dict[str, int] = {}
+        for v in self._versions():
+            if not (ckv < v <= upto):
+                continue
+            e = self._read_entry(v)
+            for a in e["actions"]:
+                if "add" in a:
+                    tail_adds[a["add"]] = a
+                elif "remove" in a:
+                    tail_adds.pop(a["remove"], None)
+                    removed_ever.add(a["remove"])
+                    tail_dvs.pop(a["remove"], None)
+                elif "dv" in a:
+                    for f in a["files"]:
+                        tail_dvs.setdefault(f, []).append(a["dv"])
+                elif "meta" in a:
+                    meta, meta_in_tail = a["meta"], True
+            t = e.get("txn")
+            if t:
+                prev = txn_tail.get(t["app"])
+                if prev is None or t["batch"] > prev:
+                    txn_tail[t["app"]] = t["batch"]
+        # ---- bounded non-add state from the base checkpoint ----
+        txns: dict[str, int] = {}
+        dvs: dict[str, list[str]] = {}
+        base_meta = None
+        for r in ckdf.filter(F.col("kind") != "add").collect():
+            if r["kind"] == "txn":
+                txns[r["path"]] = int(r["payload"])
+            elif r["kind"] == "dv":
+                if r["path"] not in removed_ever:
+                    dvs[r["path"]] = json.loads(r["payload"])
+            elif r["kind"] == "meta":
+                base_meta = json.loads(r["payload"])
+        if not meta_in_tail:
+            meta = base_meta
+        for app, b in txn_tail.items():
+            prev = txns.get(app)
+            if prev is None or b > prev:
+                txns[app] = b
+        for f, lst in tail_dvs.items():  # append AFTER surviving base
+            dvs.setdefault(f, [])
+            dvs[f] = dvs[f] + lst
+        # ---- assemble: distributed adds + local small rows ----
+        schema = "kind string, path string, rows long, v long, payload string"
+        base_adds = ckdf.filter(F.col("kind") == "add").select(
+            "kind", "path", "rows", "v", "payload"
+        )
+        drop = removed_ever | set(tail_adds)
+        if drop:
+            base_adds = base_adds.filter(~F.col("path").isin(sorted(drop)))
+        local = (
+            [
+                ("add", p, a.get("rows"), a.get("v"), json.dumps(a))
+                for p, a in tail_adds.items()
+            ]
+            + [("txn", app, None, None, str(b)) for app, b in txns.items()]
+            + [("dv", p, None, None, json.dumps(ds)) for p, ds in dvs.items()]
+            + ([("meta", "", None, None, json.dumps(meta))] if meta else [])
+        )
+        total = base_adds.count() + len(local)
+        if total == 0:
+            return None  # empty state: the driver path's 1-part form
+        final = base_adds
+        if local:
+            final = final.unionByName(spark.createDataFrame(local, schema))
+        nparts = max(1, -(-total // CHECKPOINT_PART_ROWS))
+        tmp = os.path.join(
+            self.path, _LOG_DIR, f"_ckpt_tmp-{uuid.uuid4().hex[:8]}"
+        )
+        final.repartition(nparts).write.parquet(tmp)
+        parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        n = len(parts)
+        try:
+            for i, p in enumerate(parts):
+                dst = (
+                    _ckpt_pq_path(self.path, upto)
+                    if n == 1
+                    else _ckpt_pq_path(self.path, upto, i + 1, n)
+                )
+                os.link(os.path.join(tmp, p), dst)
+        except FileExistsError:
+            pass  # another writer won this version; keep theirs
+        else:
+            self._advance_ckpt_pointer(upto, n)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return upto
 
     def checkpoint_df(self, spark: SparkSession) -> DataFrame | None:
         """The newest checkpoint read THROUGH Spark — columns (kind,
@@ -4779,6 +4934,7 @@ class TxTable:
         target_files: int = 1,
         cluster_by: str | list[str] | None = None,
         purge_dvs: float | None = None,
+        partitions: dict | None = None,
     ) -> int:
         """Small-file compaction (Delta OPTIMIZE shape): rewrite the
         current snapshot's files into ``target_files`` and commit the
@@ -4816,16 +4972,28 @@ class TxTable:
         committed row counts — no data reads for unselected files.
         Mutually exclusive with ``cluster_by``; ``target_files`` is
         ignored (the rewrite keeps the partition layout). Returns the
-        unchanged base version when nothing crosses the threshold."""
+        unchanged base version when nothing crosses the threshold.
+
+        ``partitions`` (r12 — Delta's ``OPTIMIZE … WHERE``): scope the
+        compaction to files whose committed zone for each listed
+        column overlaps the listed values — ``{"day":
+        ["2024-03-01"]}`` compacts one hot partition of a 100 TB
+        table without touching the rest (a streaming ingest's daily
+        close-out). File selection is metadata-only; unselected files
+        keep their bytes AND their deletion vectors, so the scoped
+        form only partially detaches a shallow clone (the full
+        ``optimize()`` stays the documented detach). Composes with
+        ``cluster_by`` (cluster within the selected subset); returns
+        the unchanged base version when nothing is selected."""
         base_version = self.latest_version()
         if base_version < 0:
             raise ValueError(f"table {self.path} is empty")
         if purge_dvs is not None:
-            if cluster_by is not None:
+            if cluster_by is not None or partitions:
                 raise ValueError(
                     "purge_dvs rewrites a DV-selected file subset — it "
-                    "does not compose with cluster_by (run them as "
-                    "separate OPTIMIZE commits)"
+                    "does not compose with cluster_by or partitions "
+                    "(run them as separate OPTIMIZE commits)"
                 )
             import pyarrow.parquet as _pq
 
@@ -4865,7 +5033,21 @@ class TxTable:
                 info={"purge_dvs": purge_dvs, "files": len(hits)},
                 disjoint=True,
             )
-        snapshot = self.read(spark, base_version)
+        if partitions:
+            removes = self._snapshot_files(base_version)
+            for col, vals in partitions.items():
+                norm = [_zone_probe_value(v) for v in vals if v is not None]
+                keep = set(self.pruned_files_in(col, norm, base_version)[0])
+                removes = [f for f in removes if f in keep]
+            if not removes:
+                return base_version
+            # selection is an optimization SCOPE only: the rewrite
+            # re-houses whatever rows the selected files hold, so an
+            # over-inclusive zone overlap stays row-identical
+            snapshot = self._scan(spark, removes, base_version)
+        else:
+            removes = self._snapshot_files(base_version)
+            snapshot = self.read(spark, base_version)
         if isinstance(cluster_by, (list, tuple)) and len(cluster_by) > 1:
             from hephaestus_spark.operators.layout import zorder_key
 
@@ -4888,7 +5070,7 @@ class TxTable:
             snapshot = snapshot.coalesce(target_files)
         names = self._stage(snapshot)
         actions = self._add_actions(names) + [
-            {"remove": f} for f in self._snapshot_files(base_version)
+            {"remove": f} for f in removes
         ]
         # OCC rebase (r11): compaction re-houses exactly the files it
         # removes; an interleaved PURE append stays live and untouched

@@ -494,7 +494,22 @@ class TxLogStreamReader(DataSourceStreamReader):
     stop-and-restart; correctness NEVER depends on it — a stale or
     shared hint can only make one batch larger than the cap, never
     skip or repeat rows, because the hint is monotone over ends
-    already returned (end >= any checkpointed start)."""
+    already returned (end >= any checkpointed start).
+
+    ``Trigger.AvailableNow`` caveat (probed, r12): Spark wraps Python
+    sources in ``AvailableNowDataStreamWrapper``, which memorizes ONE
+    ``latestOffset`` at query start and serves it as the single
+    batch's end — the engine, not this reader, decides that. A fresh
+    capped query under availableNow therefore still takes the whole
+    backlog in one batch (the reader's position is unknown at the
+    memorize call, so it returns the uncapped latest — the SAFE side:
+    'available now' means everything, and a capped memorized end
+    would silently under-deliver). On a RESTART (position known from
+    the replay or the hint) an availableNow run takes one capped batch
+    and terminates — eventually-complete across repeated runs, exactly
+    once, each run bounded by the cap. To drain a backlog with the cap
+    in one invocation, use a processingTime trigger (continuous capped
+    micro-batches, pinned in tests)."""
 
     def __init__(
         self,

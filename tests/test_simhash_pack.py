@@ -75,10 +75,19 @@ def test_bench_regression_parser(tmp_path, monkeypatch):
         json.dumps({"sf": 0.1, "queries": {"qb": 1.2}})
     )
     monkeypatch.setattr(bench, "_REPO_DIR", str(tmp_path))
-    out = bench._regressions_vs_best({"qa": 0.9, "qb": 2.1}, sf=0.1)
-    # best prior qa = 0.4 (from the wrapped record, NOT the 0.01-sf one);
-    # qb best = 1.2 (from the LOCAL record); 2.1 > 1.2*1.5 -> flagged.
+    # r12: the operative reference is the median of recent rounds, not
+    # the all-time min (VERDICT r11 #2). qa history at sf 0.1 =
+    # [1.0 (r1), 0.4 (r2 wrapped; the 0.01-sf record is excluded)] ->
+    # ref 1.0; qb = [2.0 (r1), 1.2 (LOCAL r4)] -> ref 2.0.
+    best = bench._best_prior(0.1)
+    assert best == {"qa": 0.4, "qb": 1.2}  # the ratchet, reference-only
+    recent = bench._recent_reference(0.1)
+    assert recent == {"qa": 1.0, "qb": 2.0}
+    # an honest 0.9/2.1 run: NOT a regression vs recent (it would have
+    # been flagged 2.25x/1.75x against the lucky ratcheted mins)
+    assert bench._regressions_vs_ref({"qa": 0.9, "qb": 2.1}, recent, best) == {}
+    # a genuine regression still flags, with both references attached
+    out = bench._regressions_vs_ref({"qa": 2.0, "qb": 2.1}, recent, best)
     assert out == {
-        "qa": {"now": 0.9, "best_prior": 0.4},
-        "qb": {"now": 2.1, "best_prior": 1.2},
+        "qa": {"now": 2.0, "recent_ref": 1.0, "best_prior": 0.4},
     }

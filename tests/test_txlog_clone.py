@@ -339,3 +339,35 @@ def test_vacuum_after_guarded_expiry_keeps_clone_alive(spark, tmp_path):
     src.vacuum(grace_seconds=0.0)
     assert clone.read(spark).count() == 40
     assert {r["id"] for r in clone.read(spark).collect()} == set(range(40))
+
+
+def test_optimize_partition_scoped(spark, tmp_path):
+    """Delta's OPTIMIZE … WHERE (r12): compaction scoped to one
+    partition's files — the other partitions keep their bytes, the
+    selected one collapses to target_files, and the visible rows are
+    identical. Small files come from 3 appends × 2 partitions."""
+    t = TxTable(str(tmp_path / "t"))
+    for c in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(c * 10 + i, ["a", "b"][i % 2], float(i)) for i in range(6)],
+                "id long, day string, val double",
+            ),
+            partition_by=["day"] if c == 0 else None,
+        )
+    before = set(t._snapshot_files())
+    before_rows = sorted(
+        (r["id"], r["day"]) for r in t.read(spark).collect()
+    )
+    v = t.optimize(spark, target_files=1, partitions={"day": ["a"]})
+    assert v == t.latest_version()
+    after = set(t._snapshot_files())
+    # every day=b file untouched; the day=a files collapsed
+    b_files = {f for f in before if "day=b" in f}
+    assert b_files <= after
+    assert len([f for f in after if "day=a" in f]) == 1
+    assert sorted(
+        (r["id"], r["day"]) for r in t.read(spark).collect()
+    ) == before_rows
+    # scoping to a value with no files is a no-op, no commit
+    assert t.optimize(spark, partitions={"day": ["zzz"]}) == v

@@ -574,3 +574,27 @@ def test_admission_end_to_end_results_unchanged(spark, tmp_path):
     # the 4-file v0 commit alone cannot fit one 2-file batch with v1:
     # at least two distinct micro-batches wrote the sink
     assert got.select("_commit_version").distinct().count() == 2
+
+
+def test_admission_available_now_takes_full_backlog_fresh(spark, tmp_path):
+    """Engine caveat, pinned (r12): Spark's AvailableNowDataStreamWrapper
+    memorizes ONE latestOffset for Python sources, so a FRESH capped
+    availableNow query still delivers the whole backlog in one batch —
+    complete ('available now' semantics), just uncapped. Capped
+    draining needs processingTime (pinned above) or repeated runs."""
+    t = TxTable(str(tmp_path / "t"))
+    _commits(t, spark, 4, files_each=1)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("txlog")
+        .option("maxFilesPerTrigger", "1")
+        .load(t.path)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 16  # complete, one batch
+    assert len(q.recentProgress) == 1
