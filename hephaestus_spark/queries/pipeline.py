@@ -1139,6 +1139,99 @@ def x_txlog_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_txlog_merge_into",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 6 NOT IN (0, 3) AND c_acctbal < 0
+                THEN c_name || '*' ELSE c_name END AS c_name,
+           c_acctbal + CASE WHEN c_custkey % 6 = 0 THEN 25 ELSE 0 END
+             AS c_acctbal
+    FROM customer
+    WHERE c_custkey % 6 <> 3
+    UNION ALL
+    SELECT -c_custkey, c_name, c_acctbal
+    FROM customer WHERE c_custkey % 15 = 1
+    """,
+)
+def x_txlog_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General MERGE INTO, every clause at once (r12 —
+    sources/txlog.py::merge_into, Delta's multi-clause surface):
+    customers are the target; one source frame carries 'u' rows
+    (every 6th key → conditional matched UPDATE, acctbal+25 bound to
+    the OLD row), 'd' rows (keys ≡3 mod 6 → conditional matched
+    DELETE), and 'i' rows (negated 15th keys → conditional NOT
+    MATCHED INSERT), while a NOT MATCHED BY SOURCE UPDATE stars the
+    name of every source-untouched customer with a negative balance.
+    The oracle restates all four clauses as plain SQL, so the hash
+    pins clause precedence, condition evaluation, insert NULL-free
+    projection, and that untouched rows pass through byte-exact. Cost
+    shape: only files holding matched or by-source-affected rows
+    rewrite; inserts stage as new files; the source is pinned once
+    (localCheckpoint) so classification, metrics, and rewrite agree."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    workdir = tempfile.mkdtemp(prefix="txlog-mergeinto-")
+    try:
+        t = TxTable(f"{workdir}/customers")
+        t.append(c.repartitionByRange(4, F.col("c_custkey")))
+        src = (
+            c.filter(F.col("c_custkey") % 6 == 0)
+            .select(
+                F.col("c_custkey").alias("k"),
+                F.lit(None).cast("string").alias("nm"),
+                F.lit(None).cast("double").alias("bal"),
+                F.lit("u").alias("op"),
+            )
+            .unionByName(
+                c.filter(F.col("c_custkey") % 6 == 3).select(
+                    F.col("c_custkey").alias("k"),
+                    F.lit(None).cast("string").alias("nm"),
+                    F.lit(None).cast("double").alias("bal"),
+                    F.lit("d").alias("op"),
+                )
+            )
+            .unionByName(
+                c.filter(F.col("c_custkey") % 15 == 1).select(
+                    (-F.col("c_custkey")).alias("k"),
+                    F.col("c_name").alias("nm"),
+                    F.col("c_acctbal").alias("bal"),
+                    F.lit("i").alias("op"),
+                )
+            )
+        )
+        t.merge_into(
+            spark,
+            src,
+            "t.c_custkey = s.k",
+            matched_update={"c_acctbal": "t.c_acctbal + 25"},
+            matched_update_condition="s.op = 'u'",
+            matched_delete=True,
+            matched_delete_condition="s.op = 'd'",
+            not_matched_insert={
+                "c_custkey": "s.k",
+                "c_name": "s.nm",
+                "c_acctbal": "s.bal",
+            },
+            not_matched_insert_condition="s.op = 'i'",
+            not_matched_by_source_update={
+                "c_name": "concat(t.c_name, '*')"
+            },
+            not_matched_by_source_update_condition="t.c_acctbal < 0",
+        )
+        return t.read(spark).select(
+            "c_custkey", "c_name", "c_acctbal"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
     "x_txlog_reorg_purge",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal,

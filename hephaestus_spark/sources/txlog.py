@@ -3878,6 +3878,344 @@ class TxTable:
             base_meta=meta0,
         )
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on: str,
+        *,
+        matched_update: dict[str, str] | None = None,
+        matched_update_condition: str | None = None,
+        matched_delete: bool = False,
+        matched_delete_condition: str | None = None,
+        not_matched_insert: dict[str, str] | None = None,
+        not_matched_insert_condition: str | None = None,
+        not_matched_by_source_update: dict[str, str] | None = None,
+        not_matched_by_source_update_condition: str | None = None,
+        not_matched_by_source_delete: bool = False,
+        not_matched_by_source_delete_condition: str | None = None,
+    ) -> tuple[int, dict[str, int]]:
+        """General MERGE INTO (r12 — Delta's full multi-clause merge
+        surface, beside the SCD-1 :meth:`merge`):
+
+        - ``on``: arbitrary SQL join condition over the aliases ``t``
+          (target) and ``s`` (source), e.g. ``"t.id = s.id AND s.op
+          <> 'noop'"`` — not restricted to a single equi-key.
+        - WHEN MATCHED: ``matched_update`` ({target col: SQL expr
+          over t./s.}) under ``matched_update_condition``;
+          ``matched_delete`` under ``matched_delete_condition``.
+          Precedence is UPDATE first (a matched row failing the
+          update condition is then considered for delete) — Delta's
+          first-clause-wins with the update clause listed first.
+        - WHEN NOT MATCHED: ``not_matched_insert`` ({target col:
+          SQL expr over s.}) under ``not_matched_insert_condition``;
+          unlisted target columns insert as NULL (refused by the
+          constraint/generated gate if that violates a rule).
+        - WHEN NOT MATCHED BY SOURCE: update/delete clauses over
+          target-only expressions, same precedence.
+
+        Copy-on-write and file-minimal: one pass classifies which
+        files contain matched rows (plus, when BY SOURCE clauses
+        exist, unmatched rows satisfying their conditions) — ONLY
+        those files rewrite; inserts stage as new files; untouched
+        files are neither read twice nor written. A target row
+        matching MORE THAN ONE source row refuses loudly when a
+        matched clause exists (Delta's nondeterministic-merge error).
+        The staged ``source`` is pinned with ``localCheckpoint`` so a
+        nondeterministic source cannot desynchronize the rewrite, the
+        metrics, and the CDC sidecar (the delta is the small side by
+        design). With ``change_data_feed`` set the commit lands
+        update_preimage/update_postimage/delete/insert sidecar rows;
+        without them a streaming CDF crossing this commit fails
+        loudly (a generic merge has no single key to reconstruct
+        from). Identity columns refuse assignment, exactly as UPDATE.
+
+        Returns (version, metrics) with Delta's operationMetrics
+        shape: rows_updated / rows_deleted / rows_inserted /
+        files_rewritten. No clause matching anything commits nothing
+        and returns (base_version, zeros)."""
+        base_version = self.latest_version()
+        if base_version < 0:
+            raise ValueError(f"table {self.path} is empty")
+        candidates, _n_live, meta0, scan = self._dml_context(spark)
+        bad_ident = sorted(
+            set(
+                list(matched_update or ())
+                + list(not_matched_by_source_update or ())
+            )
+            & set((meta0 or {}).get("identity") or {})
+        )
+        if bad_ident:
+            raise ValueError(
+                f"cannot UPDATE identity column(s) {bad_ident} — values "
+                "are GENERATED ALWAYS"
+            )
+        t_full = scan(candidates, keep_keys=True)
+        tcols = [c for c in t_full.columns if c not in ("_f", "_p")]
+        ttypes = {
+            f.name: f.dataType
+            for f in t_full.schema.fields
+            if f.name in set(tcols)
+        }
+        for m, label in (
+            (matched_update, "matched_update"),
+            (not_matched_by_source_update, "not_matched_by_source_update"),
+            (not_matched_insert, "not_matched_insert"),
+        ):
+            unknown = sorted(set(m or ()) - set(tcols))
+            if unknown:
+                raise ValueError(
+                    f"{label} references unknown target column(s) "
+                    f"{unknown}; table columns: {tcols}"
+                )
+        clash = sorted({"_f", "_p", "_s_hit"} & set(source.columns))
+        if clash:
+            raise ValueError(
+                f"source columns {clash} collide with merge bookkeeping "
+                "names; rename them first"
+            )
+        # pin the source ONCE (the small side): every downstream frame
+        # — hit scan, rewrite, metrics, CDC — sees identical rows
+        src = source.withColumn("_s_hit", F.lit(1)).localCheckpoint()
+        s = src.alias("s")
+        t = t_full.alias("t")
+        cond = F.expr(on)
+        always = F.lit(True)
+        mu_cond = (
+            F.expr(matched_update_condition)
+            if matched_update_condition
+            else always
+        )
+        md_cond = (
+            F.expr(matched_delete_condition)
+            if matched_delete_condition
+            else always
+        )
+        bsu_cond = (
+            F.expr(not_matched_by_source_update_condition)
+            if not_matched_by_source_update_condition
+            else always
+        )
+        bsd_cond = (
+            F.expr(not_matched_by_source_delete_condition)
+            if not_matched_by_source_delete_condition
+            else always
+        )
+        has_matched = bool(matched_update) or matched_delete
+        has_bs = bool(not_matched_by_source_update) or (
+            not_matched_by_source_delete
+        )
+        # ---- which files rewrite ----
+        hit_names = set()
+        if has_matched:
+            hit_names |= {
+                r[0]
+                for r in t.join(s, cond, "left_semi")
+                .select("_f")
+                .distinct()
+                .collect()
+            }
+        if has_bs:
+            bs_any = None
+            if not_matched_by_source_update:
+                bs_any = bsu_cond
+            if not_matched_by_source_delete:
+                bs_any = (
+                    bsd_cond if bs_any is None else (bs_any | bsd_cond)
+                )
+            hit_names |= {
+                r[0]
+                for r in t.join(s, cond, "left_anti")
+                .filter(bs_any)
+                .select("_f")
+                .distinct()
+                .collect()
+            }
+        base2rel = self._base2rel(candidates)
+        hits = sorted(base2rel[b] for b in hit_names)
+
+        def _proj(frame, updates, apply_cond):
+            """target columns with ``updates`` applied where
+            ``apply_cond`` holds, cast back to the target types."""
+            return frame.select(
+                *[
+                    (
+                        F.when(apply_cond, F.expr(updates[c]))
+                        .otherwise(F.col(f"t.`{c}`"))
+                        if updates and c in updates
+                        else F.col(f"t.`{c}`")
+                    )
+                    .cast(ttypes[c])
+                    .alias(c)
+                    for c in tcols
+                ]
+            )
+
+        pieces: list[DataFrame] = []  # the rewritten hit-file rows
+        cdc: list[DataFrame] = []
+        n_upd = n_del = 0
+        if hits:
+            th = scan(hits, keep_keys=True).alias("t")
+            if has_matched:
+                mj = th.join(s, cond, "inner")
+                if (
+                    mj.groupBy(F.col("t._f"), F.col("t._p"))
+                    .count()
+                    .filter("count > 1")
+                    .limit(1)
+                    .count()
+                ):
+                    raise ValueError(
+                        "merge_into: a target row matches more than one "
+                        "source row — the update/delete outcome would be "
+                        "nondeterministic (Delta's multiple-matches error); "
+                        "aggregate the source first"
+                    )
+                upd_applies = mu_cond if matched_update else F.lit(False)
+                del_applies = (
+                    (~upd_applies) & md_cond
+                    if matched_delete
+                    else F.lit(False)
+                )
+                upd_rows = mj.filter(upd_applies)
+                n_upd += upd_rows.count()
+                del_rows = mj.filter(del_applies)
+                n_del += del_rows.count()
+                pieces.append(
+                    _proj(mj.filter(~del_applies), matched_update, upd_applies)
+                )
+                if (meta0 or {}).get("change_data_feed"):
+                    cdc.append(
+                        upd_rows.select(
+                            *[F.col(f"t.`{c}`").alias(c) for c in tcols]
+                        ).withColumn(
+                            "_change_type", F.lit("update_preimage")
+                        )
+                    )
+                    cdc.append(
+                        _proj(upd_rows, matched_update, always).withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                    cdc.append(
+                        del_rows.select(
+                            *[F.col(f"t.`{c}`").alias(c) for c in tcols]
+                        ).withColumn("_change_type", F.lit("delete"))
+                    )
+            else:
+                pieces.append(
+                    th.join(s, cond, "left_semi").select(
+                        *[F.col(f"`{c}`") for c in tcols]
+                    )
+                )
+            um = th.join(s, cond, "left_anti")
+            if has_bs:
+                bsu_applies = (
+                    bsu_cond if not_matched_by_source_update else F.lit(False)
+                )
+                bsd_applies = (
+                    (~bsu_applies) & bsd_cond
+                    if not_matched_by_source_delete
+                    else F.lit(False)
+                )
+                upd_rows = um.filter(bsu_applies)
+                n_upd += upd_rows.count()
+                del_rows = um.filter(bsd_applies)
+                n_del += del_rows.count()
+                pieces.append(
+                    _proj(
+                        um.filter(~bsd_applies),
+                        not_matched_by_source_update,
+                        bsu_applies,
+                    )
+                )
+                if (meta0 or {}).get("change_data_feed"):
+                    cdc.append(
+                        upd_rows.select(
+                            *[F.col(f"t.`{c}`").alias(c) for c in tcols]
+                        ).withColumn(
+                            "_change_type", F.lit("update_preimage")
+                        )
+                    )
+                    cdc.append(
+                        _proj(
+                            upd_rows, not_matched_by_source_update, always
+                        ).withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                    cdc.append(
+                        del_rows.select(
+                            *[F.col(f"t.`{c}`").alias(c) for c in tcols]
+                        ).withColumn("_change_type", F.lit("delete"))
+                    )
+            else:
+                pieces.append(um.select(*[F.col(f"`{c}`") for c in tcols]))
+        ins_df = None
+        n_ins = 0
+        if not_matched_insert is not None:
+            ins_src = s.join(t, cond, "left_anti")
+            if not_matched_insert_condition:
+                ins_src = ins_src.filter(
+                    F.expr(not_matched_insert_condition)
+                )
+            ins_df = ins_src.select(
+                *[
+                    (
+                        F.expr(not_matched_insert[c])
+                        if c in not_matched_insert
+                        else F.lit(None)
+                    )
+                    .cast(ttypes[c])
+                    .alias(c)
+                    for c in tcols
+                ]
+            )
+            n_ins = ins_df.count()
+        if not hits and not n_ins:
+            return base_version, {
+                "rows_updated": 0,
+                "rows_deleted": 0,
+                "rows_inserted": 0,
+                "files_rewritten": 0,
+            }
+        staged_parts = pieces + ([ins_df] if n_ins else [])
+        out = staged_parts[0]
+        for p in staged_parts[1:]:
+            out = out.unionByName(p)
+        names = self._stage(out, meta=meta0)
+        self._enforce_constraints(names, meta0, spark)
+        actions = self._add_actions(
+            names, self._partition_dtypes(meta0)
+        ) + [{"remove": f} for f in hits]
+        if (meta0 or {}).get("change_data_feed"):
+            if n_ins:
+                cdc.append(
+                    ins_df.withColumn("_change_type", F.lit("insert"))
+                )
+            if cdc:
+                cdc_df = cdc[0]
+                for d in cdc[1:]:
+                    cdc_df = cdc_df.unionByName(d)
+                actions += [
+                    {"cdc": n}
+                    for n in self._stage(cdc_df, pcols=None, meta=meta0)
+                ]
+        v = self._commit_snapshot_dependent(
+            base_version,
+            "merge",
+            actions,
+            info={"merge_into": True, "condition": on},
+            disjoint=None,  # arbitrary condition: any racer may collide
+            base_meta=meta0,
+        )
+        return v, {
+            "rows_updated": n_upd,
+            "rows_deleted": n_del,
+            "rows_inserted": n_ins,
+            "files_rewritten": len(hits),
+        }
+
     def delete(
         self,
         spark: SparkSession,
@@ -4504,11 +4842,17 @@ class TxTable:
                 info = entry.get("info") or {}
                 key = info.get("key")
                 if key is None:
+                    why = (
+                        "a generic merge_into commit has no single merge "
+                        "key — enable set_change_data_feed(True) before "
+                        "such merges so the commit lands CDC sidecars"
+                        if info.get("merge_into")
+                        else "recorded before operation info existed"
+                    )
                     raise ValueError(
                         f"change feed crossed a merge commit at version {v} "
-                        f"of {self.path} recorded before operation info "
-                        "existed — its row-level changes cannot be "
-                        "reconstructed"
+                        f"of {self.path}: {why} — its row-level changes "
+                        "cannot be reconstructed"
                     )
                 new = _added_rows(added, meta_v) if added else None
                 if not removed:
