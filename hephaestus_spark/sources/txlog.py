@@ -3894,6 +3894,7 @@ class TxTable:
         not_matched_by_source_update_condition: str | None = None,
         not_matched_by_source_delete: bool = False,
         not_matched_by_source_delete_condition: str | None = None,
+        scope_partitions: dict | None = None,
     ) -> tuple[int, dict[str, int]]:
         """General MERGE INTO (r12 — Delta's full multi-clause merge
         surface, beside the SCD-1 :meth:`merge`):
@@ -3913,6 +3914,15 @@ class TxTable:
           constraint/generated gate if that violates a rule).
         - WHEN NOT MATCHED BY SOURCE: update/delete clauses over
           target-only expressions, same precedence.
+        - ``scope_partitions`` ({col: values}) is Delta's recommended
+          ON-clause partition predicate made explicit: the effective
+          condition becomes ``on AND t.col IN (values)`` (a matching
+          key OUTSIDE the scope is treated as absent — the staged row
+          inserts), and the MATCHED-side classification scans only
+          zone-overlapping files, so a daily-delta merge classifies
+          one partition, not 100 TB. BY SOURCE clauses still examine
+          every file (their contract is table-wide) — omit them when
+          you want the scoped cost.
 
         Copy-on-write and file-minimal: one pass classifies which
         files contain matched rows (plus, when BY SOURCE clauses
@@ -3938,6 +3948,18 @@ class TxTable:
         if base_version < 0:
             raise ValueError(f"table {self.path} is empty")
         candidates, _n_live, meta0, scan = self._dml_context(spark)
+        m_candidates = candidates  # matched-side classification scope
+        if scope_partitions:
+            clauses = []
+            for col, vals in scope_partitions.items():
+                lits = [_sql_literal(v) for v in vals if v is not None]
+                clauses.append(
+                    f"t.`{col}` IN ({', '.join(lits)})" if lits else "FALSE"
+                )
+            on = f"({on}) AND " + " AND ".join(clauses)
+            m_candidates = self._dml_context(
+                spark, partitions=scope_partitions
+            )[0]
         bad_ident = sorted(
             set(
                 list(matched_update or ())
@@ -3950,7 +3972,22 @@ class TxTable:
                 f"cannot UPDATE identity column(s) {bad_ident} — values "
                 "are GENERATED ALWAYS"
             )
-        t_full = scan(candidates, keep_keys=True)
+        has_matched = bool(matched_update) or matched_delete
+        has_bs = bool(not_matched_by_source_update) or (
+            not_matched_by_source_delete
+        )
+        # with a partition scope and no table-wide BY SOURCE clause,
+        # EVERY classification join (matched semi, insert anti) may
+        # read only the scoped files: the injected residual falsifies
+        # the condition for out-of-scope rows anyway
+        class_candidates = (
+            m_candidates
+            if (scope_partitions and not has_bs)
+            else candidates
+        )
+        t_full = scan(class_candidates or candidates, keep_keys=True)
+        if not class_candidates:  # scoped to nothing: schema only
+            t_full = t_full.limit(0)
         tcols = [c for c in t_full.columns if c not in ("_f", "_p")]
         ttypes = {
             f.name: f.dataType
@@ -4000,10 +4037,6 @@ class TxTable:
             F.expr(not_matched_by_source_delete_condition)
             if not_matched_by_source_delete_condition
             else always
-        )
-        has_matched = bool(matched_update) or matched_delete
-        has_bs = bool(not_matched_by_source_update) or (
-            not_matched_by_source_delete
         )
         # ---- which files rewrite ----
         hit_names = set()

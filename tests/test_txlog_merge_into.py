@@ -199,3 +199,49 @@ def test_merge_into_identity_refused(spark, tmp_path):
             "t.name = s.name",
             matched_update={"uid": "0"},
         )
+
+def test_merge_into_scope_partitions(spark, tmp_path, monkeypatch):
+    """scope_partitions = Delta's ON-clause partition predicate made
+    explicit: every classification join reads ONLY the scoped
+    partition's files (spied at the scan layer), a matching key
+    OUTSIDE the scope is treated as absent (the source row inserts),
+    and in-scope semantics are unchanged."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, ["a", "b"][i % 2], float(i)) for i in range(20)],
+            "id long, day string, val double",
+        ),
+        partition_by=["day"],
+    )
+    scans: list[list[str]] = []
+    orig = TxTable._scan
+
+    def spy(self, spark_, files, version=None, keep_keys=False):
+        scans.append(list(files))
+        return orig(self, spark_, files, version, keep_keys)
+
+    monkeypatch.setattr(TxTable, "_scan", spy)
+    src = spark.createDataFrame(
+        [(2, "a", 200.0), (3, "b", 300.0)], "id long, day string, val double"
+    )
+    v, m = t.merge_into(
+        spark,
+        src,
+        "t.id = s.id",
+        matched_update={"val": "s.val"},
+        not_matched_insert={"id": "s.id", "day": "s.day", "val": "s.val"},
+        scope_partitions={"day": ["a"]},
+    )
+    merge_scans = [list(fs) for fs in scans]  # before the verify read
+    assert m["rows_updated"] == 1 and m["rows_inserted"] == 1
+    rows = sorted(
+        (r["id"], r["day"], r["val"]) for r in t.read(spark).collect()
+    )
+    assert (2, "a", 200.0) in rows          # in-scope key updated
+    assert (3, "b", 3.0) in rows            # out-of-scope target untouched
+    assert (3, "b", 300.0) in rows          # ...and the source row inserted
+    assert len(rows) == 21
+    # NO plan over a day=b file was ever constructed by the merge
+    flat = {f for fs in merge_scans for f in fs}
+    assert flat and not any("day=b" in f for f in flat)
