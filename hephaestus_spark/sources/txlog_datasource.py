@@ -562,18 +562,29 @@ class TxLogStreamReader(DataSourceStreamReader):
             return None
 
     def _save_hint(self, end: int) -> None:
-        # best-effort and monotone; a read-only table dir just means
-        # the one-uncapped-batch-after-clean-restart caveat applies
+        # best-effort; a read-only table dir just means the
+        # one-uncapped-batch-after-clean-restart caveat applies.
+        # MONOTONICITY IS LOAD-BEARING: the safety argument for the
+        # hint ("end >= any checkpointed start, so a capped offset can
+        # never go backwards") needs read-check-write to be atomic —
+        # two same-streamId writers interleaving a plain replace could
+        # regress the hint, and a regressed hint can emit an offset
+        # BELOW a checkpointed start, which re-serves versions on the
+        # following batch. flock makes the update a critical section
+        # (local fs — the only kind this table layer runs on).
         try:
-            prev = self._load_hint()
-            if prev is not None and prev >= end:
-                return
-            p = self._hint_path()
-            tmp = f"{p}.{uuid.uuid4().hex[:8]}.tmp"
-            with open(tmp, "w") as f:
+            import fcntl
+
+            with open(self._hint_path(), "a+") as f:
+                fcntl.flock(f, fcntl.LOCK_EX)
+                f.seek(0)
+                cur = f.read().strip()
+                if cur and int(cur) >= end:
+                    return
+                f.seek(0)
+                f.truncate()
                 f.write(str(end))
-            os.replace(tmp, p)
-        except OSError:
+        except (OSError, ValueError):
             pass
 
     def _admission_cost(self, entry: dict) -> "tuple[int, int]":

@@ -520,6 +520,11 @@ def test_admission_position_survives_restarts(spark, tmp_path):
     assert r1.latestOffset() == {"version": 1}  # r1's own pos, not hint
     hint = os.path.join(t.path, "_txlog", "_admission-default")
     assert int(open(hint).read()) >= 2
+    # the hint is monotone UNDER RACES (flock critical section): a
+    # stale writer cannot drag it backwards — load-bearing for the
+    # never-backwards offset argument
+    r1._save_hint(0)
+    assert int(open(hint).read()) >= 2
 
 
 def test_admission_cdf_counts_sidecars(spark, tmp_path):

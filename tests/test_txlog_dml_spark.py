@@ -80,6 +80,19 @@ def test_pruned_dml_never_folds_checkpoint(spark, tmp_path, monkeypatch):
     )
     assert v == 15
 
+    # general MERGE INTO, partition-unscoped (full classification but
+    # still checkpoint-free planning)
+    staged2 = spark.createDataFrame(
+        [(41, "d1", -1.0)], "id long, day string, val double"
+    )
+    v, metrics = cold.merge_into(
+        spark,
+        staged2,
+        "t.id = s.id",
+        matched_update={"val": "s.val"},
+    )
+    assert v == 16 and metrics["files_rewritten"] == 1
+
     # results are exactly what the driver route would have produced
     monkeypatch.undo()
     got = {r["id"]: r["val"] for r in TxTable(path).read(spark).collect()}
@@ -87,6 +100,7 @@ def test_pruned_dml_never_folds_checkpoint(spark, tmp_path, monkeypatch):
     assert 115 not in got and 119 not in got and got[114] == 114.0
     assert 30 not in got
     assert got[40] == 9999.0 and got[500] == 1.0
+    assert got[41] == -1.0  # the merge_into update landed
     assert len(got) == 120 - 5 - 1 + 1  # -delete hits -mor hit +insert
 
 
