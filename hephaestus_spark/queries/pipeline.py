@@ -1237,45 +1237,46 @@ def x_txlog_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name, c_acctbal,
            TRUE AS partial_rewrite, TRUE AS vectors_reduced
     FROM customer
-    WHERE NOT (
-      c_custkey <= (SELECT MAX(c_custkey) FROM customer) // 4
-      OR c_custkey % 50 = 3
-    )
+    WHERE NOT (c_custkey % 8 = 0 OR c_custkey % 50 = 3)
     """,
 )
 def x_txlog_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REORG … APPLY (PURGE) (r12, VERDICT r11 #6 —
-    sources/txlog.py::optimize(purge_dvs)): customers land range-
-    clustered over 4 files; one merge-on-read DELETE tombstones the
-    whole bottom key quartile (concentrated in the low-range file) and
-    another sprinkles ~2% everywhere. ``optimize(purge_dvs=0.5)`` then
-    rewrites ONLY the file(s) past the tombstone threshold —
-    ``partial_rewrite`` pins that at least one pre-purge file survived
-    byte-identical AND at least one was rewritten, ``vectors_reduced``
-    that the purged files' deletion vectors were shed while the
-    sprinkled ones remain live. The oracle replays both deletes as a
-    plain filter: the hash proves the targeted rewrite is
-    row-for-row invisible. Cost shape: tombstone fractions come from
-    KB-sized DV parquets + committed row counts; unselected files are
-    neither read nor written."""
+    sources/txlog.py::optimize(purge_dvs)): customers land hive-
+    partitioned by ``bucket = c_custkey % 4`` (one file per bucket —
+    MODULAR placement, so every file's tombstone fraction is exact by
+    arithmetic, immune to the sample-based boundaries that made the
+    first draft flake at sf0.1). One merge-on-read DELETE tombstones
+    ``%8 = 0`` — exactly HALF of bucket 0, nothing elsewhere (those
+    keys are all ≡0 mod 4) — and another sprinkles ``%50 = 3`` (~2%,
+    odd keys only, so never bucket 0). ``optimize(purge_dvs=0.3)``
+    rewrites ONLY bucket 0's file: ``partial_rewrite`` pins that the
+    other three files survived byte-identical while one was rewritten,
+    ``vectors_reduced`` that the heavy vector was shed while the
+    sprinkle's stays live. The oracle replays both deletes as a plain
+    filter: the hash proves the targeted rewrite is row-for-row
+    invisible. Cost shape: tombstone fractions come from KB-sized DV
+    parquets + committed row counts; unselected files are neither
+    read nor written."""
     import shutil
     import tempfile
 
     from hephaestus_spark.sources.txlog import TxTable
 
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_acctbal"
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .withColumn("bucket", F.pmod(F.col("c_custkey"), F.lit(4)))
     )
     workdir = tempfile.mkdtemp(prefix="txlog-reorg-")
     try:
         t = TxTable(f"{workdir}/customers")
-        t.append(c.repartitionByRange(4, F.col("c_custkey")))
-        k = c.agg(F.max("c_custkey")).first()[0] // 4
-        t.delete_mor(spark, f"c_custkey <= {k}")   # ~the low file
-        t.delete_mor(spark, "c_custkey % 50 = 3")  # sprinkle everywhere
+        t.append(c.repartition(4, "bucket"), partition_by=["bucket"])
+        t.delete_mor(spark, "c_custkey % 8 = 0")   # half of bucket 0
+        t.delete_mor(spark, "c_custkey % 50 = 3")  # ~2% sprinkle
         before_files = set(t._snapshot_files())
         before_dv = t.detail()["num_deletion_vectors"]
-        t.optimize(spark, purge_dvs=0.5)
+        t.optimize(spark, purge_dvs=0.3)
         after_files = set(t._snapshot_files())
         after_dv = t.detail()["num_deletion_vectors"]
         partial = (

@@ -700,9 +700,9 @@ class TxTable:
         base_adds = ckdf.filter(F.col("kind") == "add").select(
             "kind", "path", "rows", "v", "payload"
         )
-        drop = removed_ever | set(tail_adds)
-        if drop:
-            base_adds = base_adds.filter(~F.col("path").isin(sorted(drop)))
+        base_adds = self._drop_paths(
+            spark, base_adds, removed_ever | set(tail_adds)
+        )
         local = (
             [
                 ("add", p, a.get("rows"), a.get("v"), json.dumps(a))
@@ -760,6 +760,21 @@ class TxTable:
 
     def _snapshot_files(self, version: int | None = None) -> list[str]:
         return list(self._fold_state(version)[0])
+
+    @staticmethod
+    def _drop_paths(spark: SparkSession, df: DataFrame, drop: set):
+        """Filter ``df`` to paths outside ``drop`` (r12): small sets
+        inline as an isin; big ones — a tail OPTIMIZE removes every
+        live file at once — go through a broadcast anti-join instead
+        of exploding the plan with a million string literals."""
+        if not drop:
+            return df
+        if len(drop) <= 10_000:
+            return df.filter(~F.col("path").isin(sorted(drop)))
+        dropdf = spark.createDataFrame(
+            [(p,) for p in sorted(drop)], "path string"
+        )
+        return df.join(F.broadcast(dropdf), "path", "left_anti")
 
     # ---- Spark-side snapshot metadata (r10, VERDICT r9 #6) ----
     #
@@ -857,9 +872,7 @@ class TxTable:
         base = ckdf.filter(F.col("kind") == "add").select(
             "path", "rows", "v", "payload"
         )
-        drop = removed_ever | set(tail_adds)
-        if drop:
-            base = base.filter(~F.col("path").isin(sorted(drop)))
+        base = self._drop_paths(spark, base, removed_ever | set(tail_adds))
         if tail_adds:
             base = base.unionByName(
                 spark.createDataFrame(
