@@ -4247,20 +4247,23 @@ class TxTable:
                     {"cdc": n}
                     for n in self._stage(cdc_df, pcols=None, meta=meta0)
                 ]
-        v = self._commit_snapshot_dependent(
-            base_version,
-            "merge",
-            actions,
-            info={"merge_into": True, "condition": on},
-            disjoint=None,  # arbitrary condition: any racer may collide
-            base_meta=meta0,
-        )
-        return v, {
+        metrics = {
             "rows_updated": n_upd,
             "rows_deleted": n_del,
             "rows_inserted": n_ins,
             "files_rewritten": len(hits),
         }
+        v = self._commit_snapshot_dependent(
+            base_version,
+            "merge",
+            actions,
+            # metrics ride the commit info so DESCRIBE HISTORY serves
+            # Delta-style operationMetrics for generic merges too
+            info={"merge_into": True, "condition": on, "metrics": metrics},
+            disjoint=None,  # arbitrary condition: any racer may collide
+            base_meta=meta0,
+        )
+        return v, metrics
 
     def delete(
         self,
@@ -5539,6 +5542,13 @@ class TxTable:
                         1 for a in e["actions"] if "remove" in a
                     ),
                     "dv_files": sum(1 for a in e["actions"] if "dv" in a),
+                    # r12: commits that recorded row-level
+                    # operationMetrics (merge_into) serve them here
+                    **(
+                        {"metrics": e["info"]["metrics"]}
+                        if (e.get("info") or {}).get("metrics")
+                        else {}
+                    ),
                 }
             )
         return out

@@ -64,6 +64,8 @@ def test_merge_into_all_clauses(spark, tmp_path):
     assert 101 not in got
     assert got[6] == ("r6", 6.0)  # matched-nothing rows intact
     assert len(got) == 40 - 1 + 1
+    # DESCRIBE HISTORY serves the commit's operationMetrics (r12)
+    assert t.history()[-1]["metrics"] == m
 
 
 def test_merge_into_rewrites_only_hit_files(spark, tmp_path):
