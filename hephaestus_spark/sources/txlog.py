@@ -4948,7 +4948,10 @@ class TxTable:
         return out
 
     def clone_to(
-        self, dest_path: str, version: int | None = None
+        self,
+        dest_path: str,
+        version: int | None = None,
+        timestamp: float | None = None,
     ) -> "TxTable":
         """SHALLOW CLONE (r11 — Delta's ``CREATE TABLE ... SHALLOW
         CLONE``): create a NEW table at ``dest_path`` whose version-0
@@ -4983,6 +4986,10 @@ class TxTable:
         lifecycle is not under your control."""
         import shutil
 
+        if version is not None and timestamp is not None:
+            raise ValueError("clone_to takes at most one of version/timestamp")
+        if timestamp is not None:  # r12: CLONE ... TIMESTAMP AS OF
+            version = self.version_at(timestamp)
         src_version = self.latest_version() if version is None else version
         if src_version < 0:
             raise ValueError(f"table {self.path} is empty")
@@ -5078,8 +5085,16 @@ class TxTable:
             out.append(m)
         return out
 
-    def restore(self, spark: SparkSession, version: int) -> int:
-        """RESTORE the table to a past ``version`` AS A NEW COMMIT
+    def restore(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        timestamp: float | None = None,
+    ) -> int:
+        """RESTORE the table to a past ``version`` — or, r12, to a
+        point in time (``timestamp``, epoch seconds — Delta's RESTORE
+        TO TIMESTAMP, resolved through :meth:`version_at`'s monotone
+        in-commit stamps) — AS A NEW COMMIT
         (r10, VERDICT r9 #4 — Delta RESTORE semantics): history is
         never rewritten, the old snapshot's state is re-published at
         ``latest + 1``. The commit is computed as a diff against the
@@ -5112,6 +5127,12 @@ class TxTable:
         base = self.latest_version()
         if base < 0:
             raise ValueError(f"table {self.path} is empty")
+        if (version is None) == (timestamp is None):
+            raise ValueError(
+                "restore takes exactly one of version / timestamp"
+            )
+        if timestamp is not None:
+            version = self.version_at(timestamp)
         if not 0 <= version <= base:
             raise ValueError(
                 f"cannot restore {self.path} to version {version}; "

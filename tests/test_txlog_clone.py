@@ -371,3 +371,21 @@ def test_optimize_partition_scoped(spark, tmp_path):
     ) == before_rows
     # scoping to a value with no files is a no-op, no commit
     assert t.optimize(spark, partitions={"day": ["zzz"]}) == v
+
+
+def test_restore_and_clone_to_timestamp(spark, tmp_path):
+    """RESTORE TO TIMESTAMP / CLONE … TIMESTAMP AS OF (r12): both
+    resolve through version_at's monotone in-commit stamps."""
+    t = _seed(spark, str(tmp_path / "t"), n=6, files=1)      # v0
+    ts_v0 = t._read_entry(0)["ts"]
+    t.append(_df(spark, [(100, "x", 1.0)]))                   # v1
+    t.delete(spark, "id = 0")                                 # v2
+    clone = t.clone_to(str(tmp_path / "c"), timestamp=ts_v0)
+    assert {r["id"] for r in clone.read(spark).collect()} == set(range(6))
+    v = t.restore(spark, timestamp=ts_v0)
+    assert v == 3
+    assert {r["id"] for r in t.read(spark).collect()} == set(range(6))
+    with pytest.raises(ValueError, match="exactly one"):
+        t.restore(spark)
+    with pytest.raises(ValueError, match="at most one"):
+        t.clone_to(str(tmp_path / "c2"), version=0, timestamp=ts_v0)
