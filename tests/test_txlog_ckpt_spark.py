@@ -132,3 +132,36 @@ def test_complete_ckpt_parquet_never_mixes_part_sets(spark, tmp_path):
     p1 = _ckpt_pq_path(t.path, 10, 1, 1)
     os.rename(stray, p1)
     assert t._complete_ckpt_parquet(10) == [p1]
+
+
+def test_drop_paths_broadcast_branch(spark, monkeypatch):
+    """_drop_paths' big-set route (a tail OPTIMIZE removes every live
+    file at once): the broadcast anti-join filters identically to the
+    isin literal."""
+    from hephaestus_spark.sources.txlog import TxTable
+
+    df = spark.createDataFrame(
+        [(f"p{i}", i) for i in range(100)], "path string, rows long"
+    )
+    drop = {f"p{i}" for i in range(0, 100, 2)}
+    small = TxTable._drop_paths(spark, df, drop)
+    want = sorted(f"p{i}" for i in range(1, 100, 2))
+    assert sorted(r["path"] for r in small.collect()) == want
+    # force the anti-join branch regardless of set size
+    def forced(spark_, d, s):
+        if not s:
+            return d
+        dropdf = spark_.createDataFrame(
+            [(p,) for p in sorted(s)], "path string"
+        )
+        from pyspark.sql import functions as F
+
+        return d.join(F.broadcast(dropdf), "path", "left_anti")
+
+    big = forced(spark, df, drop)
+    assert sorted(r["path"] for r in big.collect()) == want
+    # and the real threshold route: >10k drops takes the join path
+    # without exploding the plan
+    many = {f"p{i}" for i in range(20_000)}
+    out = TxTable._drop_paths(spark, df, many)
+    assert out.count() == 0
