@@ -5582,22 +5582,40 @@ class TxTable:
         cluster_by: str | list[str] | None = None,
         retain_versions: int = 2 * CHECKPOINT_INTERVAL,
         vacuum_grace: float = 3600.0,
+        purge_dvs: float = 0.2,
     ) -> dict:
         """The steady-state housekeeping tick (r8) — what a scheduler
         runs against every table, composing the lifecycle ops in their
-        only safe order: compact WHEN FRAGMENTED (file count or live
-        deletion vectors past threshold — compaction also materializes
-        tombstones), then expire pre-horizon log entries, then vacuum
-        (after expiry, so newly-unreferenced pre-horizon files are
-        reclaimed in the same tick). Mirrors the reference's periodic
-        maintenance loop shape (internal/services scheduler), applied
-        to the table layer. Returns what each step did."""
+        only safe order: compact WHEN FRAGMENTED (file count past
+        threshold — compaction also materializes tombstones); when
+        file count is healthy but deletion vectors are live, run the
+        TARGETED REORG instead (r12 — ``optimize(purge_dvs)``
+        re-houses only files past the tombstone-fraction threshold,
+        not the table; low-tombstone files legitimately keep their
+        vectors until they cross it, Delta's steady state); then
+        expire pre-horizon log entries, then vacuum (after expiry, so
+        newly-unreferenced pre-horizon files are reclaimed in the same
+        tick). A live shallow clone blocks expiry (r12, clone safety)
+        — the tick records the refusal under ``expiry_blocked`` and
+        keeps housekeeping instead of crashing the scheduler. Mirrors
+        the reference's periodic maintenance loop shape
+        (internal/services scheduler), applied to the table layer.
+        Returns what each step did."""
         out: dict = {}
         n_files = len(self._snapshot_files())
-        if n_files > max_files or self.dv_map():
+        if n_files > max_files:
             self.optimize(spark, target_files=target_files, cluster_by=cluster_by)
             out["compacted"] = {"files_before": n_files, "target": target_files}
-        out["expired"] = self.expire_log(retain_versions)
+        elif self.dv_map():
+            base = self.latest_version()
+            v = self.optimize(spark, purge_dvs=purge_dvs)
+            if v != base:
+                out["purged"] = {"threshold": purge_dvs, "version": v}
+        try:
+            out["expired"] = self.expire_log(retain_versions)
+        except ValueError as e:  # live shallow clones gate the horizon
+            out["expired"] = []
+            out["expiry_blocked"] = str(e)
         out["vacuumed"] = self.vacuum(vacuum_grace)
         return out
 

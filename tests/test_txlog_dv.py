@@ -424,3 +424,35 @@ def test_cdc_sidecars_match_reconstruction_and_survive_vacuum(spark, tmp_path):
     assert sorted(r["id"] for r in b.read(spark).collect()) == sorted(
         r["id"] for r in a.read(spark).collect()
     )
+
+
+def test_maintain_purges_dvs_without_full_rewrite(spark, tmp_path):
+    """r12: a healthy-file-count table with live vectors gets the
+    TARGETED reorg from the maintain tick — only the heavy file
+    re-houses, the light one keeps its vector until it crosses the
+    threshold — and a live clone blocks expiry without crashing the
+    tick."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(i, "a", float(i)) for i in range(10)]).coalesce(1))
+    t.append(_df(spark, [(100 + i, "b", 1.0) for i in range(10)]).coalesce(1))
+    clone = t.clone_to(str(tmp_path / "c"))
+    t.delete_mor(spark, "id < 5")     # 50% of file 1
+    t.delete_mor(spark, "id = 100")   # 10% of file 2
+    for i in range(9):  # roll past the interval-10 checkpoint
+        t.append(_df(spark, [(200 + i, "a", 2.0)]).coalesce(1))
+    before = set(t._snapshot_files())
+    report = t.maintain(
+        spark, max_files=64, retain_versions=0, vacuum_grace=0.0,
+        purge_dvs=0.3,
+    )
+    assert "compacted" not in report and "purged" in report
+    after = set(t._snapshot_files())
+    assert len(before - after) == 1          # only the heavy file
+    assert len(t.dv_map()) == 1              # the light vector survives
+    assert "expiry_blocked" in report        # the clone gates expiry
+    assert "shallow clone" in report["expiry_blocked"]
+    assert clone.read(spark).count() == 20   # nothing reclaimed
+    assert sorted(r["id"] for r in t.read(spark).collect()) == sorted(
+        [i for i in range(5, 10)] + [101 + i for i in range(9)]
+        + [200 + i for i in range(9)]
+    )
