@@ -336,10 +336,25 @@ class TxTable:
         crash mid-write leaves a partial set on disk; any reader that
         scanned it would silently serve a partial live add-set.
         Returns [] when incomplete — callers fall back to the
-        next-older checkpoint or the driver fold (r11, ADVICE r10)."""
+        next-older checkpoint or the driver fold (r11, ADVICE r10).
+
+        r13: a part below parquet's minimum size (the 'PAR1'…'PAR1'
+        framing, 12 bytes) marks the whole set incomplete. Writers now
+        publish atomically (write-to-tmp + os.link), so this only
+        fires for a file torn by a pre-r13 writer that crashed
+        mid-stream — without the guard such a file bricks every Spark
+        reader of the version forever (ArrowInvalid/'could not read
+        footer' has no in-plan fallback)."""
+
+        def _ok(p: str) -> bool:
+            try:
+                return os.path.getsize(p) >= 12
+            except OSError:
+                return False
+
         single = _ckpt_pq_path(self.path, version)
         if os.path.exists(single):
-            return [single]
+            return [single] if _ok(single) else []
         d = os.path.join(self.path, _LOG_DIR)
         # r12: group candidate parts BY their declared set size — two
         # writers materializing the same version with different part
@@ -355,7 +370,7 @@ class TxTable:
                         int(m.group(2))
                     ] = os.path.join(d, f)
         for nparts, found in sorted(sets.items()):
-            if len(found) == nparts:
+            if len(found) == nparts and all(_ok(p) for p in found.values()):
                 return [found[i] for i in range(1, nparts + 1)]
         return []
 
@@ -591,8 +606,24 @@ class TxTable:
                     if nparts == 1
                     else _ckpt_pq_path(self.path, version, i + 1, nparts)
                 )
-                with open(p, "xb") as f:
+                # r13 (VERDICT r12 #1 — the multi-writer fuzz torn
+                # read): NEVER stream into the final checkpoint name.
+                # The old `open(p, "xb")` made the file visible at 0
+                # bytes, so a concurrent writer's _ckpt_live_rows /
+                # _live_frames listed the version, _complete_ckpt_parquet
+                # served it (os.path.exists), and pyarrow raised
+                # ArrowInvalid('Parquet file size is 0 bytes').
+                # Write fully to a .tmp name the checkpoint regex
+                # cannot match, then publish with os.link — atomic AND
+                # exclusive (EEXIST keeps first-writer-wins), so a
+                # checkpoint file is either absent or complete.
+                tmp_p = f"{p}.{uuid.uuid4().hex[:8]}.tmp"
+                with open(tmp_p, "wb") as f:
                     pq.write_table(tbl, f)
+                try:
+                    os.link(tmp_p, p)
+                finally:
+                    os.unlink(tmp_p)
         except FileExistsError:
             return  # another writer already materialized this one
         self._advance_ckpt_pointer(version, nparts)
@@ -802,16 +833,18 @@ class TxTable:
         return self._live_frames(spark)[0]
 
     def _live_frames(
-        self, spark: SparkSession
+        self, spark: SparkSession, upto: int | None = None
     ) -> tuple[DataFrame, list[str], dict | None]:
         """(live add-set DataFrame, live deletion-vector parquet
         names, metadata) from checkpoint + tail — the shared core of
         the Spark-side metadata path. The DV name list is collected
         driver-side: it is bounded by files-with-tombstones (a
         compaction-managed quantity), never by table size; the meta
-        dict is one row."""
+        dict is one row. ``upto`` pins the snapshot version (r13
+        TOCTOU fix — see ``_dml_context``)."""
         schema = "path string, rows long, v long, payload string"
-        upto = self.latest_version()
+        if upto is None:
+            upto = self.latest_version()
         ckdf, ckv = None, -1
         for v in reversed(self._checkpoint_versions()):
             if v > upto:
@@ -1821,14 +1854,16 @@ class TxTable:
     # scale-killer the _live_frames path exists to avoid.
     DML_SPARK_PLAN_THRESHOLD = 20_000
 
-    def _ckpt_live_rows(self) -> int:
+    def _ckpt_live_rows(self, upto: int | None = None) -> int:
         """Row count of the newest complete parquet checkpoint — from
         footers only (no data I/O, no driver fold). 0 when no usable
         checkpoint exists (young table: the fold is small by
-        definition)."""
+        definition). ``upto`` pins the snapshot version (r13 TOCTOU
+        fix: DML paths resolve the version ONCE and thread it)."""
         import pyarrow.parquet as pq
 
-        upto = self.latest_version()
+        if upto is None:
+            upto = self.latest_version()
         for v in reversed(self._checkpoint_versions()):
             if v > upto:
                 continue
@@ -1838,11 +1873,15 @@ class TxTable:
                     return sum(
                         pq.ParquetFile(p).metadata.num_rows for p in parts
                     )
-                except OSError:
+                except (OSError, ValueError):
+                    # ValueError covers pyarrow's ArrowInvalid (the r12
+                    # mw-fuzz torn read: a 0-byte checkpoint published
+                    # by a pre-r13 writer mid-stream). Treat as "no
+                    # usable checkpoint" — the driver fold takes over.
                     return 0
         return 0
 
-    def _dml_snapshot(self, spark: SparkSession):
+    def _dml_snapshot(self, spark: SparkSession, upto: int | None = None):
         """The Spark-side snapshot context for DML planning, or None
         when the table is below ``DML_SPARK_PLAN_THRESHOLD`` (the
         driver fold is both faster and already log-sized there).
@@ -1853,9 +1892,11 @@ class TxTable:
         (``_zone_keep_cond``) and collecting only the survivors —
         O(selected) driver state — returning (candidates, n_live), or
         None for an unquotable physical name (caller refolds)."""
-        if self._ckpt_live_rows() < self.DML_SPARK_PLAN_THRESHOLD:
+        if upto is None:
+            upto = self.latest_version()
+        if self._ckpt_live_rows(upto) < self.DML_SPARK_PLAN_THRESHOLD:
             return None
-        adds, dv_names, meta = self._live_frames(spark)
+        adds, dv_names, meta = self._live_frames(spark, upto)
         mapping = (meta or {}).get("mapping") or {}
 
         def scan(files, keep_keys=False):
@@ -1898,8 +1939,19 @@ class TxTable:
         partitions: dict | None = None,
     ):
         """Candidate selection + snapshot context for a DML mutation:
-        (candidates, n_live, meta, scan) where ``scan(files,
-        keep_keys=False)`` reads the files with tombstones applied.
+        (candidates, n_live, meta, scan, base_version) where
+        ``scan(files, keep_keys=False)`` reads the files with
+        tombstones applied and ``base_version`` is THE version every
+        piece of the context was read at.
+
+        r13 (ADVICE r12 TOCTOU): the version is resolved exactly ONCE
+        here and threaded into ``_dml_snapshot`` → ``_ckpt_live_rows``
+        / ``_live_frames`` and the fold path alike; callers commit
+        against the RETURNED version instead of one they captured
+        earlier. A commit landing between the caller's capture and the
+        context build can no longer mix snapshot N+1 candidates with a
+        claimed base of N (which double-classified the racer as
+        interleaved and mis-attributed n_live/metrics).
 
         r12 (VERDICT r11 #4): above ``DML_SPARK_PLAN_THRESHOLD``
         checkpoint rows the candidates are planned THROUGH SPARK — the
@@ -1913,15 +1965,15 @@ class TxTable:
         ``pruned_files``/``pruned_files_in`` exactness rules
         (``_zone_keep_cond``), and an inexpressible physical name
         falls back to the fold."""
-        snap = self._dml_snapshot(spark)
+        base_version = self.latest_version()
+        snap = self._dml_snapshot(spark, upto=base_version)
         if snap is not None:
             meta, scan, select = snap
             sel = select(prune_column, lo, hi, partitions)
             if sel is not None:
                 candidates, n_live = sel
-                return candidates, n_live, meta, scan
+                return candidates, n_live, meta, scan, base_version
             # an unquotable physical name: fall through to the fold
-        base_version = self.latest_version()
         meta = self._fold_state(base_version)[3]
         candidates = (
             self.pruned_files(prune_column, lo, hi, base_version)[0]
@@ -1937,7 +1989,7 @@ class TxTable:
         def scan(files, keep_keys=False):
             return self._scan(spark, files, base_version, keep_keys)
 
-        return candidates, n_live, meta, scan
+        return candidates, n_live, meta, scan, base_version
 
     def delete_mor(
         self,
@@ -1971,7 +2023,7 @@ class TxTable:
         base_version = self.latest_version()
         if base_version < 0:
             raise ValueError(f"table {self.path} is empty")
-        candidates, _n_live, meta0, scan = self._dml_context(
+        candidates, _n_live, meta0, scan, base_version = self._dml_context(
             spark, prune_column, lo, hi, partitions
         )
         if not candidates:
@@ -2928,15 +2980,22 @@ class TxTable:
                 f"constraint {name!r} already exists on {self.path}: "
                 f"CHECK ({cons[name]})"
             )
-        # one full-snapshot scan, through the DV-aware read so
-        # tombstoned rows don't fail a constraint they can't violate
         snapshot = self.read(spark, base)
-        self._raise_violations(snapshot, {name: expr})
         # r12 (VERDICT r11 #5): the portability contract is ENFORCED,
         # not documented — an expression the sessionless DuckDB gate
         # cannot bind refuses HERE instead of bricking every
-        # native-connector write after the constraint lands
+        # native-connector write after the constraint lands. Note this
+        # TIGHTENS the r11 contract: Spark-only expressions (backticked
+        # names, Spark-only functions, nested-type columns) that
+        # previously landed now refuse at ADD time. r13 (ADVICE r12):
+        # the probe runs BEFORE the snapshot scan — it needs only the
+        # schema (building the DataFrame is lazy, no job runs), so a
+        # non-portable expression is refused metadata-only instead of
+        # paying an O(table) scan first.
         self._probe_duckdb_binding(snapshot.schema, {name: expr})
+        # one full-snapshot scan, through the DV-aware read so
+        # tombstoned rows don't fail a constraint they can't violate
+        self._raise_violations(snapshot, {name: expr})
         cons[name] = expr
         meta["constraints"] = cons
         meta["writer_features"] = sorted(
@@ -3672,7 +3731,7 @@ class TxTable:
             # r12 (VERDICT r11 #4): big checkpoint-backed tables plan
             # candidates and scans through the Spark-side metadata
             # path — the driver never materializes the checkpoint
-            snap_ctx = self._dml_snapshot(spark)
+            snap_ctx = self._dml_snapshot(spark, upto=base_version)
             if snap_ctx is not None:
                 meta0, scan, select = snap_ctx
             else:
@@ -3960,7 +4019,9 @@ class TxTable:
         base_version = self.latest_version()
         if base_version < 0:
             raise ValueError(f"table {self.path} is empty")
-        candidates, _n_live, meta0, scan = self._dml_context(spark)
+        candidates, _n_live, meta0, scan, base_version = self._dml_context(
+            spark
+        )
         m_candidates = candidates  # matched-side classification scope
         if scope_partitions:
             clauses = []
@@ -3998,9 +4059,36 @@ class TxTable:
             if (scope_partitions and not has_bs)
             else candidates
         )
-        t_full = scan(class_candidates or candidates, keep_keys=True)
-        if not class_candidates:  # scoped to nothing: schema only
-            t_full = t_full.limit(0)
+        if class_candidates or candidates:
+            t_full = scan(class_candidates or candidates, keep_keys=True)
+            if not class_candidates:  # scoped to nothing: schema only
+                t_full = t_full.limit(0)
+        else:
+            # r13 (ADVICE r12 medium): empty LIVE snapshot (every row
+            # previously deleted/optimized away) — no files to scan,
+            # so build a zero-row target from the committed physical
+            # schema instead of crashing in _read_files. Downstream
+            # this makes every source row NOT MATCHED: the semi/anti
+            # hit scans are empty, hits == [], and only the insert
+            # clause (if any) lands rows — mirroring the base<0 guard.
+            from pyspark.sql.types import StructType
+
+            schema_json = (meta0 or {}).get("schema")
+            if not schema_json:
+                raise ValueError(
+                    f"table {self.path} has an empty live snapshot and "
+                    "no recorded schema; cannot plan MERGE"
+                )
+            t_full = (
+                self._project_logical(
+                    spark.createDataFrame(
+                        [], StructType.fromJson(json.loads(schema_json))
+                    ),
+                    meta0,
+                )
+                .withColumn("_f", F.lit(None).cast("string"))
+                .withColumn("_p", F.lit(None).cast("long"))
+            )
         tcols = [c for c in t_full.columns if c not in ("_f", "_p")]
         ttypes = {
             f.name: f.dataType
@@ -4031,26 +4119,23 @@ class TxTable:
         t = t_full.alias("t")
         cond = F.expr(on)
         always = F.lit(True)
-        mu_cond = (
-            F.expr(matched_update_condition)
-            if matched_update_condition
-            else always
-        )
-        md_cond = (
-            F.expr(matched_delete_condition)
-            if matched_delete_condition
-            else always
-        )
-        bsu_cond = (
-            F.expr(not_matched_by_source_update_condition)
-            if not_matched_by_source_update_condition
-            else always
-        )
-        bsd_cond = (
-            F.expr(not_matched_by_source_delete_condition)
-            if not_matched_by_source_delete_condition
-            else always
-        )
+
+        def _clause_cond(expr_str):
+            # r13 (ADVICE r12 high): SQL/Delta treat a clause condition
+            # that evaluates to NULL as NOT satisfied — the row is
+            # kept untouched. Without the coalesce, ``(~upd) & NULL``
+            # is NULL, so filter(~del_applies) AND filter(del_applies)
+            # both dropped the row: it vanished uncounted, no CDC row.
+            return (
+                F.coalesce(F.expr(expr_str), F.lit(False))
+                if expr_str
+                else always
+            )
+
+        mu_cond = _clause_cond(matched_update_condition)
+        md_cond = _clause_cond(matched_delete_condition)
+        bsu_cond = _clause_cond(not_matched_by_source_update_condition)
+        bsd_cond = _clause_cond(not_matched_by_source_delete_condition)
         # ---- which files rewrite ----
         hit_names = set()
         if has_matched:
@@ -4303,7 +4388,7 @@ class TxTable:
         base_version = self.latest_version()
         if base_version < 0:
             raise ValueError(f"table {self.path} is empty")
-        candidates, n_live, meta0, scan = self._dml_context(
+        candidates, n_live, meta0, scan, base_version = self._dml_context(
             spark, prune_column, lo, hi, partitions
         )
         if not candidates:
@@ -4431,7 +4516,7 @@ class TxTable:
         base_version = self.latest_version()
         if base_version < 0:
             raise ValueError(f"table {self.path} is empty")
-        candidates, _n_live, meta0, scan = self._dml_context(
+        candidates, _n_live, meta0, scan, base_version = self._dml_context(
             spark, prune_column, lo, hi, partitions
         )
         if not candidates:

@@ -247,3 +247,142 @@ def test_merge_into_scope_partitions(spark, tmp_path, monkeypatch):
     # NO plan over a day=b file was ever constructed by the merge
     flat = {f for fs in merge_scans for f in fs}
     assert flat and not any("day=b" in f for f in flat)
+
+
+def test_merge_into_null_clause_condition_keeps_rows(spark, tmp_path):
+    """r13 (ADVICE r12 high): a clause condition that evaluates to SQL
+    NULL is NOT satisfied — the row stays in the table untouched (the
+    SQL/Delta contract). Before the fix, ``(~upd) & NULL`` was NULL,
+    so the row fell out of BOTH the rewrite and the delete count: it
+    vanished uncounted with no CDC delete row."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0)],
+            "id long, name string, val double",
+        )
+    )
+    # flag: True -> delete fires; None -> NULL condition, row KEPT;
+    # False -> row kept. id=4 has no source row at all.
+    src = spark.createDataFrame(
+        [(1, True), (2, None), (3, False)], "id long, flag boolean"
+    )
+    v, m = t.merge_into(
+        spark,
+        src,
+        "t.id = s.id",
+        matched_delete=True,
+        matched_delete_condition="s.flag",
+    )
+    assert m["rows_deleted"] == 1 and m["rows_updated"] == 0
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == [2, 3, 4]  # NULL-condition row 2 must survive
+
+
+def test_merge_into_null_update_condition_leaves_row_unchanged(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0)], "id long, val double"
+        )
+    )
+    src = spark.createDataFrame(
+        [(1, 100.0, True), (2, 200.0, None)],
+        "id long, val double, flag boolean",
+    )
+    v, m = t.merge_into(
+        spark,
+        src,
+        "t.id = s.id",
+        matched_update={"val": "s.val"},
+        matched_update_condition="s.flag",
+    )
+    assert m["rows_updated"] == 1
+    got = {r["id"]: r["val"] for r in t.read(spark).collect()}
+    assert got == {1: 100.0, 2: 2.0}  # NULL condition: no update, row kept
+
+
+def test_merge_into_null_by_source_condition_keeps_rows(spark, tmp_path):
+    """BY SOURCE clauses honor the same NULL-is-not-satisfied rule:
+    a target row whose by-source delete condition is NULL survives."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 1.0), (2, None), (3, 3.0)], "id long, val double"
+        )
+    )
+    src = spark.createDataFrame([(1,)], "id long")
+    v, m = t.merge_into(
+        spark,
+        src,
+        "t.id = s.id",
+        not_matched_by_source_delete=True,
+        # NULL for id=2 (t.val IS NULL), True for id=3
+        not_matched_by_source_delete_condition="t.val > 0",
+    )
+    assert m["rows_deleted"] == 1
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == [1, 2]  # id=2's NULL condition keeps it; id=3 deleted
+
+
+def test_merge_into_empty_live_snapshot_inserts(spark, tmp_path):
+    """r13 (ADVICE r12 medium): MERGE on a table whose live snapshot
+    is empty (all rows previously deleted) must treat every source row
+    as NOT MATCHED — insert them — instead of crashing in
+    _read_files with no files. A partitioned table is the reliable
+    repro: staging the delete's empty kept-rows frame under
+    partitionBy writes ZERO part files, so the live add-set is
+    literally empty (an unpartitioned empty stage leaves a 0-row
+    part file, which never hit the bug)."""
+    t = TxTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)],
+            "id long, day string, val double",
+        ),
+        partition_by=["day"],
+    )
+    t.delete(spark, "true")
+    assert t._snapshot_files() == []  # genuinely empty live snapshot
+    src = spark.createDataFrame(
+        [(10, "a", 10.0), (11, "b", 11.0)], "id long, day string, val double"
+    )
+    v, m = t.merge_into(
+        spark,
+        src,
+        "t.id = s.id",
+        matched_update={"val": "s.val"},
+        not_matched_insert={"id": "s.id", "day": "s.day", "val": "s.val"},
+    )
+    assert m == {
+        "rows_updated": 0,
+        "rows_deleted": 0,
+        "rows_inserted": 2,
+        "files_rewritten": 0,
+    }
+    got = sorted((r["id"], r["val"]) for r in t.read(spark).collect())
+    assert got == [(10, 10.0), (11, 11.0)]
+
+
+def test_merge_into_empty_live_snapshot_no_insert_clause(spark, tmp_path):
+    t = TxTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 1.0)], "id long, day string, val double"
+        ),
+        partition_by=["day"],
+    )
+    t.delete(spark, "true")
+    assert t._snapshot_files() == []
+    src = spark.createDataFrame(
+        [(1, "a", 5.0)], "id long, day string, val double"
+    )
+    v, m = t.merge_into(
+        spark, src, "t.id = s.id", matched_update={"val": "s.val"}
+    )
+    assert m == {
+        "rows_updated": 0,
+        "rows_deleted": 0,
+        "rows_inserted": 0,
+        "files_rewritten": 0,
+    }
