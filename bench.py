@@ -56,6 +56,105 @@ HEADLINE = [
 ]
 
 
+def _cpu_stat() -> dict | None:
+    """Cumulative jiffies from /proc/stat's aggregate ``cpu`` line
+    (r13, VERDICT r12 #3). ``steal`` is time the HYPERVISOR ran some
+    other guest while this one was runnable — contention no amount of
+    in-guest instrumentation (loadavg, probe jobs) can attribute, and
+    nonzero on this sandbox. Deltas of this dict bracket each query
+    and the whole run."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts[0] != "cpu":
+            return None
+        keys = (
+            "user", "nice", "system", "idle", "iowait",
+            "irq", "softirq", "steal", "guest", "guest_nice",
+        )
+        return dict(zip(keys, (int(x) for x in parts[1:])))
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _proc_tree_jiffies() -> int | None:
+    """utime+stime jiffies of THIS process and its live descendants
+    (the Spark JVM is a direct child). Subtracting the tree's delta
+    from the host's busy delta isolates co-tenant CPU use INSIDE the
+    guest — the loadavg-visible kind of contention, as opposed to
+    hypervisor steal."""
+    try:
+        me = os.getpid()
+        children: dict[int, list[int]] = {}
+        times: dict[int, int] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    raw = f.read()
+            except OSError:
+                continue
+            # comm may contain spaces/parens: split after the LAST ')'
+            rest = raw.rsplit(")", 1)[1].split()
+            pid = int(d)
+            ppid = int(rest[1])  # field 4 overall
+            times[pid] = int(rest[11]) + int(rest[12])  # utime+stime
+            children.setdefault(ppid, []).append(pid)
+        total, stack = 0, [me]
+        while stack:
+            p = stack.pop()
+            total += times.get(p, 0)
+            stack.extend(children.get(p, ()))
+        return total
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _host_credibility(
+    s0: dict | None, s1: dict | None, t0: int | None, t1: int | None
+) -> dict | None:
+    """Per-run host-credibility verdict (r13, VERDICT r12 #3): a
+    contended record must self-identify. Two independent instruments
+    over the whole run's /proc/stat delta:
+
+    - ``steal_frac``: hypervisor ran other guests (field 8). The
+      normalized comparator's probe ratio responds to this too, but
+      only at its two sample instants; this integrates over the run.
+    - ``busy_other_frac``: in-guest busy jiffies NOT attributable to
+      this process tree — co-tenant processes on the same guest.
+
+    ``credible`` is False when either crosses its threshold; the
+    reasons list says which. Thresholds: 5% steal (the r12 record's
+    164k-jiffy observation over a long window was well under this —
+    background steal is normal; sustained steal is not) and 20%
+    foreign busy (a co-tenant burning 6+ of 32 cores)."""
+    if not s0 or not s1:
+        return None
+    total = sum(s1.values()) - sum(s0.values())
+    if total <= 0:
+        return None
+    out: dict = {"jiffies_total": total}
+    reasons = []
+    steal = s1.get("steal", 0) - s0.get("steal", 0)
+    out["steal_jiffies"] = steal
+    out["steal_frac"] = round(steal / total, 4)
+    if out["steal_frac"] >= 0.05:
+        reasons.append("hypervisor_steal")
+    busy = sum(
+        s1.get(k, 0) - s0.get(k, 0) for k in ("user", "nice", "system")
+    )
+    if t0 is not None and t1 is not None:
+        other = max(0, busy - (t1 - t0))
+        out["busy_other_frac"] = round(other / total, 4)
+        if out["busy_other_frac"] >= 0.20:
+            reasons.append("co_tenant_cpu")
+    out["credible"] = not reasons
+    if reasons:
+        out["reasons"] = reasons
+    return out
+
+
 def _shuffle_totals(spark) -> tuple[int, int, int] | None:
     """Cumulative (shuffle write, shuffle read, disk spill) bytes over
     all completed stages, via the status REST API. Differences around a
@@ -111,6 +210,7 @@ def _calibration(spark=None) -> dict:
     by this probe's own vs-best ratio to emit a contention-normalized
     number NEXT TO the raw one — nothing is hidden, the raw per-query
     timings stay untouched."""
+    st0 = _cpu_stat()
     t0 = time.perf_counter()
     s = 0
     for i in range(20_000_000):
@@ -126,6 +226,12 @@ def _calibration(spark=None) -> dict:
             "sum(id % 7) as s"
         ).collect()
         out["spark_mt32_sec"] = round(time.perf_counter() - t0, 3)
+    # r13 (VERDICT r12 #3): steal bracketing the probes themselves —
+    # a probe that itself ran under steal reads slow, and this delta
+    # says so explicitly instead of leaving it to inference
+    st1 = _cpu_stat()
+    if st0 and st1:
+        out["steal_jiffies"] = st1.get("steal", 0) - st0.get("steal", 0)
     return out
 
 
@@ -147,6 +253,7 @@ def _time_query(
     samples: list[float] = []
     build_samples: list[float] = []
     before = None
+    cpu0 = _cpu_stat()
     for i in range(runs):
         tb = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
@@ -157,6 +264,7 @@ def _time_query(
         df.write.format("noop").mode("overwrite").save()
         samples.append(time.perf_counter() - t0)
         build_samples.append(t0 - tb)
+    cpu1 = _cpu_stat()
     after = _shuffle_totals(spark)
     shuffle = None
     if before is not None and after is not None:
@@ -165,11 +273,19 @@ def _time_query(
             "shuffle_read_bytes": after[1] - before[1],
             "disk_spill_bytes": after[2] - before[2],
         }
+    # r13: steal jiffies accumulated while THIS query's runs executed
+    # — a per-query contention witness (VERDICT r12 #3)
+    steal = (
+        cpu1.get("steal", 0) - cpu0.get("steal", 0)
+        if cpu0 and cpu1
+        else None
+    )
     return (
         round(sorted(samples)[len(samples) // 2], 3),
         round(min(samples), 3),
         sorted(build_samples)[len(build_samples) // 2],
         shuffle,
+        steal,
     )
 
 
@@ -211,13 +327,17 @@ def main() -> None:
     mins: dict[str, float] = {}
     builds: dict[str, float] = {}
     shuffles: dict[str, dict[str, int]] = {}
+    steal_per_query: dict[str, int] = {}
+    run_stat0, run_tree0 = _cpu_stat(), _proc_tree_jiffies()
     for name in names:
-        med, mn, b, sh = _time_query(spark, name, sf_dir, runs)
+        med, mn, b, sh, stl = _time_query(spark, name, sf_dir, runs)
         timings[name], mins[name] = med, mn
         if b >= 0.05:  # plain plan assembly is ~ms; report real work
             builds[name] = round(b, 3)
         if sh is not None:
             shuffles[name] = sh
+        if stl:  # nonzero steal while this query ran (r13)
+            steal_per_query[name] = stl
     # Contention-burst rejection (r10, VERDICT r9 #2): two rounds of
     # official records carried multi-second phantoms (r9: q34 at 33x
     # its best) that a clean re-run contradicted — median-of-3 cannot
@@ -244,10 +364,11 @@ def main() -> None:
             continue
         if host_ratio is not None and host_ratio >= 2:
             continue  # the whole host is slow — a re-run proves nothing
-        med2, mn2, _b2, _sh2 = _time_query(spark, name, sf_dir, runs)
+        med2, mn2, _b2, _sh2, _stl2 = _time_query(spark, name, sf_dir, runs)
         remeasured[name] = {"first": timings[name], "remeasure": med2}
         timings[name] = med2
         mins[name] = min(mins[name], mn2)
+    run_stat1, run_tree1 = _cpu_stat(), _proc_tree_jiffies()
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -258,6 +379,14 @@ def main() -> None:
         "sf": sf,
         "calibration": calib,
     }
+    # r13 (VERDICT r12 #3): per-query steal deltas + a run-level host
+    # credibility verdict — a contended record self-identifies in the
+    # record itself instead of waiting for post-hoc adjudication
+    cred = _host_credibility(run_stat0, run_stat1, run_tree0, run_tree1)
+    if cred is not None:
+        if steal_per_query:
+            cred["steal_per_query_jiffies"] = steal_per_query
+        out["host_credibility"] = cred
     if calib_ratio is not None:
         out["calibration"]["vs_best_ratio"] = calib_ratio
     if mt_ratio is not None:

@@ -236,6 +236,118 @@ def _ckpt_path(table: str, version: int) -> str:
     return os.path.join(table, _LOG_DIR, f"{version:020d}{_CKPT_SUFFIX}")
 
 
+# ---- per-file bloom filters (r13, VERDICT r12 #5) ----
+# Zone maps (min/max) cannot skip POINT lookups on high-cardinality
+# non-sort columns (exact-dedup hash probes, incremental-dedup id
+# checks): every file's [min, max] spans the probe, so all files scan.
+# A per-file bloom filter answers "definitely absent" for equality/IN
+# probes — the Delta bloom-filter-index idea, stored here as KB-sized
+# sidecars under _txlog/_bloom/<file-basename>.bloom.json, written
+# executor-side at stage time (one task per staged file, no shuffle)
+# and consulted AFTER zone pruning on the already-log-sized candidate
+# list. Purely advisory: a missing sidecar (pre-declaration files,
+# unaware writers, partition columns that are not in the file bytes)
+# just means no extra skip — never a wrong result.
+
+# both naming families: Spark's JSON-schema names (long/integer/...)
+# and the SQL simpleString names, so validation works from either form
+_BLOOM_TYPES = {
+    "byte", "short", "integer", "long",
+    "tinyint", "smallint", "int", "bigint",
+    "string", "binary",
+}
+
+
+def _bloom_encode(v) -> bytes:
+    """Canonical bytes for a bloom-hashed value. Type-tagged so the
+    int 1 and the string "1" never collide; restricted to exact types
+    (ints/strings/bytes) — float equality probes are a smell and
+    refuse at declaration time."""
+    if isinstance(v, bool):
+        raise TypeError("boolean bloom probes are pointless")
+    if isinstance(v, int):
+        return b"i" + str(v).encode()
+    if isinstance(v, str):
+        return b"s" + v.encode("utf-8")
+    if isinstance(v, (bytes, bytearray)):
+        return b"b" + bytes(v)
+    try:  # numpy integers from pyarrow to_pylist on some dtypes
+        import numpy as _np
+
+        if isinstance(v, _np.integer):
+            return b"i" + str(int(v)).encode()
+    except ImportError:
+        pass
+    raise TypeError(f"unsupported bloom value type {type(v).__name__}")
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """(m bits, k hashes) for n items at false-positive rate fpp —
+    the standard optimum, m rounded up to whole bytes."""
+    import math
+
+    if n <= 0:
+        return 8, 1
+    ln2 = math.log(2)
+    m = max(8, math.ceil(-n * math.log(fpp) / (ln2 * ln2)))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / n * ln2))
+    return m, k
+
+
+def _bloom_positions(enc: bytes, k: int, m: int):
+    """k bit positions via Kirsch-Mitzenmacher double hashing over one
+    sha256 — deterministic across processes and Python builds."""
+    import hashlib
+
+    d = hashlib.sha256(enc).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_build_file(
+    full: str, sidecar: str, cols: list[str], fpp: float
+) -> None:
+    """Build one data file's bloom sidecar (executor task): read ONLY
+    the declared columns, one pass each, write the JSON sidecar
+    atomically (tmp + replace). Columns not in the file bytes
+    (partition columns, pre-widening files) are simply absent from the
+    sidecar — probes on them return unknown. An all-null column gets
+    an empty filter: every probe is then definitely-absent, which is
+    CORRECT for non-null equality."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(full)
+    names = set(pf.schema_arrow.names)
+    out: dict = {"fpp": fpp, "cols": {}}
+    for c in cols:
+        if c not in names:
+            continue
+        vals = [
+            v
+            for v in pf.read(columns=[c]).column(0).to_pylist()
+            if v is not None
+        ]
+        m, k = _bloom_params(len(vals), fpp)
+        bits = bytearray(m // 8)
+        for v in vals:
+            for pos in _bloom_positions(_bloom_encode(v), k, m):
+                bits[pos >> 3] |= 1 << (pos & 7)
+        out["cols"][c] = {
+            "m": m,
+            "k": k,
+            "n": len(vals),
+            "bits": base64.b64encode(bytes(bits)).decode(),
+        }
+    tmp = f"{sidecar}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(out, f)
+    os.replace(tmp, sidecar)
+
+
 def _ckpt_pq_path(
     table: str, version: int, part: int | None = None, nparts: int | None = None
 ) -> str:
@@ -1545,6 +1657,7 @@ class TxTable:
         resolved it (the Spark-side DML path, r12), avoiding a driver
         checkpoint fold; the ``"fold"`` default keeps every existing
         call site's behavior."""
+        is_sidecar = pcols is None  # DV/CDC sidecars, never table data
         if meta == "fold":
             meta = self._fold_state()[3]
         df = self._to_physical(df, meta)
@@ -1584,6 +1697,11 @@ class TxTable:
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+        # r13: bloom sidecars for declared columns ride every DATA
+        # stage (executor-parallel, one task per file, no shuffle);
+        # DV/CDC sidecar stages are skipped — they are not probeable
+        if not is_sidecar and (meta or {}).get("bloom_columns"):
+            self._write_blooms(df.sparkSession, names, meta)
         return names
 
     def _base2rel(self, files: list[str]) -> dict[str, str]:
@@ -1923,10 +2041,15 @@ class TxTable:
             cand_df = adds
             for c in conds:
                 cand_df = cand_df.filter(c)
-            return (
-                [r["path"] for r in cand_df.select("path").collect()],
-                n_live,
-            )
+            paths = [r["path"] for r in cand_df.select("path").collect()]
+            # r13: equality-probe DML consults bloom sidecars over the
+            # already-collected O(selected) candidate list
+            if prune_column is not None and lo is not None and lo == hi:
+                phys = mapping.get(prune_column, prune_column)
+                paths = [
+                    n for n in paths if self._bloom_keep(n, phys, [lo])
+                ]
+            return (paths, n_live)
 
         return meta, scan, select
 
@@ -2264,6 +2387,14 @@ class TxTable:
                     hi is not None and mn > hi
                 ):
                     continue
+            # r13: an equality probe (lo == hi) additionally consults
+            # the file's bloom sidecar
+            if (
+                lo is not None
+                and lo == hi
+                and not self._bloom_keep(name, column, [lo])
+            ):
+                continue
             keep.append(name)
         return keep, len(adds)
 
@@ -2309,9 +2440,15 @@ class TxTable:
         honored, mismatched zone/query types kept (safe side);
         integer bounds compare as DECIMAL(38,12) so int64 zones stay
         exact (floats compare as double)."""
-        keep, total, _dvs, _meta = self._pruned_live_spark(
+        keep, total, _dvs, meta = self._pruned_live_spark(
             spark, column, lo, hi
         )
+        # r13: equality probes additionally consult bloom sidecars —
+        # on the ALREADY-COLLECTED O(selected) list, so the consult
+        # reads at most len(keep) KB-sized sidecars driver-side
+        if lo is not None and lo == hi:
+            phys = ((meta or {}).get("mapping") or {}).get(column, column)
+            keep = [n for n in keep if self._bloom_keep(n, phys, [lo])]
         return keep, total
 
     @staticmethod
@@ -2478,6 +2615,10 @@ class TxTable:
                     v >= mn and (not hi_usable or v <= mx) for v in values
                 ):
                     continue
+            # r13: bloom consult AFTER zone maps — skips the files a
+            # high-cardinality point probe's zones cannot eliminate
+            if not self._bloom_keep(name, column, values):
+                continue
             keep.append(name)
         return keep, len(adds)
 
@@ -2496,6 +2637,159 @@ class TxTable:
             return self.read(spark, version).filter(F.lit(False))
         df = self._scan(spark, keep, version)
         return df.filter(F.col(column).isin(list(values)))
+
+    # ---- per-file bloom filters (r13, VERDICT r12 #5) ----
+    def set_bloom_filter(self, columns, fpp: float = 0.01) -> int:
+        """Declare per-file bloom filters for ``columns`` (Delta's
+        bloom-filter-index idea): every subsequent data stage writes a
+        KB-sized sidecar per file, and equality/IN point lookups
+        (``pruned_files_in``, ``pruned_files(lo == hi)``, and the
+        Spark-side candidate routes) skip files whose filter says
+        definitely-absent — the skip zone maps cannot give on
+        high-cardinality non-sort columns. Existing files get filters
+        via :meth:`build_blooms`; until then they are simply kept
+        (advisory structure: no sidecar, no skip, never wrongness).
+        No writer feature is required for the same reason — an
+        unaware writer's new files lack sidecars and stay unskippable
+        but correct. Metadata-only commit."""
+        if not 0 < fpp < 1:
+            raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+        cols = list(columns)
+        if not cols:
+            raise ValueError("declare at least one bloom column")
+        base = self.latest_version()
+        if base < 0:
+            raise ValueError(f"table {self.path} is empty")
+        meta = dict(self._fold_state(base)[3] or {})
+        if meta.get("schema"):
+            rev = {p: l for l, p in (meta.get("mapping") or {}).items()}
+            types = {}
+            for f in json.loads(meta["schema"])["fields"]:
+                typ = f["type"]
+                typ = typ if isinstance(typ, str) else "nested"
+                types[rev.get(f["name"], f["name"])] = typ
+            pcols_t = self._partition_dtypes(meta) or {}
+            for c, t in pcols_t.items():
+                types.setdefault(c, t if isinstance(t, str) else "nested")
+            for c in cols:
+                t = types.get(c)
+                if t is None:
+                    raise ValueError(
+                        f"bloom column {c!r} not in table schema"
+                    )
+                if t not in _BLOOM_TYPES:
+                    raise ValueError(
+                        f"bloom column {c!r} has type {t}; only exact "
+                        f"types {sorted(_BLOOM_TYPES)} support equality "
+                        "probes"
+                    )
+        meta["bloom_columns"] = {"cols": cols, "fpp": float(fpp)}
+        self._commit(base + 1, "setBloomFilter", [{"meta": meta}])
+        return base + 1
+
+    def drop_bloom_filter(self) -> int:
+        base = self.latest_version()
+        meta = dict(self._fold_state(base)[3] or {})
+        if "bloom_columns" not in meta:
+            return base
+        meta.pop("bloom_columns")
+        self._commit(base + 1, "dropBloomFilter", [{"meta": meta}])
+        return base + 1
+
+    def _bloom_sidecar(self, basename: str) -> str:
+        return os.path.join(
+            self.path, _LOG_DIR, "_bloom", f"{basename}.bloom.json"
+        )
+
+    def build_blooms(self, spark: SparkSession) -> int:
+        """Backfill bloom sidecars for LIVE files that lack one (files
+        staged before the declaration). One executor task per file, no
+        shuffle. Returns how many sidecars were written."""
+        meta = self._fold_state()[3]
+        if not (meta or {}).get("bloom_columns"):
+            raise ValueError("no bloom columns declared; set_bloom_filter first")
+        missing = [
+            n
+            for n in self._snapshot_files()
+            if not os.path.exists(self._bloom_sidecar(os.path.basename(n)))
+        ]
+        self._write_blooms(spark, missing, meta)
+        return len(missing)
+
+    def _write_blooms(self, spark, names: list[str], meta) -> None:
+        """Write bloom sidecars for staged data files — executor-side,
+        one task per file (each reads ONLY the declared columns of its
+        own file; driver ships file names). Called from ``_stage`` for
+        table-data stages when the metadata declares bloom columns."""
+        bc = (meta or {}).get("bloom_columns")
+        if not bc or not names:
+            return
+        mapping = (meta or {}).get("mapping") or {}
+        phys = [mapping.get(c, c) for c in bc["cols"]]
+        fpp = float(bc.get("fpp", 0.01))
+        root = os.path.abspath(self.path)
+        bdir = os.path.join(root, _LOG_DIR, "_bloom")
+        os.makedirs(bdir, exist_ok=True)
+        tasks = [
+            (
+                n if os.path.isabs(n) else os.path.join(root, n),
+                os.path.join(
+                    bdir, f"{os.path.basename(n)}.bloom.json"
+                ),
+            )
+            for n in names
+        ]
+
+        def run(it):
+            for full, sidecar in it:
+                _bloom_build_file(full, sidecar, phys, fpp)
+
+        spark.sparkContext.parallelize(
+            tasks, max(1, min(len(tasks), 64))
+        ).foreachPartition(run)
+
+    def _bloom_probe(self, basename: str, col_phys: str, values):
+        """True = some value may be present, False = every value is
+        DEFINITELY absent (file skippable), None = unknown (no
+        sidecar / column not covered / unencodable value)."""
+        import base64
+
+        try:
+            with open(self._bloom_sidecar(basename)) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            return None
+        ent = (d.get("cols") or {}).get(col_phys)
+        if ent is None:
+            return None
+        try:
+            bits = base64.b64decode(ent["bits"])
+            m, k = int(ent["m"]), int(ent["k"])
+        except (KeyError, ValueError):
+            return None
+        probed = False
+        for v in values:
+            if v is None:
+                continue  # equality with NULL matches nothing
+            try:
+                enc = _bloom_encode(v)
+            except TypeError:
+                return None
+            probed = True
+            if all(
+                bits[pos >> 3] & (1 << (pos & 7))
+                for pos in _bloom_positions(enc, k, m)
+            ):
+                return True
+        return False if probed else None
+
+    def _bloom_keep(self, name: str, col_phys: str, values) -> bool:
+        """keep-the-file verdict composing with zone pruning: False
+        only on a definite bloom miss for every probe value."""
+        return (
+            self._bloom_probe(os.path.basename(name), col_phys, values)
+            is not False
+        )
 
     def pruned_files_null(
         self, column: str, want_null: bool, version: int | None = None
@@ -5769,7 +6063,10 @@ class TxTable:
         return expired
 
     def vacuum(
-        self, grace_seconds: float = 3600.0, dry_run: bool = False
+        self,
+        grace_seconds: float = 3600.0,
+        dry_run: bool = False,
+        spark: "SparkSession | None" = None,
     ) -> list[str]:
         """Remove files unreferenced by ANY log version (aborted
         stages), returning what was deleted. ``dry_run=True`` (r11 —
@@ -5778,6 +6075,14 @@ class TxTable:
         historical files would break the time-travel promise, so those
         always survive — until ``expire_log`` moves the horizon past
         them.
+
+        r13 (VERDICT r12 #4): with ``spark`` given and the table at
+        checkpoint scale (``_ckpt_live_rows >= DML_SPARK_PLAN_THRESHOLD``),
+        listing, reference anti-join and deletion all run AS SPARK JOBS
+        (``_vacuum_spark``) — the Delta VACUUM shape, where at
+        object-store scale listing/deleting millions of files is
+        cluster work. The driver path below stays for small tables and
+        as the fallback (legacy JSON-only checkpoints).
 
         ``grace_seconds`` closes the in-flight-commit race (found in
         review): a concurrent append has ALREADY renamed its staged
@@ -5793,6 +6098,14 @@ class TxTable:
         before the renames leaves its whole staging dir behind — no
         log entry will ever reference it, so without this sweep it is
         unbounded garbage."""
+        if (
+            spark is not None
+            and self._ckpt_live_rows() >= self.DML_SPARK_PLAN_THRESHOLD
+        ):
+            out = self._vacuum_spark(spark, grace_seconds, dry_run)
+            if out is not None:
+                return out
+            # legacy JSON-only checkpoint: fall through to the fold
         import shutil
 
         referenced = set()
@@ -5845,5 +6158,150 @@ class TxTable:
                 ):
                     if not dry_run:
                         os.remove(full)
+                        try:  # r13: the file's bloom sidecar goes too
+                            os.remove(self._bloom_sidecar(f))
+                        except OSError:
+                            pass
                     deleted.append(rel)
         return deleted
+
+    def _vacuum_spark(
+        self, spark: SparkSession, grace_seconds: float, dry_run: bool
+    ) -> "list[str] | None":
+        """VACUUM as Spark jobs (r13, VERDICT r12 #4 — the Delta
+        shape). Three stages, none materializing table-scale state on
+        the driver:
+
+        1. **References.** Surviving JSON log entries are walked
+           driver-side (bounded: post-expiry tail of small entries),
+           but the unbounded part — every checkpoint's add-set — is
+           read as a Spark parquet scan: add rows contribute ``path``,
+           dv rows explode their JSON name lists. Returns None (caller
+           refolds) if any checkpoint version lacks a complete parquet
+           set (legacy JSON form) — a partial reference set would
+           delete live data.
+        2. **Listing.** One task per top-level partition directory
+           (recursive walk) plus one for the table root's own files —
+           the driver ships DIRECTORY NAMES only. On hive-partitioned
+           100 TB tables this is the object-store-parallel listing;
+           an unpartitioned flat dir degrades to one listing task,
+           which is the filesystem's own sequential bound.
+        3. **Delete.** The unreferenced-and-past-grace candidates are
+           deleted INSIDE ``mapPartitions`` (idempotent: ENOENT from a
+           task retry still reports the name); the returned name list
+           is the same contract the driver path serves.
+
+        The ``_stage-*`` sweep stays driver-side — bounded by aborted
+        staging attempts, and directory removal is one rmtree each."""
+        import shutil
+
+        ck_parts: list[str] = []
+        for cv in self._checkpoint_versions():
+            parts = self._complete_ckpt_parquet(cv)
+            if not parts:
+                if os.path.exists(_ckpt_path(self.path, cv)):
+                    return None  # legacy JSON checkpoint: driver path
+                continue  # torn/incomplete set references nothing
+            ck_parts.extend(parts)
+        refs_small: set[str] = set()
+        for entry in self._read_log():
+            for a in entry["actions"]:
+                n = (
+                    a.get("add")
+                    or a.get("remove")
+                    or a.get("dv")
+                    or a.get("cdc")
+                )
+                if n:
+                    refs_small.add(n)
+        cutoff = time.time() - grace_seconds
+        deleted: list[str] = []
+        for f in os.listdir(self.path):
+            full = os.path.join(self.path, f)
+            if (
+                f.startswith("_stage-")
+                and os.path.isdir(full)
+                and os.path.getmtime(full) <= cutoff
+            ):
+                if not dry_run:
+                    shutil.rmtree(full, ignore_errors=True)
+                deleted.append(f)
+        root = os.path.abspath(self.path)
+        units = ["."]
+        for f in os.listdir(root):
+            if f == _LOG_DIR or f.startswith("_stage-"):
+                continue
+            if os.path.isdir(os.path.join(root, f)):
+                units.append(f)
+
+        def _list_unit(unit_iter):
+            for u in unit_iter:
+                if u == ".":
+                    with os.scandir(root) as it:
+                        for e in it:
+                            if e.is_file() and e.name.endswith(".parquet"):
+                                yield (e.name, e.stat().st_mtime)
+                else:
+                    for dirpath, _dirs, fnames in os.walk(
+                        os.path.join(root, u)
+                    ):
+                        for f in fnames:
+                            if not f.endswith(".parquet"):
+                                continue
+                            full = os.path.join(dirpath, f)
+                            try:
+                                yield (
+                                    os.path.relpath(full, root),
+                                    os.path.getmtime(full),
+                                )
+                            except OSError:
+                                pass  # raced with another cleaner
+
+        files_df = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                units, max(1, min(len(units), 64))
+            ).mapPartitions(_list_unit),
+            "rel string, mtime double",
+        )
+        cand = files_df.filter(F.col("mtime") <= F.lit(cutoff))
+        if ck_parts:
+            ck = spark.read.parquet(*ck_parts)
+            refs = ck.filter(F.col("kind") == "add").select(
+                F.col("path").alias("rel")
+            )
+            refs = refs.unionByName(
+                ck.filter(F.col("kind") == "dv").select(
+                    F.explode(
+                        F.from_json(F.col("payload"), "array<string>")
+                    ).alias("rel")
+                )
+            )
+            cand = cand.join(refs, "rel", "left_anti")
+        if refs_small:
+            cand = cand.filter(~F.col("rel").isin(sorted(refs_small)))
+        if dry_run:
+            rels = [r["rel"] for r in cand.select("rel").collect()]
+        else:
+
+            bdir = os.path.join(root, _LOG_DIR, "_bloom")
+
+            def _rm(rows):
+                for row in rows:
+                    try:
+                        os.remove(os.path.join(root, row["rel"]))
+                    except OSError:
+                        pass  # retry/raced delete: idempotent
+                    try:  # r13: bloom sidecar rides its data file
+                        os.remove(
+                            os.path.join(
+                                bdir,
+                                os.path.basename(row["rel"])
+                                + ".bloom.json",
+                            )
+                        )
+                    except OSError:
+                        pass
+                    yield row["rel"]
+
+            rels = cand.select("rel").rdd.mapPartitions(_rm).collect()
+        return deleted + sorted(rels)

@@ -443,6 +443,74 @@ def _parse_byte_limit(v) -> int:
     return int(s) * mult
 
 
+def _admission_hint_path(table_path: str, stream_id: str) -> str:
+    return os.path.join(table_path, "_txlog", f"_admission-{stream_id}")
+
+
+def _save_hint_file(hint_path: str, end: int) -> None:
+    # best-effort; a read-only table dir just means the
+    # one-uncapped-batch-after-clean-restart caveat applies.
+    # MONOTONICITY IS LOAD-BEARING: the safety argument for the
+    # hint ("end >= any checkpointed start, so a capped offset can
+    # never go backwards") needs read-check-write to be atomic —
+    # two same-streamId writers interleaving a plain replace could
+    # regress the hint, and a regressed hint can emit an offset
+    # BELOW a checkpointed start, which re-serves versions on the
+    # following batch. flock makes the update a critical section
+    # (local fs — the only kind this table layer runs on).
+    try:
+        import fcntl
+
+        with open(hint_path, "a+") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            f.seek(0)
+            cur = f.read().strip()
+            if cur and int(cur) >= end:
+                return
+            f.seek(0)
+            f.truncate()
+            f.write(str(end))
+    except (OSError, ValueError):
+        pass
+
+
+def seed_admission_position(
+    table_path: str,
+    checkpoint_location: str,
+    stream_id: str = "default",
+    starting_version: int = -1,
+) -> bool:
+    """Make the FIRST micro-batch of a fresh capped stream honor the
+    cap (r13, VERDICT r12 #2). Spark 4.1.2 asks a Python streaming
+    source for ``latestOffset`` BEFORE ``initialOffset`` on a fresh
+    query (probed; the engine's first constructNextBatch precedes the
+    offset-log seeding call), so at the first cap decision the reader
+    cannot know its position and r12's safe fallback served the
+    uncapped latest — the whole backlog as batch one, exactly the
+    100 TB backfill scenario the cap exists for.
+
+    This helper closes that window WITHOUT touching the reader's
+    restart-safety argument: it writes the monotone admission hint
+    (= the reader's known starting position) ONLY when the sink
+    checkpoint has no offset log yet — i.e. only when the query is
+    provably fresh and the true position IS ``starting_version``. On
+    a restart (offsets exist) it does nothing: the hint the stream
+    itself maintained stays authoritative, and the save is monotone
+    under flock anyway, so a racing live stream can never be dragged
+    backwards. Returns True when a seed was written."""
+    off_dir = os.path.join(checkpoint_location, "offsets")
+    try:
+        fresh = not os.path.isdir(off_dir) or not os.listdir(off_dir)
+    except OSError:
+        fresh = False
+    if not fresh:
+        return False
+    _save_hint_file(
+        _admission_hint_path(table_path, stream_id), starting_version
+    )
+    return True
+
+
 class TxLogStreamReader(DataSourceStreamReader):
     """Streaming source. Default mode serves the append-only file
     feed; ``cdf=True`` (``.option("readChangeFeed", "true")``, r11 —
@@ -550,9 +618,7 @@ class TxLogStreamReader(DataSourceStreamReader):
 
     # ---- admission control (r12) ----
     def _hint_path(self) -> str:
-        return os.path.join(
-            self.table.path, "_txlog", f"_admission-{self.stream_id}"
-        )
+        return _admission_hint_path(self.table.path, self.stream_id)
 
     def _load_hint(self) -> "int | None":
         try:
@@ -562,30 +628,7 @@ class TxLogStreamReader(DataSourceStreamReader):
             return None
 
     def _save_hint(self, end: int) -> None:
-        # best-effort; a read-only table dir just means the
-        # one-uncapped-batch-after-clean-restart caveat applies.
-        # MONOTONICITY IS LOAD-BEARING: the safety argument for the
-        # hint ("end >= any checkpointed start, so a capped offset can
-        # never go backwards") needs read-check-write to be atomic —
-        # two same-streamId writers interleaving a plain replace could
-        # regress the hint, and a regressed hint can emit an offset
-        # BELOW a checkpointed start, which re-serves versions on the
-        # following batch. flock makes the update a critical section
-        # (local fs — the only kind this table layer runs on).
-        try:
-            import fcntl
-
-            with open(self._hint_path(), "a+") as f:
-                fcntl.flock(f, fcntl.LOCK_EX)
-                f.seek(0)
-                cur = f.read().strip()
-                if cur and int(cur) >= end:
-                    return
-                f.seek(0)
-                f.truncate()
-                f.write(str(end))
-        except (OSError, ValueError):
-            pass
+        _save_hint_file(self._hint_path(), end)
 
     def _admission_cost(self, entry: dict) -> "tuple[int, int]":
         """(files, bytes) a batch containing this commit schedules.
@@ -1155,3 +1198,78 @@ def register_sql_table(
     if version is not None:
         reader = reader.option("version", int(version))
     reader.load().createOrReplaceTempView(name)
+
+
+def drain_capped(
+    writer,
+    processing_time: str = "0 seconds",
+    await_seconds: float = 600.0,
+    table_path: "str | None" = None,
+    checkpoint_location: "str | None" = None,
+    stream_id: str = "default",
+    starting_version: int = -1,
+):
+    """AvailableNow semantics WITH admission control honored (r13,
+    VERDICT r12 #2): drain every commit available in the source in
+    cap-sized micro-batches, then terminate.
+
+    Why this exists: Spark wraps Python data sources in
+    ``AvailableNowDataStreamWrapper``, which memorizes ONE
+    ``latestOffset`` at query start and serves it as the single
+    batch's end — so a FRESH ``Trigger.AvailableNow`` run against a
+    deep backlog takes the ENTIRE history as one uncapped batch
+    (pinned caveat, tests/test_txlog_datasource.py). Backfill over
+    deep history is precisely where the cap matters most at 100 TB.
+    Under a ``processingTime`` trigger the engine re-asks
+    ``latestOffset`` every tick, so the reader's
+    ``maxFilesPerTrigger``/``maxBytesPerTrigger`` walk applies to
+    every batch; ``processAllAvailable()`` blocks until the offset
+    stops advancing — i.e. the backlog (plus anything that arrived
+    during the drain) is fully served — and then the query stops.
+
+    Exactly-once across restarts is the engine's own contract, not
+    this helper's: offsets live in the writer's ``checkpointLocation``
+    offset/commit logs, so a drain killed mid-backlog resumes at the
+    next ``drain_capped`` call, replaying only the last uncommitted
+    batch (same guarantee as any restarted micro-batch stream). A
+    killed drain therefore never duplicates or skips rows as long as
+    the sink is the same checkpointed sink.
+
+    ``writer``: a fully-configured ``DataStreamWriter`` (sink format,
+    ``checkpointLocation``, options) — everything EXCEPT the trigger,
+    which this helper owns. Returns a summary dict:
+    ``{"batches": <micro-batches that carried rows>, "rows": <total
+    input rows>}`` (from the query's progress feed; empty heartbeat
+    ticks are not counted).
+
+    ``table_path`` + ``checkpoint_location`` (recommended): lets the
+    helper pre-seed the admission position for a FRESH query via
+    :func:`seed_admission_position`, so the cap applies from the very
+    first micro-batch (the engine asks ``latestOffset`` before
+    ``initialOffset``, so an unseeded fresh reader must serve batch
+    one uncapped — see the reader docstring). Without them the drain
+    still terminates correctly; only batch one of a brand-new query
+    is uncapped. ``stream_id``/``starting_version`` must match the
+    reader options (``streamId``/``startingVersion``) when set."""
+    if table_path is not None and checkpoint_location is not None:
+        seed_admission_position(
+            table_path, checkpoint_location, stream_id, starting_version
+        )
+    q = writer.trigger(processingTime=processing_time).start()
+    try:
+        q.processAllAvailable()
+        progress = q.recentProgress
+        batches = 0
+        rows = 0
+        for p in progress:
+            n = int(p.get("numInputRows", 0) or 0)
+            if n > 0:
+                batches += 1
+                rows += n
+    finally:
+        q.stop()
+        try:
+            q.awaitTermination(int(await_seconds))
+        except Exception:
+            pass
+    return {"batches": batches, "rows": rows}
