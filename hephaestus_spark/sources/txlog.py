@@ -6163,6 +6163,29 @@ class TxTable:
                         except OSError:
                             pass
                     deleted.append(rel)
+        # r13: orphan bloom sidecars (their data file was reclaimed by
+        # an earlier pass, e.g. optimize -> expire -> vacuum before the
+        # sidecar cleanup existed) — a sidecar is garbage once no
+        # surviving record references its basename and no such file is
+        # on disk. Grace window applies as usual.
+        bdir = os.path.join(self.path, _LOG_DIR, "_bloom")
+        if os.path.isdir(bdir):
+            ref_base = {os.path.basename(r) for r in referenced if r}
+            for f in os.listdir(bdir):
+                if not f.endswith(".bloom.json"):
+                    continue
+                base = f[: -len(".bloom.json")]
+                full = os.path.join(bdir, f)
+                if (
+                    base not in ref_base
+                    and os.path.getmtime(full) <= cutoff
+                ):
+                    if not dry_run:
+                        try:
+                            os.remove(full)
+                        except OSError:
+                            pass
+                    deleted.append(os.path.join("_txlog", "_bloom", f))
         return deleted
 
     def _vacuum_spark(

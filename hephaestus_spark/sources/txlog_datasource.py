@@ -421,6 +421,14 @@ class TxLogBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: TxLogPartition):  # type: ignore[override]
+        # r13: a filter pruned to ZERO files makes partitions() return
+        # [] — the engine then invokes read with a single None
+        # partition (pyspark's implicit default), which must serve an
+        # empty result, not crash (surfaced by bloom skipping, whose
+        # definite-absent verdicts empty the keep-set far more often
+        # than zone maps ever did)
+        if partition is None:
+            return
         yield from _read_file_batches(
             partition.file_path,
             partition.commit_version,

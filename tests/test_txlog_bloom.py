@@ -169,3 +169,58 @@ def test_bloom_primitives_deterministic():
     assert _bloom_encode(1) != _bloom_encode("1")  # type-tagged
     with pytest.raises(TypeError):
         _bloom_encode(1.5)
+
+
+def test_bloom_skipping_through_sql_connector(spark, tmp_path):
+    """The native connector's pushFilters routes EqualTo/In through
+    pruned_files/pruned_files_in, so SQL point probes get bloom
+    skipping with no new machinery — pinned via the planned keep-set
+    and an end-to-end SQL result."""
+    from pyspark.sql.datasource import EqualTo
+
+    from hephaestus_spark.sources.txlog_datasource import (
+        TxLogBatchReader,
+        register_sql_table,
+    )
+
+    t, rows = _hash_table(spark, str(tmp_path / "t"), files=10, rows_per=30)
+    needle = rows[42][1]
+    r = TxLogBatchReader(t, t.latest_version())
+    r.pushFilters([EqualTo(("h",), needle)])
+    assert r._keep is not None and len(r._keep) <= 2, len(r._keep)
+    assert len(r.partitions()) <= 2
+    # absent value: zero partitions planned, empty (correct) SQL result
+    r2 = TxLogBatchReader(t, t.latest_version())
+    r2.pushFilters([EqualTo(("h",), "nope")])
+    assert r2._keep == set()
+    register_sql_table(spark, "bloomed", t.path)
+    got = spark.sql(
+        f"SELECT id, h FROM bloomed WHERE h = '{needle}'"
+    ).collect()
+    assert [g["h"] for g in got] == [needle]
+    assert spark.sql("SELECT * FROM bloomed WHERE h = 'nope'").count() == 0
+
+
+def test_vacuum_sweeps_orphan_sidecars_keeps_live_ones(spark, tmp_path):
+    import json as _json
+
+    t = TxTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, h string"))
+    t.set_bloom_filter(["h"])
+    t.append(spark.createDataFrame([(2, "b")], "id long, h string"))
+    live_side = [
+        t._bloom_sidecar(os.path.basename(n))
+        for n in t._snapshot_files()
+        if os.path.exists(t._bloom_sidecar(os.path.basename(n)))
+    ]
+    assert live_side
+    orphan = t._bloom_sidecar("part-long-gone.parquet")
+    with open(orphan, "w") as f:
+        _json.dump({"fpp": 0.01, "cols": {}}, f)
+    # grace window protects even the orphan
+    assert t.vacuum() == []
+    deleted = t.vacuum(grace_seconds=0)
+    assert any(d.endswith("part-long-gone.parquet.bloom.json") for d in deleted)
+    assert not os.path.exists(orphan)
+    for s in live_side:  # live files keep their sidecars
+        assert os.path.exists(s)
