@@ -2252,3 +2252,70 @@ def x_txlog_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "x_txlog_autocompact",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal,
+           TRUE AS files_bounded, TRUE AS selective_repack
+    FROM (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      UNION ALL
+      SELECT -CAST(r.range AS BIGINT),
+             'appended-' || CAST(r.range AS VARCHAR),
+             CAST(0.0 AS DOUBLE)
+      FROM range(1, 21) r
+    )
+    """,
+)
+def x_txlog_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-compaction end-to-end (r13 — Delta's autoCompact;
+    sources/txlog.py::set_auto_compact + optimize(small_files_below)):
+    the full customer table lands as one right-sized seed file, then
+    twenty 1-row micro-appends (negative keys) model streaming
+    ingest's small-file shape. With the property set (min_files=6,
+    small_bytes=2 KiB — above every 1-row file, below the seed at any
+    sf), the post-append ticks keep the live file count bounded
+    (``files_bounded``) and ``selective_repack`` pins the bin-packing
+    selection: the seed file's NAME survives every sweep — its bytes
+    are never rewritten, which is the whole 100 TB point (the sweep
+    touches KB-sized stragglers, not the table). The oracle is the
+    plain union of everything appended: the hash proves compaction is
+    pure add+remove bookkeeping, row-for-row invisible."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    workdir = tempfile.mkdtemp(prefix="txlog-autocompact-")
+    try:
+        t = TxTable(f"{workdir}/customers")
+        t.append(c.coalesce(1))
+        seed = set(t._snapshot_files())
+        t.set_auto_compact(min_files=6, small_bytes=2048, target_files=1)
+        for k in range(1, 21):
+            t.append(
+                spark.createDataFrame(
+                    [(-k, f"appended-{k}", 0.0)],
+                    "c_custkey long, c_name string, c_acctbal double",
+                ).coalesce(1)
+            )
+        files = set(t._snapshot_files())
+        bounded = len(files) <= 8 and any(
+            h["op"] == "optimize" for h in t.history()
+        )
+        selective = seed <= files  # the seed file was never repacked
+        out = t.read(spark).select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.lit(bounded).alias("files_bounded"),
+            F.lit(selective).alias("selective_repack"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -2925,8 +2925,13 @@ class TxTable:
             return self._create_tracked(df, max_retries)
         names = self._stage(df)
         if (meta or {}).get("schema"):
-            return self._commit_schema_tracked(df, names, meta, max_retries)
-        return self.commit_names(names, max_retries=max_retries)
+            v = self._commit_schema_tracked(df, names, meta, max_retries)
+        else:
+            v = self.commit_names(names, max_retries=max_retries)
+        # r13: opt-in autoCompact tick AFTER the append landed — the
+        # returned version is the append's own either way
+        self._maybe_auto_compact(df.sparkSession, meta)
+        return v
 
     def _create_tracked(self, df: DataFrame, max_retries: int) -> int:
         """First commit of an unpartitioned table (r10): data files
@@ -3905,6 +3910,90 @@ class TxTable:
         meta["change_data_feed"] = bool(enabled)
         self._commit(base + 1, "setTableProperties", [{"meta": meta}])
         return base + 1
+
+    def set_auto_compact(
+        self,
+        enabled: bool = True,
+        min_files: int = 8,
+        small_bytes: int = 16 << 20,
+        target_files: int = 1,
+    ) -> int:
+        """Delta's autoCompact, opt-in per table (r13): after each
+        successful append / stream batch, when the live snapshot holds
+        at least ``min_files`` files under ``small_bytes``, a
+        best-effort ``optimize(small_files_below=small_bytes)`` commit
+        bin-packs exactly those files into ``target_files`` — the
+        streaming small-file problem handled at the table layer, one
+        file per micro-batch never accumulating past the threshold.
+
+        Cost/safety shape: the trigger check is metadata-only (above
+        ``DML_SPARK_PLAN_THRESHOLD`` the small-file count runs as a
+        Spark filter over the columnar checkpoint's add rows — the
+        driver never folds; below it the bounded driver fold serves),
+        the compaction itself loses any race cleanly (CommitConflict
+        is swallowed — the NEXT append retries the sweep), and a
+        reader never notices: the optimize commit is pure add+remove
+        bookkeeping. Metadata-only commit; disable with
+        ``enabled=False``."""
+        base = self.latest_version()
+        if base < 0:
+            raise ValueError(f"table {self.path} is empty")
+        meta = dict(self._fold_state(base)[3] or {})
+        if not enabled:
+            if "auto_compact" not in meta:
+                return base
+            meta.pop("auto_compact")
+        else:
+            if min_files < 2:
+                raise ValueError("min_files must be >= 2")
+            meta["auto_compact"] = {
+                "min_files": int(min_files),
+                "small_bytes": int(small_bytes),
+                "target_files": int(target_files),
+            }
+        self._commit(base + 1, "setAutoCompact", [{"meta": meta}])
+        return base + 1
+
+    def _maybe_auto_compact(self, spark, meta) -> "int | None":
+        """Post-commit auto-compaction tick (see set_auto_compact).
+        Never raises into the caller's append: a lost race or a
+        transient failure just defers the sweep to the next append."""
+        ac = (meta or {}).get("auto_compact")
+        if not ac or spark is None:
+            return None
+        small = int(ac.get("small_bytes", 16 << 20))
+        try:
+            if self._ckpt_live_rows() >= self.DML_SPARK_PLAN_THRESHOLD:
+                adds, _dvs, _m = self._live_frames(spark)
+                n = adds.filter(
+                    F.get_json_object(
+                        F.col("payload"), "$['bytes']"
+                    ).cast("long")
+                    < F.lit(small)
+                ).count()
+            else:
+                n = 0
+                for f, a in self._fold_state()[0].items():
+                    b = a.get("bytes")
+                    if b is None:
+                        try:
+                            b = os.path.getsize(self._abs(f))
+                        except OSError:
+                            continue
+                    if b < small:
+                        n += 1
+        except Exception:
+            return None  # metadata hiccup: never fail the append
+        if n < int(ac.get("min_files", 8)):
+            return None
+        try:
+            return self.optimize(
+                spark,
+                target_files=int(ac.get("target_files", 1)),
+                small_files_below=small,
+            )
+        except CommitConflict:
+            return None  # a racer won; the next append re-checks
 
     @staticmethod
     def _merge_cdc(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
@@ -5714,6 +5803,11 @@ class TxTable:
                     self._add_actions(names) + extra,
                     txn={"app": app_id, "batch": batch_id},
                 )
+                # r13: opt-in autoCompact tick — streaming ingest is
+                # THE small-file generator this exists for
+                self._maybe_auto_compact(
+                    df.sparkSession if df is not None else None, _meta
+                )
                 return v
             except CommitConflict:
                 continue
@@ -5728,6 +5822,7 @@ class TxTable:
         cluster_by: str | list[str] | None = None,
         purge_dvs: float | None = None,
         partitions: dict | None = None,
+        small_files_below: int | None = None,
     ) -> int:
         """Small-file compaction (Delta OPTIMIZE shape): rewrite the
         current snapshot's files into ``target_files`` and commit the
@@ -5777,16 +5872,26 @@ class TxTable:
         form only partially detaches a shallow clone (the full
         ``optimize()`` stays the documented detach). Composes with
         ``cluster_by`` (cluster within the selected subset); returns
-        the unchanged base version when nothing is selected."""
+        the unchanged base version when nothing is selected.
+
+        ``small_files_below`` (r13 — Delta autoCompact's bin-packing
+        selection): compact ONLY live files whose committed byte size
+        is under the threshold, leaving every right-sized file's bytes
+        untouched — the streaming-ingest small-file sweep that stays
+        affordable on a 100 TB table (selection is metadata-only from
+        the add actions' recorded ``bytes``; needs >=2 selected files
+        to act). Composes with ``partitions`` (sweep one hot
+        partition) and ``cluster_by`` (cluster the repacked subset);
+        refuses with ``purge_dvs``."""
         base_version = self.latest_version()
         if base_version < 0:
             raise ValueError(f"table {self.path} is empty")
         if purge_dvs is not None:
-            if cluster_by is not None or partitions:
+            if cluster_by is not None or partitions or small_files_below:
                 raise ValueError(
                     "purge_dvs rewrites a DV-selected file subset — it "
-                    "does not compose with cluster_by or partitions "
-                    "(run them as separate OPTIMIZE commits)"
+                    "does not compose with cluster_by, partitions or "
+                    "small_files_below (run separate OPTIMIZE commits)"
                 )
             import pyarrow.parquet as _pq
 
@@ -5826,20 +5931,35 @@ class TxTable:
                 info={"purge_dvs": purge_dvs, "files": len(hits)},
                 disjoint=True,
             )
+        removes = self._snapshot_files(base_version)
         if partitions:
-            removes = self._snapshot_files(base_version)
             for col, vals in partitions.items():
                 norm = [_zone_probe_value(v) for v in vals if v is not None]
                 keep = set(self.pruned_files_in(col, norm, base_version)[0])
                 removes = [f for f in removes if f in keep]
-            if not removes:
-                return base_version
+        if small_files_below is not None:
+            adds_map = self._fold_state(base_version)[0]
+            sized = []
+            for f in removes:
+                b = (adds_map.get(f) or {}).get("bytes")
+                if b is None:
+                    try:
+                        b = os.path.getsize(self._abs(f))
+                    except OSError:
+                        continue  # unknowable size: never auto-rewrite
+                if b < small_files_below:
+                    sized.append(f)
+            removes = sized
+            if len(removes) < 2:
+                return base_version  # nothing worth bin-packing
+        if not removes:
+            return base_version
+        if partitions or small_files_below is not None:
             # selection is an optimization SCOPE only: the rewrite
             # re-houses whatever rows the selected files hold, so an
             # over-inclusive zone overlap stays row-identical
             snapshot = self._scan(spark, removes, base_version)
         else:
-            removes = self._snapshot_files(base_version)
             snapshot = self.read(spark, base_version)
         if isinstance(cluster_by, (list, tuple)) and len(cluster_by) > 1:
             from hephaestus_spark.operators.layout import zorder_key
