@@ -3720,6 +3720,8 @@ class TxTable:
                 self._commit(
                     v, "append", self._add_actions(staged) + [{"meta": new_meta}]
                 )
+                # r13: autoCompact tick applies to identity appends too
+                self._maybe_auto_compact(spark, new_meta)
                 return v
             except CommitConflict:
                 continue
