@@ -733,3 +733,39 @@ def test_seed_admission_position_fresh_vs_restart(spark, tmp_path):
         f.write("1")
     assert seed_admission_position(t.path, ck) is False
     assert int(open(hint).read()) == 1
+
+
+def test_drain_capped_cdf_backfill(spark, tmp_path):
+    """drain_capped composes with the change-data-feed source: a
+    CDF backlog (appends + a CoW delete with sidecars) drains in
+    capped batches with the full change history delivered."""
+    from hephaestus_spark.sources.txlog_datasource import drain_capped
+
+    t = TxTable(str(tmp_path / "t"))
+    _commits(t, spark, 1, files_each=1, rows_each=4)       # v0: ids 0-3
+    t.set_change_data_feed(True)                           # v1
+    _commits(t, spark, 3, files_each=1, rows_each=4, start=10)  # v2-4
+    t.delete(spark, "id = 1")                              # v5 + sidecar
+    out = str(tmp_path / "out")
+    summary = drain_capped(
+        spark.readStream.format("txlog")
+        .option("readChangeFeed", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load(t.path)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("path", out),
+        table_path=t.path,
+        checkpoint_location=str(tmp_path / "ck"),
+    )
+    got = spark.read.parquet(out)
+    # 16 inserts + 1 delete row from the CDC sidecar
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in got.groupBy("_change_type").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert by_type == {"insert": 16, "delete": 1}
+    # capped: the four data commits cannot share one batch
+    assert summary["batches"] >= 4
