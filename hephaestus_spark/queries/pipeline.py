@@ -2319,3 +2319,56 @@ def x_txlog_autocompact(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "x_txlog_defaults",
+    oracle="""
+    SELECT n_nationkey, n_name, region
+    FROM (
+      SELECT n_nationkey, n_name, CAST(NULL AS VARCHAR) AS region
+      FROM nation
+      UNION ALL
+      SELECT n_nationkey + 1000, n_name, 'unassigned' FROM nation
+      UNION ALL
+      SELECT n_nationkey + 2000, n_name, 'manual' FROM nation
+    )
+    """,
+)
+def x_txlog_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column DEFAULTs end-to-end (r13 — Delta's allowColumnDefaults;
+    sources/txlog.py::set_column_default): nations land BEFORE the
+    declaration (their omitted ``region`` stays NULL forever —
+    write-time-only semantics, no rewrite on declaration), a second
+    append omits the column and gets the constant filled, a third
+    supplies it and wins unvalidated. The oracle is the three-way
+    union with the exact NULL/'unassigned'/'manual' split — the hash
+    pins both the fill and the no-rewrite contract."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    workdir = tempfile.mkdtemp(prefix="txlog-defaults-")
+    try:
+        t = TxTable(f"{workdir}/nations")
+        t.append(
+            n.withColumn("region", F.lit(None).cast("string")).coalesce(1)
+        )
+        t.set_column_default(spark, "region", "'unassigned'")
+        t.append(
+            n.select(
+                (F.col("n_nationkey") + 1000).alias("n_nationkey"), "n_name"
+            ).coalesce(1)
+        )
+        t.append(
+            n.select(
+                (F.col("n_nationkey") + 2000).alias("n_nationkey"),
+                "n_name",
+                F.lit("manual").alias("region"),
+            ).coalesce(1)
+        )
+        return t.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

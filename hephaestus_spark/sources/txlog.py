@@ -123,6 +123,7 @@ SUPPORTED_WRITER_FEATURES = {
     "check_constraints",
     "generated_columns",
     "identity_columns",
+    "column_defaults",  # r13 — Delta's allowColumnDefaults
 }
 
 # Hive's sentinel directory value for a NULL partition key — what
@@ -1577,11 +1578,18 @@ class TxTable:
                 f"cannot {what} column {column!r}: involved in generated "
                 f"column(s) {ghit}; drop_generated first"
             )
-        ident = (self._fold_state()[3] or {}).get("identity") or {}
+        meta_now = self._fold_state()[3] or {}
+        ident = meta_now.get("identity") or {}
         if column in ident:
             raise ValueError(
                 f"cannot {what} column {column!r}: it is an identity "
                 "column; drop_identity first"
+            )
+        # r13: a stored DEFAULT binds by logical name too — same rule
+        if column in (meta_now.get("defaults") or {}):
+            raise ValueError(
+                f"cannot {what} column {column!r}: it has a DEFAULT; "
+                "drop_column_default first"
             )
 
     def rename_column(self, spark: SparkSession, old: str, new: str) -> int:
@@ -3509,14 +3517,111 @@ class TxTable:
         raise CommitConflict(f"drop generated lost 10 races on {self.path}")
 
     def _fill_generated(self, df: DataFrame, meta: dict | None) -> DataFrame:
-        """Materialize every generated column a user-supplied frame
-        omitted (the Delta write-path behavior). Columns the frame
-        already carries are left alone — the per-commit validation
-        gate decides whether the supplied values satisfy the rule."""
+        """Materialize every generated column AND column default a
+        user-supplied frame omitted (the Delta write-path behavior).
+        Columns the frame already carries are left alone — for
+        generated columns the per-commit validation gate decides
+        whether the supplied values satisfy the rule; for defaults a
+        supplied value simply wins (defaults never validate, Delta's
+        allowColumnDefaults contract). Defaults fill FIRST so a
+        generated expression may reference a defaulted column."""
+        for col, d in ((meta or {}).get("defaults") or {}).items():
+            if col not in df.columns:
+                df = df.withColumn(
+                    col, F.expr(d["expr"]).cast(d["type"])
+                )
         for col, expr in ((meta or {}).get("generated") or {}).items():
             if col not in df.columns:
                 df = df.withColumn(col, F.expr(expr))
         return df
+
+    def column_defaults(self, version: int | None = None) -> dict:
+        """column -> {"expr", "type"} for every declared DEFAULT at
+        ``version`` (None = latest)."""
+        return dict(
+            (self._fold_state(version)[3] or {}).get("defaults") or {}
+        )
+
+    def set_column_default(
+        self, spark: SparkSession, name: str, expr: str
+    ) -> int:
+        """ALTER TABLE … ALTER COLUMN name SET DEFAULT expr — Delta's
+        allowColumnDefaults: a df-based write (append, stream batch,
+        dynamic overwrite) that OMITS the column gets ``expr``
+        materialized, cast to the column's declared type; a write that
+        supplies the column wins unvalidated. Write-time only, exactly
+        as in Delta: rows written before the declaration (or by
+        raw-file commit paths, which have no frame to fill) keep
+        serving NULL for the absent physical column — no rewrite ever
+        happens on declaration.
+
+        ``expr`` must be a CONSTANT expression (no column references
+        — probed by analyzing it over a columnless relation) that
+        casts to the column's type. Refuses generated/identity columns
+        (their values are engine-owned). Rides the ``column_defaults``
+        WRITER feature: a writer that would land frames without
+        filling refuses the whole table instead of silently writing
+        NULLs where the table contract promises the default."""
+        base = self.latest_version()
+        if base < 0:
+            raise ValueError(f"table {self.path} is empty")
+        meta = dict(self._fold_state(base)[3] or {})
+        if name in (meta.get("generated") or {}):
+            raise ValueError(f"column {name!r} is GENERATED — no DEFAULT")
+        if name in (meta.get("identity") or {}):
+            raise ValueError(f"column {name!r} is IDENTITY — no DEFAULT")
+        types: dict[str, str] = {}
+        if meta.get("schema"):
+            rev = {p: l for l, p in (meta.get("mapping") or {}).items()}
+            for f in json.loads(meta["schema"])["fields"]:
+                typ = f["type"]
+                types[rev.get(f["name"], f["name"])] = (
+                    typ if isinstance(typ, str) else None
+                )
+        if types and name not in types:
+            raise ValueError(f"column {name!r} not in table schema")
+        ctype = types.get(name)
+        if ctype is None:
+            raise ValueError(
+                f"column {name!r} has a nested/unknown type; DEFAULT "
+                "supports primitive columns"
+            )
+        # constant-folding probe: a columnless SELECT analyzes the
+        # expression with NO resolvable attributes, so any column
+        # reference fails here instead of at some later write
+        try:
+            spark.sql(f"SELECT CAST(({expr}) AS {ctype}) AS v").collect()
+        except Exception as e:
+            raise ValueError(
+                f"DEFAULT expression {expr!r} must be a constant "
+                f"castable to {ctype}: {e}"
+            ) from None
+        defaults = dict(meta.get("defaults") or {})
+        defaults[name] = {"expr": expr, "type": ctype}
+        meta["defaults"] = defaults
+        meta["writer_features"] = sorted(
+            set(meta.get("writer_features") or []) | {"column_defaults"}
+        )
+        self._commit(base + 1, "setColumnDefault", [{"meta": meta}])
+        return base + 1
+
+    def drop_column_default(self, name: str) -> int:
+        base = self.latest_version()
+        meta = dict(self._fold_state(base)[3] or {})
+        defaults = dict(meta.get("defaults") or {})
+        if name not in defaults:
+            return base
+        defaults.pop(name)
+        if defaults:
+            meta["defaults"] = defaults
+        else:
+            meta.pop("defaults", None)
+            meta["writer_features"] = sorted(
+                set(meta.get("writer_features") or [])
+                - {"column_defaults"}
+            )
+        self._commit(base + 1, "dropColumnDefault", [{"meta": meta}])
+        return base + 1
 
     def identity(self, version: int | None = None) -> dict[str, dict]:
         """column -> {"start", "step", "next"} for every identity
