@@ -6107,8 +6107,9 @@ class TxTable:
         data reads): location, current version, creation/last-modified
         commit timestamps, file/row counts, total bytes, partition
         columns, and the full governance surface (constraints,
-        generated/identity columns, reader/writer features, clone
-        roots, CDF flag). Absolute (clone-referenced) files that the
+        generated/identity columns, column defaults, bloom columns,
+        auto-compact policy, reader/writer features, clone roots, CDF
+        flag). Absolute (clone-referenced) files that the
         source has since vacuumed contribute size 0 rather than
         failing the summary."""
         v = self.latest_version()
@@ -6145,6 +6146,10 @@ class TxTable:
             "writer_features": sorted(meta.get("writer_features") or []),
             "clone_roots": list(meta.get("clone_roots") or []),
             "change_data_feed": bool(meta.get("change_data_feed")),
+            # r13 governance surface
+            "column_defaults": dict(meta.get("defaults") or {}),
+            "bloom_columns": dict(meta.get("bloom_columns") or {}),
+            "auto_compact": dict(meta.get("auto_compact") or {}),
             "properties": dict(meta.get("properties") or {}),
         }
 

@@ -105,3 +105,15 @@ def test_default_composes_with_generated(spark, tmp_path):
     t.append(spark.createDataFrame([(2,)], "id long"))
     got = {r["id"]: (r["qty"], r["total"]) for r in t.read(spark).collect()}
     assert got[2] == (5, 50)
+
+
+def test_describe_detail_surfaces_r13_governance(spark, tmp_path):
+    t = _t(spark, str(tmp_path / "t"))
+    t.set_column_default(spark, "region", "'x'")
+    t.set_bloom_filter(["name"])
+    t.set_auto_compact(min_files=4)
+    d = t.detail()
+    assert d["column_defaults"] == {"region": {"expr": "'x'", "type": "string"}}
+    assert d["bloom_columns"]["cols"] == ["name"]
+    assert d["auto_compact"]["min_files"] == 4
+    assert "column_defaults" in d["writer_features"]
