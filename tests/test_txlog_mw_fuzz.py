@@ -30,13 +30,21 @@ def _df(spark, rows):
     return spark.createDataFrame(rows, "id long, band long, val double")
 
 
-def _retry(fn, attempts=25):
-    for _ in range(attempts):
+def _retry(fn, attempts=50):
+    # r13: the budget is a LIVENESS bound, not a correctness claim —
+    # on a heavily loaded host 25 back-to-back re-runs can starve
+    # legitimately (every slot lost to a racer that then stalls on
+    # CPU). Linear backoff cheaply breaks the lockstep; the
+    # convergence oracle below is what actually proves correctness.
+    import time as _time
+
+    for i in range(attempts):
         try:
             return fn()
         except CommitConflict:
+            _time.sleep(0.01 * min(i, 10))
             continue
-    raise AssertionError("starved after 25 re-runs")
+    raise AssertionError(f"starved after {attempts} re-runs")
 
 
 @pytest.mark.parametrize("seed", [3, 17])
