@@ -1229,6 +1229,37 @@ class TxTable:
             return False
         return True
 
+    def _act_overlaps_bloom(
+        self, act: dict, column: str, lo=None, hi=None, values=None
+    ) -> bool:
+        """``_act_overlaps`` with a bloom refinement (r13): when the
+        zone says "may overlap" and the transaction's read predicate
+        is an equality/IN probe, a definitely-absent verdict from the
+        RACER file's bloom sidecar proves disjointness — the racer
+        cannot contain a row this transaction would have read — so an
+        equality-scoped DML rebases over blind appends that merely
+        share the key RANGE (the common hot-ingest case: every new
+        file's zone spans the whole hash space). Sound because
+        definitely-absent is exact; a false positive, a missing
+        sidecar, or an unencodable probe just keeps the conflict
+        verdict (safe side)."""
+        if not self._act_overlaps(act, column, lo=lo, hi=hi, values=values):
+            return False
+        if values is not None:
+            probes = [v for v in values if v is not None]
+        elif lo is not None and lo == hi:
+            probes = [lo]
+        else:
+            return True
+        name = act.get("add")
+        if probes and name:
+            if (
+                self._bloom_probe(os.path.basename(name), column, probes)
+                is False
+            ):
+                return False
+        return True
+
     def _commit_snapshot_dependent(
         self,
         base_version: int,
@@ -2189,13 +2220,13 @@ class TxTable:
         if prune_column is not None or partitions:
 
             def disjoint(act):
-                if prune_column is not None and not self._act_overlaps(
+                if prune_column is not None and not self._act_overlaps_bloom(
                     act, mapping.get(prune_column, prune_column), lo=lo, hi=hi
                 ):
                     return True
                 for col, vals in (partitions or {}).items():
                     norm = [_zone_probe_value(v) for v in vals if v is not None]
-                    if not self._act_overlaps(
+                    if not self._act_overlaps_bloom(
                         act, mapping.get(col, col), values=norm
                     ):
                         return True
@@ -4936,13 +4967,13 @@ class TxTable:
         if prune_column is not None or partitions:
 
             def disjoint(act):
-                if prune_column is not None and not self._act_overlaps(
+                if prune_column is not None and not self._act_overlaps_bloom(
                     act, mapping.get(prune_column, prune_column), lo=lo, hi=hi
                 ):
                     return True
                 for col, vals in (partitions or {}).items():
                     norm = [_zone_probe_value(v) for v in vals if v is not None]
-                    if not self._act_overlaps(
+                    if not self._act_overlaps_bloom(
                         act, mapping.get(col, col), values=norm
                     ):
                         return True
@@ -5083,13 +5114,13 @@ class TxTable:
         if prune_column is not None or partitions:
 
             def disjoint(act):
-                if prune_column is not None and not self._act_overlaps(
+                if prune_column is not None and not self._act_overlaps_bloom(
                     act, mapping.get(prune_column, prune_column), lo=lo, hi=hi
                 ):
                     return True
                 for col, vals in (partitions or {}).items():
                     norm = [_zone_probe_value(v) for v in vals if v is not None]
-                    if not self._act_overlaps(
+                    if not self._act_overlaps_bloom(
                         act, mapping.get(col, col), values=norm
                     ):
                         return True

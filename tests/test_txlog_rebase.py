@@ -287,3 +287,61 @@ def test_delete_mor_conflicts_on_overlapping_append(
         t.delete_mor(
             spark, "id BETWEEN 10 AND 19", prune_column="id", lo=10, hi=19
         )
+
+
+def test_update_rebases_over_zone_overlapping_append_via_bloom(
+    spark, tmp_path, monkeypatch
+):
+    """r13: an equality-scoped UPDATE (lo == hi) rebases over a racer
+    append whose file zone OVERLAPS the probe but whose BLOOM sidecar
+    proves the key absent — the hot-ingest case where every new
+    file's zone spans the key range and zone maps alone would conflict
+    forever. Without blooms, the identical race conflicts (also
+    pinned, proving the bloom is what carries the verdict)."""
+    path = str(tmp_path / "t")
+    t = _seed(spark, path)
+    t.set_bloom_filter(["id"])
+    # racer file spans zone [40, 60] but does NOT contain key 50
+    racer_rows = [(i, f"x{i}", -1.0) for i in range(40, 61) if i != 50]
+
+    _race(
+        monkeypatch,
+        {"update"},
+        lambda: TxTable(path).append(_df(spark, racer_rows).coalesce(1)),
+    )
+    v, rewritten, _ = t.update(
+        spark,
+        "id = 50",
+        {"val": "val + 1000"},
+        prune_column="id",
+        lo=50,
+        hi=50,
+    )
+    monkeypatch.undo()
+    ops = [h["op"] for h in t.history()]
+    assert ops[-2:] == ["append", "update"]  # rebased, not conflicted
+    got = {r["id"]: r["val"] for r in t.read(spark).collect()}
+    assert got[50] == 1050.0
+    assert got[41] == -1.0  # racer rows intact
+
+
+def test_update_conflicts_without_bloom_on_overlapping_zone(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "t")
+    t = _seed(spark, path)  # no bloom declared
+    racer_rows = [(i, f"x{i}", -1.0) for i in range(40, 61) if i != 50]
+    _race(
+        monkeypatch,
+        {"update"},
+        lambda: TxTable(path).append(_df(spark, racer_rows).coalesce(1)),
+    )
+    with pytest.raises(CommitConflict):
+        t.update(
+            spark,
+            "id = 50",
+            {"val": "val + 1000"},
+            prune_column="id",
+            lo=50,
+            hi=50,
+        )
