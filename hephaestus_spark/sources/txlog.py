@@ -13,11 +13,16 @@ What it gives over the directory swap:
 - **Snapshot isolation + time travel**: a reader folds the log up to a
   pinned version; concurrent commits never disturb an in-flight read
   (old files are immutable until vacuum).
-- **Optimistic concurrency**: a commit is `open(log/N.json, "x")` — an
-  atomic exclusive create on POSIX — so two writers racing to version
-  N produce exactly one winner; the loser re-reads and retries (blind
-  appends) or raises `CommitConflict` (merges, whose file set depends
-  on the snapshot they read).
+- **Optimistic concurrency**: a commit writes its complete JSON to a
+  `.tmp` name the version listing cannot match, then publishes with
+  `os.link(tmp, log/N.json)` — atomic AND exclusive on POSIX (EEXIST
+  keeps first-writer-wins) — so two writers racing to version N
+  produce exactly one winner and a published entry is either absent
+  or complete (r14: the previously-used `open(N.json, "x")` +
+  streamed dump was visible at 0 bytes mid-write to a concurrent
+  PROCESS — caught by tests/test_txlog_xproc_fuzz.py). The loser
+  re-reads and retries (blind appends) or raises `CommitConflict`
+  (merges, whose file set depends on the snapshot they read).
 - **Audit**: `history()` lists every commit with its operation.
 
 At 100 TB the log fold and conflict check stay driver-cheap (the log
@@ -397,8 +402,23 @@ class TxTable:
         return vs[-1] if vs else -1
 
     def _read_entry(self, version: int) -> dict:
-        with open(_log_path(self.path, version)) as f:
-            return json.load(f)
+        p = _log_path(self.path, version)
+        with open(p) as f:
+            try:
+                return json.load(f)
+            except json.JSONDecodeError as e:
+                # r14: the atomic tmp+os.link publish makes a torn
+                # entry impossible to CREATE; one on disk is a pre-r14
+                # writer's crash between create and dump. It is not a
+                # committed version (its content never landed), but
+                # silently skipping it would rewrite history — surface
+                # it with remediation instead of a bare JSON error.
+                raise ValueError(
+                    f"torn log entry {p} ({os.path.getsize(p)} bytes): "
+                    "a pre-r14 writer crashed mid-commit; the version "
+                    "never committed — remove the file to restore the "
+                    "table (later versions are unaffected)"
+                ) from e
 
     def _read_log(self, upto: int | None = None) -> list[dict]:
         """FULL log scan — audit-path only (history, vacuum). Hot-path
@@ -1187,11 +1207,28 @@ class TxTable:
             entry["txn"] = txn
         if info:
             entry["info"] = info
+        # r14 (found by the CROSS-PROCESS fuzz, VERDICT r13 #1): never
+        # stream JSON into the final entry name. The old
+        # `open(path, "x"); json.dump(f)` made the entry visible at 0
+        # bytes between create and dump, so a concurrent reader's
+        # _versions listing saw the version and _read_entry raised
+        # JSONDecodeError mid-fold — the log-entry twin of the r13
+        # torn-checkpoint bug (which threads never witnessed: the GIL
+        # kept create+dump effectively adjacent, but two PROCESSES
+        # interleave freely). Write the complete JSON to a .tmp name
+        # _versions cannot match, then publish with os.link — atomic
+        # AND exclusive (EEXIST keeps first-writer-wins), so an entry
+        # is either absent or complete.
+        final = _log_path(self.path, version)
+        tmp = f"{final}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
         try:
-            with open(_log_path(self.path, version), "x") as f:
-                json.dump(entry, f)
+            os.link(tmp, final)
         except FileExistsError as e:
             raise CommitConflict(f"version {version} already committed") from e
+        finally:
+            os.unlink(tmp)
         self._maybe_checkpoint(version)
 
     @staticmethod

@@ -1,0 +1,193 @@
+"""Cross-process multi-writer fuzz WORKER (r14, VERDICT r13 #1).
+
+Spawned by ``tests/test_txlog_xproc_fuzz.py`` as an independent OS
+process: own interpreter, own file descriptors, own TxTable instance
+caches — nothing shared with the parent or sibling writers except the
+table DIRECTORY. This is the topology the thread fuzz
+(``test_txlog_mw_fuzz.py``) cannot witness: threads share one
+interpreter (one ``TxTable._cache`` per instance but one module, one
+GIL serializing bytecode between checks) while real deployments race
+two independent Spark drivers. The commit protocol's atomicity claims
+— ``open(path, "x")`` exclusive create for log entries, write-to-tmp
++ ``os.link`` publish for checkpoint parquets, ``os.replace`` for the
+``_last_checkpoint`` pointer — are all CROSS-PROCESS properties of
+the filesystem, so this is where they must be proven.
+
+The worker is deliberately Spark-free (pyarrow writes + the pure-
+Python commit paths ``commit_names`` / ``_commit_snapshot_dependent``
+— the same primitives the Spark DML routes commit through): a JVM per
+subprocess would add ~20s startup each and nothing to the protocol
+under test, since Spark executors never touch the log — only the
+driver-side Python in this module does.
+
+Ops (plan-driven, seed-stable):
+- append: pyarrow-write a uniquely-named file, ``commit_names`` it
+  (exercises the retry loop + constraint re-check + schema union).
+- compact: merge the 2-3 smallest live files into one, commit
+  remove+add via ``_commit_snapshot_dependent(disjoint=True)`` — the
+  exact OPTIMIZE shape, including the rebase-over-pure-appends walk.
+- delete: copy-on-write removal of one pre-assigned unique key,
+  committed with the zone-disjointness predicate ``delete`` uses.
+- probe: fold state, load the newest checkpoint, assert invariants —
+  a reader that would crash on any torn artifact.
+
+Run with CHECKPOINT_INTERVAL=2 and CHECKPOINT_PART_ROWS=3 so nearly
+every commit races a (multipart) checkpoint publish.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+import traceback
+import uuid
+
+
+def main() -> None:
+    plan = json.loads(sys.argv[1])
+    sys.path.insert(0, plan["repo"])
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hephaestus_spark.sources import txlog
+    from hephaestus_spark.sources.txlog import CommitConflict, TxTable
+
+    txlog.CHECKPOINT_INTERVAL = plan["ckpt_interval"]
+    txlog.CHECKPOINT_PART_ROWS = plan["ckpt_part_rows"]
+
+    path = plan["path"]
+    wid = plan["wid"]
+    rng = random.Random(plan["seed"])
+    conflicts = [0]
+
+    # start gate: spin until the parent (having spawned every worker)
+    # drops the sentinel, so all interpreters hit the table at once
+    # instead of staggering behind each other's ~0.3s startup
+    gate = plan.get("gate")
+    if gate:
+        deadline = time.time() + 60
+        while not os.path.exists(gate):
+            if time.time() > deadline:
+                raise AssertionError("start gate never opened")
+            time.sleep(0.002)
+
+    def write_file(rows) -> str:
+        name = f"part-xw{wid}-{uuid.uuid4().hex[:12]}.parquet"
+        tbl = pa.table(
+            {
+                "id": pa.array([r[0] for r in rows], pa.int64()),
+                "band": pa.array([r[1] for r in rows], pa.int64()),
+                "val": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(path, name))
+        return name
+
+    def retry(fn, attempts=120):
+        # liveness bound only (same rationale as the thread fuzz's
+        # _retry): jittered linear backoff breaks writer lockstep;
+        # correctness is the parent's convergence oracle
+        for i in range(attempts):
+            try:
+                return fn()
+            except CommitConflict:
+                conflicts[0] += 1
+                time.sleep(rng.random() * 0.01 * min(i, 10))
+        raise AssertionError(f"worker {wid} starved after {attempts} re-runs")
+
+    def live_rows(t: "TxTable", names) -> list:
+        out = []
+        for n in names:
+            tb = pq.read_table(t._abs(n), columns=["id", "band", "val"])
+            out.extend(
+                zip(
+                    tb.column("id").to_pylist(),
+                    tb.column("band").to_pylist(),
+                    tb.column("val").to_pylist(),
+                )
+            )
+        return out
+
+    def compact() -> None:
+        def attempt():
+            t = TxTable(path)
+            base = t.latest_version()
+            if base < 0:
+                return
+            assert not t.dv_map(base), "fuzz writes no deletion vectors"
+            adds = t._snapshot_adds(base)
+            cands = sorted(adds, key=lambda n: (adds[n].get("rows") or 0, n))
+            cands = cands[: rng.choice([2, 3])]
+            if len(cands) < 2:
+                return
+            new = write_file(sorted(live_rows(t, cands)))
+            actions = t._add_actions([new]) + [{"remove": n} for n in cands]
+            t._commit_snapshot_dependent(
+                base, "optimize", actions, disjoint=True
+            )
+
+        retry(attempt)
+
+    def delete_exact(key: int) -> None:
+        def attempt():
+            t = TxTable(path)
+            base = t.latest_version()
+            keep, _total = t.pruned_files("id", lo=key, hi=key, version=base)
+            actions = []
+            for n in keep:
+                kept = [r for r in live_rows(t, [n]) if r[0] != key]
+                if kept:
+                    actions += t._add_actions([write_file(sorted(kept))])
+                actions.append({"remove": n})
+            if not actions:
+                return  # a racer's compaction already dropped the file set
+            t._commit_snapshot_dependent(
+                base,
+                "delete",
+                actions,
+                info={"predicate": f"id = {key}"},
+                disjoint=lambda a: not t._act_overlaps(
+                    a, "id", lo=key, hi=key
+                ),
+            )
+
+        retry(attempt)
+
+    def probe() -> None:
+        # a cold reader (fresh instance, no warm cache) folding mid-race:
+        # any torn log entry / checkpoint part / pointer would raise here
+        t = TxTable(path)
+        s = t.stats_summary()
+        assert s["count_exact"] is True and s["count"] >= 0, s
+        t._base2rel(t._snapshot_files())
+        vs = t._checkpoint_versions()
+        if vs:
+            # may legitimately be None (incomplete multipart set mid-
+            # publish) — but must NEVER raise or serve a torn fold
+            ck = t._load_checkpoint(max(vs))
+            if ck is not None:
+                assert all(isinstance(a, dict) for a in ck["adds"].values())
+
+    for op in plan["ops"]:
+        if op[0] == "append":
+            rows = [(k, 9, float(k)) for k in op[1]]
+            name = write_file(rows)
+            retry(lambda: TxTable(path).commit_names([name]))
+        elif op[0] == "compact":
+            compact()
+        elif op[0] == "delete":
+            delete_exact(op[1])
+        probe()
+    print(f"OK conflicts={conflicts[0]}", flush=True)
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except BaseException:
+        traceback.print_exc()
+        sys.exit(1)
