@@ -5990,6 +5990,43 @@ class TxTable:
             f"stream batch {batch_id} lost {max_retries} races on {self.path}"
         )
 
+    def _zorder_raw_ok(self, cols: list[str], version: int, bits: int = 16) -> bool:
+        """Can the multi-key cluster use the RAW bit-interleave? True
+        only when the committed zone maps PROVE every key column is an
+        exact-bounded non-negative integer within the ``bits`` mask —
+        a metadata-only check (no data I/O). Anything unprovable
+        (missing stats, floats, strings, negatives, out-of-mask)
+        routes to the order-preserving bucketize path, which is always
+        correct, just one shuffle per key more expensive."""
+        meta = self._fold_state(version)[3]
+        mapping = (meta or {}).get("mapping") or {}
+        adds = self._snapshot_adds(version)
+        mask = (1 << bits) - 1
+        for c in cols:
+            phys = mapping.get(c, c)
+            for act in adds.values():
+                if act.get("rows") == 0:
+                    continue  # empty task file: no stats, no rows
+                st = (act.get("stats") or {}).get(phys)
+                if st is None:
+                    return False
+                if isinstance(st, dict):
+                    lo, hi = st["lo"], st["hi"]
+                    if not st.get("hi_exact", True):
+                        return False
+                else:
+                    lo, hi = st
+                if (
+                    isinstance(lo, bool)
+                    or isinstance(hi, bool)
+                    or not isinstance(lo, int)
+                    or not isinstance(hi, int)
+                ):
+                    return False
+                if lo < 0 or hi > mask:
+                    return False
+        return True
+
     def optimize(
         self,
         spark: SparkSession,
@@ -5998,6 +6035,7 @@ class TxTable:
         purge_dvs: float | None = None,
         partitions: dict | None = None,
         small_files_below: int | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Small-file compaction (Delta OPTIMIZE shape): rewrite the
         current snapshot's files into ``target_files`` and commit the
@@ -6016,11 +6054,18 @@ class TxTable:
         z-order key (operators/layout.py — Delta's OPTIMIZE ZORDER BY
         shape): every interleaved column keeps locality
         ~|file_range|^(1/k), so zone maps prune filters on ANY of
-        them, not just the primary sort column. Multi-key columns must
-        be non-negative integers (callers bucketize wider domains, per
-        layout.py). Append order decays clustering; periodic clustered
-        OPTIMIZE restores it. ``tests/test_txlog.py`` pins prune-rate
-        floors on freshly clustered tables for both forms.
+        them, not just the primary sort column. Multi-key columns of
+        ANY type cluster correctly (r14): when the committed zones
+        prove every key a non-negative in-mask integer the raw
+        interleave runs shuffle-free; otherwise each key is first
+        range-bucketized by a distributed sample
+        (layout.zorder_bucketize — Delta's range_partition_id shape)
+        so floats, strings, dates and negatives keep order locality.
+        ``zorder_by=[c1, c2]`` is the Delta-named alias for the
+        multi-key form. Append order decays clustering; periodic
+        clustered OPTIMIZE restores it. ``tests/test_txlog.py`` pins
+        prune-rate floors on freshly clustered tables for both forms;
+        ``tests/test_txlog_zorder.py`` pins the arbitrary-type path.
 
         ``purge_dvs`` (r12, VERDICT r11 #6 — Delta's ``REORG TABLE …
         APPLY (PURGE)``): rewrite ONLY the files whose tombstoned-row
@@ -6058,6 +6103,17 @@ class TxTable:
         to act). Composes with ``partitions`` (sweep one hot
         partition) and ``cluster_by`` (cluster the repacked subset);
         refuses with ``purge_dvs``."""
+        # ``zorder_by`` (r14 — Delta's OPTIMIZE ZORDER BY spelling):
+        # alias for a multi-key ``cluster_by``; requires >= 2 columns
+        # (one column needs no interleave — plain cluster_by covers it)
+        if zorder_by is not None:
+            if cluster_by is not None:
+                raise ValueError("pass cluster_by OR zorder_by, not both")
+            if not isinstance(zorder_by, (list, tuple)) or len(zorder_by) < 2:
+                raise ValueError(
+                    "zorder_by takes >= 2 columns; use cluster_by for one"
+                )
+            cluster_by = list(zorder_by)
         base_version = self.latest_version()
         if base_version < 0:
             raise ValueError(f"table {self.path} is empty")
@@ -6137,13 +6193,36 @@ class TxTable:
         else:
             snapshot = self.read(spark, base_version)
         if isinstance(cluster_by, (list, tuple)) and len(cluster_by) > 1:
-            from hephaestus_spark.operators.layout import zorder_key
+            from hephaestus_spark.operators.layout import (
+                zorder_bucketize,
+                zorder_key,
+            )
 
+            keys = list(cluster_by)
+            if self._zorder_raw_ok(keys, base_version):
+                # fast path: committed zones PROVE every key is a
+                # non-negative integer within the 16-bit mask — the
+                # raw bit-interleave is exact and adds no shuffles
+                snapshot = snapshot.withColumn("_zkey", zorder_key(keys))
+                helper = []
+            else:
+                # general path (r14, VERDICT r13 #4 — Delta's OPTIMIZE
+                # ZORDER BY on arbitrary types): order-preserving
+                # range buckets per key (distributed sampling, one
+                # shuffle per key — maintenance-op cost), then
+                # interleave the BUCKET ids. 10 bits x up to 6 keys
+                # stays within bigint.
+                bits = 10
+                snapshot, helper = zorder_bucketize(
+                    snapshot, keys, nbuckets=1 << bits
+                )
+                snapshot = snapshot.withColumn(
+                    "_zkey", zorder_key(helper, bits=bits)
+                )
             snapshot = (
-                snapshot.withColumn("_zkey", zorder_key(list(cluster_by)))
-                .repartitionByRange(target_files, F.col("_zkey"))
+                snapshot.repartitionByRange(target_files, F.col("_zkey"))
                 .sortWithinPartitions("_zkey")
-                .drop("_zkey")
+                .drop("_zkey", *helper)
             )
         elif cluster_by is not None:
             key = (
