@@ -271,7 +271,47 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
-@query("x_pagerank")  # rows-only: iterative algorithm, no SQL equivalent
+def _pagerank_duck(n_iter: int = 10, damping: float = 0.85) -> str:
+    """DuckDB oracle for x_pagerank (r14, VERDICT r13 #5): the
+    iteration count is FIXED, so the power iteration unrolls into
+    n_iter chained CTEs — no recursion semantics to trust, every round
+    is the exact relational shape the Spark operator runs (join on
+    src, keyed sum on dst, teleport floor for no-inflow nodes).
+    Rounding to 10dp at the end absorbs summation-order float drift."""
+    rounds = []
+    prev = "pr0"
+    for k in range(1, n_iter + 1):
+        rounds.append(
+            f"""
+    pr{k} AS (
+      SELECT nd.id,
+             (SELECT (1.0 - {damping}) / n FROM nn)
+             + {damping} * COALESCE(inf.inflow, 0.0) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT e.v AS id, SUM(p.rank / dg.deg) AS inflow
+        FROM edges e JOIN {prev} p ON e.u = p.id JOIN deg dg ON dg.u = e.u
+        GROUP BY e.v
+      ) inf ON nd.id = inf.id
+    )"""
+        )
+        prev = f"pr{k}"
+    return f"""
+    WITH {_PAIRS_DUCK},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY u),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    pr0 AS (SELECT id, (SELECT 1.0 / n FROM nn) AS rank FROM nodes),
+    {",".join(rounds)}
+    SELECT id AS doc_id, round(rank, 10) AS rank FROM {prev}
+    """
+
+
+@query("x_pagerank", oracle=_pagerank_duck())
 def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the verified near-dup pair graph (q33 output) —
     the document-centrality signal a curation pipeline uses to pick the
@@ -281,7 +321,9 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     teleport normalization, no driver data collect (operators/graph.py;
     invariants — probability mass sums to 1, degree monotonicity,
     determinism — asserted in tests/test_graph.py). Ranks are rounded
-    to 10dp for a stable rows-only wire format."""
+    to 10dp for a stable wire format; the fixed iteration count makes
+    the run DuckDB-oracleable via _pagerank_duck's unrolled rounds
+    (r14, VERDICT r13 #5)."""
     from hephaestus_spark.operators.graph import pagerank
 
     pairs = q33_near_dedup_jaccard(spark, sf_dir).select("id_a", "id_b")

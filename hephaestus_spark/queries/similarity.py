@@ -317,7 +317,75 @@ def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("vec_id", "scale", qvec.alias("qvec"))
 
 
-@query("x_kmeans")  # rows-only: iterative algorithm, no SQL equivalent
+def _kmeans_duck(k: int = 8, n_iter: int = 4) -> str:
+    """DuckDB oracle for x_kmeans (r14, VERDICT r13 #5): Lloyd's
+    rounds are FIXED in count and deterministic (k-lowest-id init,
+    squared-L2 arg-min with lowest-cluster-id tiebreak, per-position
+    means, empty clusters keep their previous centroid), so the whole
+    run unrolls into chained CTEs — assignment k times + update
+    (n_iter) times + the final self-consistent assignment, exactly the
+    operator's schedule (operators/kmeans.py lloyd_kmeans). 6dp
+    rounding on sq_dist absorbs summation-order float drift."""
+    dist = (
+        "list_sum(list_transform(range(1, len(e.embedding) + 1),"
+        " i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])"
+        " * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])))"
+    )
+
+    def assign(tag: str, cents: str) -> str:
+        return f"""
+    asg{tag} AS (
+      SELECT vec_id, embedding, cluster_id, d AS sq_dist FROM (
+        SELECT e.vec_id, e.embedding, c.cluster_id, {dist} AS d,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {dist} ASC, c.cluster_id ASC
+               ) AS rn
+        FROM emb e CROSS JOIN {cents} c
+      ) WHERE rn = 1
+    )"""
+
+    def update(tag: str, prev_cents: str) -> str:
+        return f"""
+    expl{tag} AS (
+      SELECT cluster_id,
+             unnest(range(1, len(embedding) + 1)) AS pos,
+             unnest(embedding) AS v
+      FROM asg{tag}
+    ),
+    cents{tag} AS (
+      SELECT p.cluster_id, COALESCE(u.centroid, p.centroid) AS centroid
+      FROM {prev_cents} p LEFT JOIN (
+        SELECT cluster_id, list(m ORDER BY pos) AS centroid
+        FROM (
+          SELECT cluster_id, pos, AVG(CAST(v AS DOUBLE)) AS m
+          FROM expl{tag} GROUP BY cluster_id, pos
+        ) GROUP BY cluster_id
+      ) u ON u.cluster_id = p.cluster_id
+    )"""
+
+    steps, cents = [], "cents0"
+    for r in range(1, n_iter + 1):
+        steps.append(assign(str(r), cents))
+        steps.append(update(str(r), cents))
+        cents = f"cents{r}"
+    steps.append(assign("_final", cents))
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+    cents0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+               AS cluster_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+      FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {k})
+    ),
+    {",".join(steps)}
+    SELECT vec_id, CAST(cluster_id AS INT) AS cluster_id,
+           round(sq_dist, 6) AS sq_dist
+    FROM asg_final
+    """
+
+
+@query("x_kmeans", oracle=_kmeans_duck())
 def x_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means (k=8, 4 rounds) over the embeddings table — the
     iterative-algorithm representative: driver holds only the k x dim
