@@ -2372,3 +2372,64 @@ def x_txlog_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         return t.read(spark).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+@query(
+    "x_txlog_ndv",
+    oracle="""
+    SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS exact_custkey,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS exact_nationkey,
+           TRUE AS ndv_within_5pct,
+           TRUE AS fully_covered,
+           TRUE AS spark_route_agrees
+    FROM customer
+    """,
+)
+def x_txlog_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file NDV (HLL) sketch sidecars end-to-end (r14 — Iceberg's
+    puffin NDV idea; sources/txlog.py::set_ndv_columns): customers
+    land in 8 files, 4 KB register sidecars are written executor-side,
+    and the TABLE-level distinct-count estimate folds from sidecars
+    alone — no data rescan. Asserted against the exact counts: the
+    high-cardinality key within the sketch's 5-sigma band (m=4096 ->
+    rsd 1.6%), the 25-value nationkey in the linear-counting regime
+    (near-exact), full file coverage, and the Spark-side fold
+    (ndv_summary_spark, the large-file-list route) byte-identical to
+    the driver fold. The oracle recomputes the exact counts in DuckDB
+    — the hash match proves the estimates stayed in-band without
+    shipping engine-specific register values."""
+    import shutil
+    import tempfile
+
+    from hephaestus_spark.sources.txlog import TxTable
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    workdir = tempfile.mkdtemp(prefix="txlog-ndv-")
+    try:
+        t = TxTable(f"{workdir}/customers")
+        t.append(c.repartition(8))
+        t.set_ndv_columns(["c_custkey", "c_nationkey"])
+        t.build_ndv(spark)
+        s = t.ndv_summary()
+        sp = t.ndv_summary_spark(spark)
+        ek, en = c.agg(
+            F.countDistinct("c_custkey"), F.countDistinct("c_nationkey")
+        ).first()
+        within = (
+            abs(s["c_custkey"]["ndv"] - ek) / ek < 0.05
+            and abs(s["c_nationkey"]["ndv"] - en) / max(en, 1) < 0.05
+        )
+        covered = all(
+            e["covered_files"] == e["total_files"] for e in s.values()
+        )
+        out = spark.createDataFrame(
+            [(int(ek), int(en), within, covered, sp == s)],
+            "exact_custkey long, exact_nationkey long, "
+            "ndv_within_5pct boolean, fully_covered boolean, "
+            "spark_route_agrees boolean",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -354,6 +354,91 @@ def _bloom_build_file(
     os.replace(tmp, sidecar)
 
 
+# ---- per-file NDV (HLL) sketch sidecars (r14) ----
+# Zone maps answer range questions and blooms answer membership; the
+# third planning-grade statistic a 100 TB table needs is DISTINCT
+# COUNT — join-size estimation, dedup-rate profiling, "is this column
+# a key" checks — and computing it exactly means a full shuffle over
+# the data. Iceberg ships per-file NDV sketches in puffin files for
+# exactly this reason. Here: a 4 KB HyperLogLog register array per
+# declared column per data file, written executor-side at stage time
+# beside the bloom sidecars, MERGEABLE by bytewise max (the HLL
+# union), so table-level NDV at any snapshot is a metadata+sidecar
+# fold that never touches data bytes. Advisory like blooms: a missing
+# sidecar only widens the "covered" denominator, never wrongness.
+# Tombstoned rows are not subtracted (HLL cannot delete) — the
+# estimate describes file CONTENT, an upper bound under MoR deletes,
+# same contract as Iceberg.
+
+_NDV_P = 12                 # 2^12 = 4096 registers, rsd ~1.04/sqrt(m) = 1.6%
+_NDV_M = 1 << _NDV_P
+_NDV_ALPHA = 0.7213 / (1 + 1.079 / _NDV_M)
+
+
+def _ndv_rank_update(regs: bytearray, enc: bytes, p: int = _NDV_P) -> None:
+    import hashlib
+
+    h = int.from_bytes(
+        hashlib.blake2b(enc, digest_size=8).digest(), "big"
+    )
+    b = h & ((1 << p) - 1)
+    w = h >> p
+    rank = (64 - p) - w.bit_length() + 1  # leading zeros of w + 1
+    if rank > regs[b]:
+        regs[b] = rank
+
+
+def _ndv_estimate(regs: "bytes | bytearray") -> float:
+    """Standard HLL estimate with the small-range linear-counting
+    correction (the large-range correction is unnecessary with a
+    64-bit hash)."""
+    import math
+
+    m = len(regs)
+    s = 0.0
+    zeros = 0
+    for r in regs:
+        s += 2.0 ** -r
+        if r == 0:
+            zeros += 1
+    est = _NDV_ALPHA * m * m / s
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est
+
+
+def _ndv_build_file(full: str, sidecar: str, cols: list[str]) -> None:
+    """Build one data file's NDV sidecar (executor task): stream ONLY
+    the declared columns in batches, fold each value into the 4 KB
+    register array, write atomically. Columns not in the file bytes
+    are absent from the sidecar (probes report them uncovered)."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(full)
+    names = [c for c in cols if c in set(pf.schema_arrow.names)]
+    regs = {c: bytearray(_NDV_M) for c in names}
+    if names:
+        for batch in pf.iter_batches(columns=names, batch_size=1 << 16):
+            for c in names:
+                col = batch.column(batch.schema.get_field_index(c))
+                r = regs[c]
+                for v in col.to_pylist():
+                    if v is not None:
+                        _ndv_rank_update(r, _bloom_encode(v))
+    out = {
+        "p": _NDV_P,
+        "cols": {
+            c: base64.b64encode(bytes(r)).decode() for c, r in regs.items()
+        },
+    }
+    tmp = f"{sidecar}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(out, f)
+    os.replace(tmp, sidecar)
+
+
 def _ckpt_pq_path(
     table: str, version: int, part: int | None = None, nparts: int | None = None
 ) -> str:
@@ -1778,6 +1863,8 @@ class TxTable:
         # DV/CDC sidecar stages are skipped — they are not probeable
         if not is_sidecar and (meta or {}).get("bloom_columns"):
             self._write_blooms(df.sparkSession, names, meta)
+        if not is_sidecar and (meta or {}).get("ndv_columns"):
+            self._write_ndv(df.sparkSession, names, meta)
         return names
 
     def _base2rel(self, files: list[str]) -> dict[str, str]:
@@ -2866,6 +2953,235 @@ class TxTable:
             self._bloom_probe(os.path.basename(name), col_phys, values)
             is not False
         )
+
+    # ---- per-file NDV (HLL) sketch sidecars (r14) ----
+    def set_ndv_columns(self, columns) -> int:
+        """Declare per-file NDV (HyperLogLog) sketches for ``columns``
+        (Iceberg's puffin NDV idea): every subsequent data stage
+        writes a 4 KB register sidecar per file per column, and
+        :meth:`ndv_summary` serves table-level approximate distinct
+        counts by MERGING sidecars (bytewise register max — the HLL
+        union) without touching data bytes. Existing files get
+        sketches via :meth:`build_ndv`; until then they only shrink
+        the reported coverage. Advisory, metadata-only commit, no
+        writer feature needed — an unaware writer's files simply stay
+        uncovered. Column types share the bloom gate (exact-encodable
+        ints/strings/binary)."""
+        cols = list(columns)
+        if not cols:
+            raise ValueError("declare at least one NDV column")
+        base = self.latest_version()
+        if base < 0:
+            raise ValueError(f"table {self.path} is empty")
+        meta = dict(self._fold_state(base)[3] or {})
+        if meta.get("schema"):
+            rev = {p: l for l, p in (meta.get("mapping") or {}).items()}
+            types = {}
+            for f in json.loads(meta["schema"])["fields"]:
+                typ = f["type"]
+                types[rev.get(f["name"], f["name"])] = (
+                    typ if isinstance(typ, str) else "nested"
+                )
+            for c in cols:
+                t = types.get(c)
+                if t is None:
+                    raise ValueError(f"NDV column {c!r} not in table schema")
+                if t not in _BLOOM_TYPES:
+                    raise ValueError(
+                        f"NDV column {c!r} has type {t}; only exact types "
+                        f"{sorted(_BLOOM_TYPES)} hash canonically"
+                    )
+        meta["ndv_columns"] = {"cols": cols}
+        self._commit(base + 1, "setNdvColumns", [{"meta": meta}])
+        return base + 1
+
+    def drop_ndv_columns(self) -> int:
+        base = self.latest_version()
+        meta = dict(self._fold_state(base)[3] or {})
+        if "ndv_columns" not in meta:
+            return base
+        meta.pop("ndv_columns")
+        self._commit(base + 1, "dropNdvColumns", [{"meta": meta}])
+        return base + 1
+
+    def _ndv_sidecar(self, basename: str) -> str:
+        return os.path.join(
+            self.path, _LOG_DIR, "_ndv", f"{basename}.ndv.json"
+        )
+
+    def build_ndv(self, spark: SparkSession) -> int:
+        """Backfill NDV sidecars for LIVE files that lack one. One
+        executor task per file, no shuffle. Returns sidecars written."""
+        meta = self._fold_state()[3]
+        if not (meta or {}).get("ndv_columns"):
+            raise ValueError("no NDV columns declared; set_ndv_columns first")
+        missing = [
+            n
+            for n in self._snapshot_files()
+            if not os.path.exists(self._ndv_sidecar(os.path.basename(n)))
+        ]
+        self._write_ndv(spark, missing, meta)
+        return len(missing)
+
+    def _write_ndv(self, spark, names: list[str], meta) -> None:
+        """Write NDV sidecars for staged data files — executor-side,
+        one task per file. Called from ``_stage`` for table-data
+        stages when the metadata declares NDV columns."""
+        nc = (meta or {}).get("ndv_columns")
+        if not nc or not names:
+            return
+        mapping = (meta or {}).get("mapping") or {}
+        phys = [mapping.get(c, c) for c in nc["cols"]]
+        root = os.path.abspath(self.path)
+        ndir = os.path.join(root, _LOG_DIR, "_ndv")
+        os.makedirs(ndir, exist_ok=True)
+        tasks = [
+            (
+                n if os.path.isabs(n) else os.path.join(root, n),
+                os.path.join(ndir, f"{os.path.basename(n)}.ndv.json"),
+            )
+            for n in names
+        ]
+
+        def run(it):
+            for full, sidecar in it:
+                _ndv_build_file(full, sidecar, phys)
+
+        spark.sparkContext.parallelize(
+            tasks, max(1, min(len(tasks), 64))
+        ).foreachPartition(run)
+
+    def ndv_summary(
+        self, columns=None, version: int | None = None
+    ) -> dict:
+        """Approximate distinct counts at ``version`` from the merged
+        per-file HLL sidecars — no data I/O, no Spark job: the fold is
+        (live files) x (4 KB register max), the same cost class as a
+        checkpoint read. Returns
+        ``{col: {"ndv": float, "covered_files": int,
+        "total_files": int}}``; trust the estimate when coverage is
+        full (run :meth:`build_ndv` otherwise). MoR-tombstoned rows
+        are included (HLL cannot delete) — an upper bound, Iceberg's
+        contract too. For tables whose FILE COUNT itself strains the
+        driver, :meth:`ndv_summary_spark` folds the same sidecars
+        executor-side."""
+        import base64
+
+        meta = self._fold_state(version)[3]
+        decl = ((meta or {}).get("ndv_columns") or {}).get("cols")
+        if decl is None and version is not None:
+            # time travel below the declaration version: the column
+            # LIST is a convenience default, not snapshot state — the
+            # snapshot's files still carry sidecars (build_ndv covers
+            # live files), so serve the head declaration's columns
+            decl = (
+                (self._fold_state()[3] or {}).get("ndv_columns") or {}
+            ).get("cols")
+        cols = list(columns) if columns is not None else (decl or [])
+        if not cols:
+            raise ValueError("no NDV columns declared or requested")
+        mapping = (meta or {}).get("mapping") or {}
+        files = self._snapshot_files(version)
+        out: dict = {}
+        for c in cols:
+            phys = mapping.get(c, c)
+            regs = bytearray(_NDV_M)
+            covered = 0
+            for n in files:
+                try:
+                    with open(
+                        self._ndv_sidecar(os.path.basename(n))
+                    ) as f:
+                        d = json.load(f)
+                    enc = (d.get("cols") or {}).get(phys)
+                    if enc is None or int(d.get("p", -1)) != _NDV_P:
+                        continue
+                    other = base64.b64decode(enc)
+                except (OSError, ValueError, KeyError):
+                    continue
+                covered += 1
+                for i in range(_NDV_M):
+                    if other[i] > regs[i]:
+                        regs[i] = other[i]
+            out[c] = {
+                "ndv": round(_ndv_estimate(regs), 2) if covered else None,
+                "covered_files": covered,
+                "total_files": len(files),
+            }
+        return out
+
+    def ndv_summary_spark(
+        self, spark: SparkSession, columns=None, version: int | None = None
+    ) -> dict:
+        """``ndv_summary`` with the sidecar fold run THROUGH Spark:
+        executors read + locally max-merge their partition's sidecars,
+        the driver reduces k register arrays (k = partition count) —
+        the shape that holds when the live file LIST is itself large."""
+        import base64
+
+        meta = self._fold_state(version)[3]
+        decl = ((meta or {}).get("ndv_columns") or {}).get("cols")
+        cols = list(columns) if columns is not None else (decl or [])
+        if not cols:
+            raise ValueError("no NDV columns declared or requested")
+        mapping = (meta or {}).get("mapping") or {}
+        phys = {c: mapping.get(c, c) for c in cols}
+        files = self._snapshot_files(version)
+        sidecars = [self._ndv_sidecar(os.path.basename(n)) for n in files]
+        m, p_expected = _NDV_M, _NDV_P
+
+        def fold(it):
+            regs = {c: bytearray(m) for c in phys.values()}
+            covered = {c: 0 for c in phys.values()}
+            for path in it:
+                try:
+                    with open(path) as f:
+                        d = json.load(f)
+                except (OSError, ValueError):
+                    continue
+                if int(d.get("p", -1)) != p_expected:
+                    continue
+                for c, enc in (d.get("cols") or {}).items():
+                    if c not in regs:
+                        continue
+                    other = base64.b64decode(enc)
+                    r = regs[c]
+                    covered[c] += 1
+                    for i in range(m):
+                        if other[i] > r[i]:
+                            r[i] = other[i]
+            yield (regs, covered)
+
+        def merge(a, b):
+            regs_a, cov_a = a
+            regs_b, cov_b = b
+            for c, r in regs_a.items():
+                other = regs_b[c]
+                for i in range(m):
+                    if other[i] > r[i]:
+                        r[i] = other[i]
+                cov_a[c] += cov_b[c]
+            return (regs_a, cov_a)
+
+        parts = spark.sparkContext.parallelize(
+            sidecars, max(1, min(len(sidecars), 64))
+        ).mapPartitions(fold).reduce(merge) if sidecars else (
+            {c: bytearray(m) for c in phys.values()},
+            {c: 0 for c in phys.values()},
+        )
+        regs, covered = parts
+        return {
+            c: {
+                "ndv": (
+                    round(_ndv_estimate(regs[pc]), 2)
+                    if covered[pc]
+                    else None
+                ),
+                "covered_files": covered[pc],
+                "total_files": len(files),
+            }
+            for c, pc in phys.items()
+        }
 
     def pruned_files_null(
         self, column: str, want_null: bool, version: int | None = None
@@ -6298,6 +6614,8 @@ class TxTable:
             "bloom_columns": dict(meta.get("bloom_columns") or {}),
             "auto_compact": dict(meta.get("auto_compact") or {}),
             "properties": dict(meta.get("properties") or {}),
+            # r14 governance surface
+            "ndv_columns": dict(meta.get("ndv_columns") or {}),
         }
 
     def history(self) -> list[dict]:
@@ -6541,19 +6859,26 @@ class TxTable:
                             os.remove(self._bloom_sidecar(f))
                         except OSError:
                             pass
+                        try:  # r14: and its NDV sidecar
+                            os.remove(self._ndv_sidecar(f))
+                        except OSError:
+                            pass
                     deleted.append(rel)
         # r13: orphan bloom sidecars (their data file was reclaimed by
         # an earlier pass, e.g. optimize -> expire -> vacuum before the
         # sidecar cleanup existed) — a sidecar is garbage once no
         # surviving record references its basename and no such file is
-        # on disk. Grace window applies as usual.
-        bdir = os.path.join(self.path, _LOG_DIR, "_bloom")
-        if os.path.isdir(bdir):
-            ref_base = {os.path.basename(r) for r in referenced if r}
+        # on disk. Grace window applies as usual. r14: NDV sidecars
+        # share the rule.
+        ref_base = {os.path.basename(r) for r in referenced if r}
+        for sub, suffix in (("_bloom", ".bloom.json"), ("_ndv", ".ndv.json")):
+            bdir = os.path.join(self.path, _LOG_DIR, sub)
+            if not os.path.isdir(bdir):
+                continue
             for f in os.listdir(bdir):
-                if not f.endswith(".bloom.json"):
+                if not f.endswith(suffix):
                     continue
-                base = f[: -len(".bloom.json")]
+                base = f[: -len(suffix)]
                 full = os.path.join(bdir, f)
                 if (
                     base not in ref_base
@@ -6564,7 +6889,7 @@ class TxTable:
                             os.remove(full)
                         except OSError:
                             pass
-                    deleted.append(os.path.join("_txlog", "_bloom", f))
+                    deleted.append(os.path.join("_txlog", sub, f))
         return deleted
 
     def _vacuum_spark(
@@ -6686,6 +7011,7 @@ class TxTable:
         else:
 
             bdir = os.path.join(root, _LOG_DIR, "_bloom")
+            ndir = os.path.join(root, _LOG_DIR, "_ndv")
 
             def _rm(rows):
                 for row in rows:
@@ -6693,16 +7019,15 @@ class TxTable:
                         os.remove(os.path.join(root, row["rel"]))
                     except OSError:
                         pass  # retry/raced delete: idempotent
-                    try:  # r13: bloom sidecar rides its data file
-                        os.remove(
-                            os.path.join(
-                                bdir,
-                                os.path.basename(row["rel"])
-                                + ".bloom.json",
-                            )
-                        )
-                    except OSError:
-                        pass
+                    base = os.path.basename(row["rel"])
+                    for d, suf in (
+                        (bdir, ".bloom.json"),  # r13: sidecars ride
+                        (ndir, ".ndv.json"),  # r14: their data file
+                    ):
+                        try:
+                            os.remove(os.path.join(d, base + suf))
+                        except OSError:
+                            pass
                     yield row["rel"]
 
             rels = cand.select("rel").rdd.mapPartitions(_rm).collect()
