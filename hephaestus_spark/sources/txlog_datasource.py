@@ -72,8 +72,11 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -335,11 +338,31 @@ def _read_file_batches(
             )
 
 
+def _prefix_upper(prefix: str) -> "str | None":
+    """Smallest string strictly greater than EVERY string carrying
+    ``prefix``: increment the last incrementable code point and
+    truncate. None when no such string exists (all-U+10FFFF prefix) —
+    the probe then keeps only its lower bound."""
+    for i in range(len(prefix) - 1, -1, -1):
+        c = ord(prefix[i])
+        if c < 0x10FFFF:
+            return prefix[:i] + chr(c + 1)
+    return None
+
+
 def _zone_prunable(filters: list[Filter]) -> dict[str, list]:
     """Translate top-level-column filters into zone-map probes:
-    {column: [probe, ...]} where a probe is ("range", lo, hi) or
-    ("in", values). Unsupported filter shapes are simply absent —
-    they prune nothing and Spark evaluates them row-level anyway."""
+    {column: [probe, ...]} where a probe is ("range", lo, hi),
+    ("in", values), or ("null", want_null). Unsupported filter shapes
+    are simply absent — they prune nothing and Spark evaluates them
+    row-level anyway.
+
+    ``LIKE 'abc%'`` arrives as StringStartsWith and becomes the range
+    [prefix, successor(prefix)] (r14) — the corpus-scan shape (URL /
+    domain / path prefixes) where string zone maps earn their keep;
+    the inclusive upper successor bound is sound because pruning may
+    only over-keep. IS NULL / IS NOT NULL probe the committed per-file
+    null COUNTS — the only metadata that prunes all-null columns."""
     probes: dict[str, list] = {}
     for f in filters:
         attr = getattr(f, "attribute", None)
@@ -356,6 +379,14 @@ def _zone_prunable(filters: list[Filter]) -> dict[str, list]:
             probes.setdefault(col, []).append(("range", None, f.value))
         elif isinstance(f, In):
             probes.setdefault(col, []).append(("in", list(f.value)))
+        elif isinstance(f, StringStartsWith) and isinstance(f.value, str):
+            probes.setdefault(col, []).append(
+                ("range", f.value, _prefix_upper(f.value))
+            )
+        elif isinstance(f, IsNull):
+            probes.setdefault(col, []).append(("null", True))
+        elif isinstance(f, IsNotNull):
+            probes.setdefault(col, []).append(("null", False))
     return probes
 
 
@@ -384,13 +415,19 @@ class TxLogBatchReader(DataSourceReader):
         # filter restores strictness.
         keep = {n for n, _v in self.table.live_files(self.version)}
         for col, plist in _zone_prunable(list(filters)).items():
-            for kind, a, b in (
-                (p[0], p[1], p[2] if p[0] == "range" else None) for p in plist
-            ):
-                if kind == "range":
-                    names, _ = self.table.pruned_files(col, a, b, self.version)
+            for p in plist:
+                if p[0] == "range":
+                    names, _ = self.table.pruned_files(
+                        col, p[1], p[2], self.version
+                    )
+                elif p[0] == "null":
+                    names, _ = self.table.pruned_files_null(
+                        col, p[1], self.version
+                    )
                 else:
-                    names, _ = self.table.pruned_files_in(col, a, self.version)
+                    names, _ = self.table.pruned_files_in(
+                        col, p[1], self.version
+                    )
                 keep &= set(names)
         self._keep = keep
         # everything comes back as residual: zone maps prune FILES,

@@ -442,6 +442,60 @@ def _commits(t, spark, n, files_each=2, rows_each=4, start=0):
         t.append(df.repartition(files_each))
 
 
+def test_pushdown_like_prefix_prunes_string_zones(spark, tmp_path):
+    """r14: LIKE 'k1%' reaches the reader as StringStartsWith and
+    prunes via string zone maps as the range [prefix, successor] —
+    the URL/domain corpus-scan shape. File layout: names clustered so
+    each file holds one prefix band."""
+    from hephaestus_spark.sources.txlog_datasource import (
+        TxLogBatchReader,
+        _prefix_upper,
+    )
+    from pyspark.sql.datasource import StringStartsWith
+
+    t = TxTable(str(tmp_path / "t"))
+    rows = [(i, f"k{i // 25}-{i % 25:02d}") for i in range(100)]
+    t.append(
+        spark.createDataFrame(rows, "id long, name string")
+        .repartitionByRange(4, F.col("name"))
+        .sortWithinPartitions("name")
+    )
+    r = TxLogBatchReader(t, None)
+    residual = list(r.pushFilters([StringStartsWith(("name",), "k1")]))
+    assert len(residual) == 1  # row-level re-eval stays with Spark
+    parts = r.partitions()
+    assert 1 <= len(parts) < len(t.live_files())
+    # end-to-end through SQL: nothing lost, nothing extra
+    spark.read.format("txlog").load(t.path).createOrReplaceTempView("pfx")
+    got = spark.sql("SELECT id FROM pfx WHERE name LIKE 'k1%'").collect()
+    assert sorted(x["id"] for x in got) == list(range(25, 50))
+    # successor edge cases
+    assert _prefix_upper("k1") == "k2"
+    assert _prefix_upper("a" + chr(0x10FFFF)) == "b"
+    assert _prefix_upper(chr(0x10FFFF)) is None
+
+
+def test_pushdown_isnull_prunes_on_null_counts(spark, tmp_path):
+    """r14: IS NULL / IS NOT NULL prune from committed per-file null
+    counts — one file all-null, one null-free, one mixed."""
+    from pyspark.sql.datasource import IsNotNull, IsNull
+
+    t = TxTable(str(tmp_path / "t"))
+    mk = lambda rows: spark.createDataFrame(rows, "id long, v string").coalesce(1)
+    t.append(mk([(i, None) for i in range(10)]))          # all null
+    t.append(mk([(10 + i, f"v{i}") for i in range(10)]))  # none null
+    t.append(mk([(20, None), (21, "x")]))                 # mixed
+    r = TxLogBatchReader(t, None)
+    r.pushFilters([IsNull(("v",))])
+    assert len(r.partitions()) == 2  # null-free file skipped
+    r2 = TxLogBatchReader(t, None)
+    r2.pushFilters([IsNotNull(("v",))])
+    assert len(r2.partitions()) == 2  # all-null file skipped
+    df = spark.read.format("txlog").load(t.path)
+    assert df.filter(F.col("v").isNull()).count() == 11
+    assert df.filter(F.col("v").isNotNull()).count() == 11
+
+
 def test_admission_caps_files_per_batch(spark, tmp_path):
     """maxFilesPerTrigger=2 against a 5-commit (2 files each) backlog:
     one commit per micro-batch, five batches, every offset step pinned —
