@@ -73,7 +73,7 @@ def test_cross_process_writers_converge(spark, tmp_path, seed):
     # pre-draw per-worker plans: appended keys globally unique by
     # construction (disjoint ranges), deleted keys unique seeded ids
     # (disjoint pools per worker) so the model commutes
-    nworkers, nops = 4, 6
+    nworkers, nops, nbatches = 4, 6, 3
     delete_pools = [list(range(w * 50, w * 50 + 50)) for w in range(nworkers)]
     for pool in delete_pools:
         rng.shuffle(pool)
@@ -92,6 +92,13 @@ def test_cross_process_writers_converge(spark, tmp_path, seed):
                 ops.append(("compact",))
             else:
                 ops.append(("delete", delete_pools[w].pop()))
+        # every worker replays the SAME stream batches in ASCENDING
+        # order (the engine's per-app contract), woven at random
+        # positions — exactly-once must hold however the four
+        # processes interleave their replays
+        pos = sorted(rng.randint(0, len(ops)) for _ in range(nbatches))
+        for b in reversed(range(nbatches)):
+            ops.insert(pos[b], ("stream", b))
         plans.append(
             {
                 "repo": REPO,
@@ -139,6 +146,10 @@ def test_cross_process_writers_converge(spark, tmp_path, seed):
                     expected[k] = (9, float(k))
             elif op[0] == "delete":
                 expected.pop(op[1], None)
+            elif op[0] == "stream":
+                b = op[1]
+                expected[100000 + b * 2] = (9, float(b))
+                expected[100001 + b * 2] = (9, float(b))
 
     t = TxTable(path)
     got = {
@@ -155,10 +166,14 @@ def test_cross_process_writers_converge(spark, tmp_path, seed):
             "row mutated across compaction/delete"
         )
 
-    # metadata count is exact and agrees with reality; basenames unique
+    # metadata count is exact and agrees with reality (this is ALSO the
+    # duplicate detector: a twice-landed stream batch would inflate
+    # the physical row count past the model); basenames unique
     s = t.stats_summary()
     assert (s["count"], s["count_exact"]) == (len(expected), True)
     t._base2rel(t._snapshot_files())
+    # the txn map converged to the highest replayed batch
+    assert t._fold_state()[1].get("xp-stream") == nbatches - 1
 
     # checkpoints were actually exercised (interval 2 over >= 10
     # commits) and the newest complete one folds cleanly

@@ -172,6 +172,24 @@ def main() -> None:
             if ck is not None:
                 assert all(isinstance(a, dict) for a in ck["adds"].values())
 
+    def stream_batch(b: int) -> None:
+        # every worker races the SAME (app, batch) with the SAME
+        # payload — exactly-once requires that the rows land once no
+        # matter how many independent processes replay the batch
+        rows = [
+            (100000 + b * 2, 9, float(b)),
+            (100001 + b * 2, 9, float(b)),
+        ]
+
+        def attempt():
+            t = TxTable(path)
+            name = write_file(rows)
+            # None = dedup'd replay; the pre-staged file is vacuum's
+            # bounded orphan, exactly as the engine-side replay leaves
+            t.commit_stream_names([name], "xp-stream", b)
+
+        retry(attempt)
+
     for op in plan["ops"]:
         if op[0] == "append":
             rows = [(k, 9, float(k)) for k in op[1]]
@@ -181,6 +199,8 @@ def main() -> None:
             compact()
         elif op[0] == "delete":
             delete_exact(op[1])
+        elif op[0] == "stream":
+            stream_batch(op[1])
         probe()
     print(f"OK conflicts={conflicts[0]}", flush=True)
 
