@@ -374,6 +374,32 @@ _NDV_P = 12                 # 2^12 = 4096 registers, rsd ~1.04/sqrt(m) = 1.6%
 _NDV_M = 1 << _NDV_P
 _NDV_ALPHA = 0.7213 / (1 + 1.079 / _NDV_M)
 
+# NDV accepts more types than blooms: a float/date/timestamp EQUALITY
+# probe is a smell (bloom's contract), but DISTINCT COUNT over them is
+# routine (event times, prices). Each gets a canonical byte encoding;
+# nested types stay out (no canonical bytes without a codec).
+_NDV_TYPES = _BLOOM_TYPES | {
+    "float", "double", "date", "timestamp", "timestamp_ntz", "boolean",
+}
+
+
+def _ndv_encode(v) -> bytes:
+    """Canonical bytes for NDV hashing — `_bloom_encode` widened with
+    the distinct-countable inexact types. Type-tagged like the bloom
+    encoding so 1, 1.0 and "1" count separately."""
+    import datetime
+    import struct
+
+    if isinstance(v, bool):
+        return b"o1" if v else b"o0"
+    if isinstance(v, float):
+        return b"f" + struct.pack(">d", v)
+    if isinstance(v, datetime.datetime):
+        return b"t" + v.isoformat().encode()
+    if isinstance(v, datetime.date):
+        return b"d" + v.isoformat().encode()
+    return _bloom_encode(v)
+
 
 def _ndv_rank_update(regs: bytearray, enc: bytes, p: int = _NDV_P) -> None:
     import hashlib
@@ -426,7 +452,7 @@ def _ndv_build_file(full: str, sidecar: str, cols: list[str]) -> None:
                 r = regs[c]
                 for v in col.to_pylist():
                     if v is not None:
-                        _ndv_rank_update(r, _bloom_encode(v))
+                        _ndv_rank_update(r, _ndv_encode(v))
     out = {
         "p": _NDV_P,
         "cols": {
@@ -2965,8 +2991,10 @@ class TxTable:
         sketches via :meth:`build_ndv`; until then they only shrink
         the reported coverage. Advisory, metadata-only commit, no
         writer feature needed — an unaware writer's files simply stay
-        uncovered. Column types share the bloom gate (exact-encodable
-        ints/strings/binary)."""
+        uncovered. Accepted types are the bloom set plus
+        float/double/date/timestamp/boolean (distinct-counting inexact
+        types is routine even though equality-probing them is not);
+        nested types refuse — no canonical bytes."""
         cols = list(columns)
         if not cols:
             raise ValueError("declare at least one NDV column")
@@ -2986,10 +3014,11 @@ class TxTable:
                 t = types.get(c)
                 if t is None:
                     raise ValueError(f"NDV column {c!r} not in table schema")
-                if t not in _BLOOM_TYPES:
+                if t not in _NDV_TYPES:
                     raise ValueError(
-                        f"NDV column {c!r} has type {t}; only exact types "
-                        f"{sorted(_BLOOM_TYPES)} hash canonically"
+                        f"NDV column {c!r} has type {t}; only "
+                        f"{sorted(_NDV_TYPES)} hash canonically "
+                        "(nested types have no canonical bytes)"
                     )
         meta["ndv_columns"] = {"cols": cols}
         self._commit(base + 1, "setNdvColumns", [{"meta": meta}])
@@ -6693,6 +6722,20 @@ class TxTable:
             out["expired"] = []
             out["expiry_blocked"] = str(e)
         out["vacuumed"] = self.vacuum(vacuum_grace)
+        # r14: stats hygiene — files that predate a bloom/NDV
+        # declaration (or were landed by an unaware writer) get their
+        # sidecars backfilled here, so coverage converges to full
+        # without anyone remembering to run build_* by hand. One
+        # executor task per uncovered file; zero when covered.
+        meta = self._fold_state()[3] or {}
+        if meta.get("bloom_columns"):
+            n = self.build_blooms(spark)
+            if n:
+                out["blooms_built"] = n
+        if meta.get("ndv_columns"):
+            n = self.build_ndv(spark)
+            if n:
+                out["ndv_built"] = n
         return out
 
     def expire_log(
@@ -7031,4 +7074,67 @@ class TxTable:
                     yield row["rel"]
 
             rels = cand.select("rel").rdd.mapPartitions(_rm).collect()
-        return deleted + sorted(rels)
+        # r14: orphan sidecars (their data file already gone — an
+        # earlier pass, or a pre-cleanup artifact) swept through the
+        # same Spark anti-join shape as the data files: one listing
+        # task per sidecar kind, basename-joined against the
+        # checkpoint's referenced adds. Bounded by sidecar count.
+        side_units = [("_bloom", ".bloom.json"), ("_ndv", ".ndv.json")]
+
+        def _list_side(unit_iter):
+            for sub, suffix in unit_iter:
+                d = os.path.join(root, _LOG_DIR, sub)
+                if not os.path.isdir(d):
+                    continue
+                with os.scandir(d) as it:
+                    for e in it:
+                        if e.is_file() and e.name.endswith(suffix):
+                            try:
+                                yield (
+                                    sub,
+                                    e.name,
+                                    e.name[: -len(suffix)],
+                                    e.stat().st_mtime,
+                                )
+                            except OSError:
+                                pass
+
+        sides_df = spark.createDataFrame(
+            spark.sparkContext.parallelize(side_units, 2).mapPartitions(
+                _list_side
+            ),
+            "sub string, name string, base string, mtime double",
+        )
+        scand = sides_df.filter(F.col("mtime") <= F.lit(cutoff))
+        if ck_parts:
+            ref_base = (
+                spark.read.parquet(*ck_parts)
+                .filter(F.col("kind") == "add")
+                .select(
+                    F.element_at(F.split(F.col("path"), "/"), -1).alias(
+                        "base"
+                    )
+                )
+            )
+            scand = scand.join(ref_base, "base", "left_anti")
+        if refs_small:
+            small_base = sorted(
+                {os.path.basename(r) for r in refs_small}
+            )
+            scand = scand.filter(~F.col("base").isin(small_base))
+
+        def _rm_side(rows):
+            for row in rows:
+                if not dry_run:
+                    try:
+                        os.remove(
+                            os.path.join(root, _LOG_DIR, row["sub"], row["name"])
+                        )
+                    except OSError:
+                        pass
+                yield os.path.join(_LOG_DIR, row["sub"], row["name"])
+
+        orphaned = (
+            scand.select("sub", "name").rdd.mapPartitions(_rm_side).collect()
+        )
+        return deleted + sorted(rels) + sorted(orphaned)

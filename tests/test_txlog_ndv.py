@@ -70,17 +70,53 @@ def test_ndv_declaration_gates_and_detail(spark, tmp_path):
     t = _seed(spark, str(tmp_path / "t"), n=100)
     with pytest.raises(ValueError, match="not in table schema"):
         t.set_ndv_columns(["missing"])
-    with pytest.raises(ValueError, match="exact types"):
-        # doubles do not hash canonically; same gate as blooms
-        t2 = TxTable(str(tmp_path / "f"))
-        t2.append(spark.createDataFrame([(1, 1.5)], "id long, v double"))
-        t2.set_ndv_columns(["v"])
+    with pytest.raises(ValueError, match="hash canonically"):
+        # nested types have no canonical bytes
+        t3 = TxTable(str(tmp_path / "n"))
+        t3.append(
+            spark.createDataFrame([(1, [1, 2])], "id long, v array<long>")
+        )
+        t3.set_ndv_columns(["v"])
+    # doubles/dates/timestamps are distinct-countable (unlike blooms)
+    t2 = TxTable(str(tmp_path / "f"))
+    t2.append(
+        spark.createDataFrame(
+            [(i, float(i % 111), f"2024-01-{1 + i % 28:02d}") for i in range(400)],
+            "id long, v double, d string",
+        ).selectExpr("id", "v", "CAST(d AS DATE) AS d")
+    )
+    t2.set_ndv_columns(["v", "d"])
+    t2.build_ndv(spark)
+    s2 = t2.ndv_summary()
+    assert abs(s2["v"]["ndv"] - 111) / 111 < 0.05
+    assert abs(s2["d"]["ndv"] - 28) / 28 < 0.05
     t.set_ndv_columns(["user"])
     assert t.detail()["ndv_columns"] == {"cols": ["user"]}
     t.drop_ndv_columns()
     assert t.detail()["ndv_columns"] == {}
     with pytest.raises(ValueError, match="no NDV columns"):
         t.build_ndv(spark)
+
+
+def test_maintain_backfills_missing_sidecars(spark, tmp_path):
+    """r14: the housekeeping tick converges sidecar coverage — files
+    landed by an 'unaware writer' (simulated by deleting a sidecar)
+    get bloom AND NDV sidecars rebuilt; a covered table builds zero."""
+    t = _seed(spark, str(tmp_path / "t"), n=300)
+    t.set_bloom_filter(["user"])
+    t.set_ndv_columns(["user"])
+    t.build_blooms(spark)
+    t.build_ndv(spark)
+    victim = os.path.basename(t._snapshot_files()[0])
+    os.remove(t._ndv_sidecar(victim))
+    os.remove(t._bloom_sidecar(victim))
+    out = t.maintain(spark, max_files=1000, vacuum_grace=3600.0)
+    assert out.get("ndv_built") == 1 and out.get("blooms_built") == 1
+    s = t.ndv_summary()
+    assert s["user"]["covered_files"] == s["user"]["total_files"]
+    # steady state: the next tick builds nothing
+    out2 = t.maintain(spark, max_files=1000, vacuum_grace=3600.0)
+    assert "ndv_built" not in out2 and "blooms_built" not in out2
 
 
 def test_ndv_sidecars_vacuumed_with_their_files(spark, tmp_path):
@@ -114,6 +150,9 @@ def test_ndv_sidecars_vacuumed_with_their_files(spark, tmp_path):
         f.write(b"junk")
     with open(t._ndv_sidecar(orphan2), "w") as f:
         _json.dump({"p": 12, "cols": {}}, f)
+    gone2 = "part-gone-sketched2.parquet"  # file already reclaimed
+    with open(t._ndv_sidecar(gone2), "w") as f:
+        _json.dump({"p": 12, "cols": {}}, f)
     from hephaestus_spark.sources.txlog import TxTable as _T
 
     thr = _T.DML_SPARK_PLAN_THRESHOLD
@@ -124,6 +163,8 @@ def test_ndv_sidecars_vacuumed_with_their_files(spark, tmp_path):
         _T.DML_SPARK_PLAN_THRESHOLD = thr
     assert orphan2 in deleted2
     assert not os.path.exists(t._ndv_sidecar(orphan2))
+    assert os.path.join("_txlog", "_ndv", f"{gone2}.ndv.json") in deleted2
+    assert not os.path.exists(t._ndv_sidecar(gone2))
     # live files keep their sidecars and the summary still serves
     s = t.ndv_summary()
     assert s["user"]["covered_files"] == s["user"]["total_files"]
