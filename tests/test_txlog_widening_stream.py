@@ -110,7 +110,7 @@ def test_widening_fails_live_stream_then_restart_is_exactly_once(
         assert _wait_for(lambda: spark.read.parquet(out).count() == 2)
         t.append(_wide(spark, [(2, 2.0, "x")]))
         with pytest.raises(Exception, match="WIDENED.*restart the query"):
-            q.awaitTermination(120)
+            q.awaitTermination(300)
             if q.exception() is not None:
                 raise q.exception()
             raise AssertionError("stream crossed a widening commit silently")
@@ -131,7 +131,7 @@ def test_widening_fails_live_stream_then_restart_is_exactly_once(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "restart did not terminate in time"
     got = spark.read.option("mergeSchema", "true").parquet(out)
     rows = {r["id"]: (r["val"], r["tag"]) for r in got.collect()}
     assert sorted(rows) == [0, 1, 2], "rows lost or duplicated"
@@ -219,14 +219,15 @@ def test_explicit_narrower_schema_implies_projection(spark, tmp_path):
         )
 
     q = start()
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not terminate in time"
     t.append(
         spark.createDataFrame(
             [(1, 1.0, "w", 7)], "id long, val double, tag string, extra long"
         )
     )
     q = start()
-    q.awaitTermination(120)  # must NOT fail: projection is the contract
+    assert q.awaitTermination(300), "stream did not terminate in time"
+    # must NOT fail: projection is the contract
     assert q.exception() is None
     got = spark.read.parquet(out)
     assert sorted(r["id"] for r in got.collect()) == [0, 1]
@@ -256,10 +257,10 @@ def test_on_schema_widening_project_option(spark, tmp_path):
         )
 
     q = start()
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not terminate in time"
     t.append(_wide(spark, [(1, 1.0, "dropped")]))
     q = start()
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not terminate in time"
     assert q.exception() is None
     got = spark.read.parquet(out)
     assert sorted(r["id"] for r in got.collect()) == [0, 1]
@@ -279,7 +280,7 @@ def test_on_schema_widening_rejects_bad_value(spark, tmp_path):
         .start()
     )
     with pytest.raises(Exception, match="onSchemaWidening"):
-        q.awaitTermination(120)
+        q.awaitTermination(300)
         if q.exception() is not None:
             raise q.exception()
         raise AssertionError("invalid option accepted")
