@@ -99,6 +99,8 @@ def test_cross_process_writers_converge(spark, tmp_path, seed):
         pos = sorted(rng.randint(0, len(ops)) for _ in range(nbatches))
         for b in reversed(range(nbatches)):
             ops.insert(pos[b], ("stream", b))
+        # one metadata read-modify-write per worker, racing everything
+        ops.insert(rng.randint(0, len(ops)), ("props", f"owner.w{w}"))
         plans.append(
             {
                 "repo": REPO,
@@ -174,6 +176,10 @@ def test_cross_process_writers_converge(spark, tmp_path, seed):
     t._base2rel(t._snapshot_files())
     # the txn map converged to the highest replayed batch
     assert t._fold_state()[1].get("xp-stream") == nbatches - 1
+    # no metadata lost update: every worker's property key survived
+    # every racing commit (set_properties re-folds per retry)
+    props = t.properties()
+    assert all(f"owner.w{w}" in props for w in range(nworkers)), props
 
     # checkpoints were actually exercised (interval 2 over >= 10
     # commits) and the newest complete one folds cleanly

@@ -201,6 +201,13 @@ def main() -> None:
             delete_exact(op[1])
         elif op[0] == "stream":
             stream_batch(op[1])
+        elif op[0] == "props":
+            # metadata read-modify-write raced across processes: a
+            # lost update here would drop a sibling's key (the parent
+            # asserts the final map is the UNION of everything set)
+            retry(
+                lambda: TxTable(path).set_properties({op[1]: "1"})
+            )
         probe()
     print(f"OK conflicts={conflicts[0]}", flush=True)
 
