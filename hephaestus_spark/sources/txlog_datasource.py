@@ -1185,10 +1185,12 @@ class TxLogDataSource(DataSource):
       (only relevant when several capped streams read one table)
     - ``onSchemaWidening`` (streaming, r14): ``fail`` (default) stops
       the query when a widening commit lands mid-stream — restart
-      picks up the new schema exactly-once; ``project`` keeps serving
-      the declared columns (documented down-projection). An explicit
-      ``.schema(...)`` narrower than the table at stream start
-      implies ``project``.
+      picks up the new schema exactly-once; ``project`` keeps the
+      RUNNING instance serving its declared columns (documented
+      down-projection). The option governs the live query only: an
+      auto-schema restart re-resolves the wider schema regardless —
+      pin a projection ACROSS restarts with an explicit
+      ``.schema(...)`` (narrower-than-table implies ``project``).
     - ``appId``: stream-writer txn app id (default
       ``txlog-writer-<table basename>``)
     """

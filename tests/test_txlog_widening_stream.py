@@ -235,36 +235,45 @@ def test_explicit_narrower_schema_implies_projection(spark, tmp_path):
 
 
 def test_on_schema_widening_project_option(spark, tmp_path):
-    """onSchemaWidening=project pins down-projection even when the
-    declared schema equals the table's at start (the case the
-    narrower-schema heuristic cannot see)."""
+    """onSchemaWidening=project keeps a LIVE query running across a
+    widening commit, serving its declared columns (the case the
+    narrower-schema heuristic cannot see: declared == table at start).
+    The option governs the running instance — an auto-schema RESTART
+    legitimately re-resolves the wider schema (pin a projection across
+    restarts with an explicit .schema(...), covered above)."""
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
     t = TxTable(src)
     t.append(_narrow(spark, [(0, 0.0)]))
 
-    def start():
-        return (
-            spark.readStream.format("txlog")
-            .option("onSchemaWidening", "project")
-            .load(src)
-            .writeStream.format("parquet")
-            .option("checkpointLocation", ckpt)
-            .option("path", out)
-            .trigger(availableNow=True)
-            .start()
-        )
-
-    q = start()
-    assert q.awaitTermination(300), "stream did not terminate in time"
-    t.append(_wide(spark, [(1, 1.0, "dropped")]))
-    q = start()
-    assert q.awaitTermination(300), "stream did not terminate in time"
-    assert q.exception() is None
-    got = spark.read.parquet(out)
+    q = (
+        spark.readStream.format("txlog")
+        .option("onSchemaWidening", "project")
+        .load(src)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        assert _wait_for(lambda: spark.read.parquet(out).count() == 1)
+        # widening lands MID-STREAM: the query must keep running and
+        # deliver the new row with the new column dropped
+        t.append(_wide(spark, [(1, 1.0, "dropped")]))
+        assert _wait_for(
+            lambda: spark.read.option("mergeSchema", "true")
+            .parquet(out)
+            .count()
+            == 2
+        ), "project-mode stream stalled on the widening commit"
+        assert q.exception() is None
+    finally:
+        q.stop()
+    got = spark.read.option("mergeSchema", "true").parquet(out)
     assert sorted(r["id"] for r in got.collect()) == [0, 1]
-    assert "tag" not in got.columns
+    assert "tag" not in got.columns  # dropped by the declared projection
 
 
 def test_on_schema_widening_rejects_bad_value(spark, tmp_path):
