@@ -395,19 +395,27 @@ def x_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey").join(
         F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey")
     )
+    # r15 (VERDICT r14 #2): apply the broadcast supplier dim to
+    # lineitem BEFORE the orderkey shuffle, not after. The old order
+    # (c⋈o⋈li first, supplier last) shuffled the FULL fact for the
+    # SortMergeJoin with orders and only then dropped ~4/5 of it on
+    # the ASIA constraint; joining li⋈broadcast(s) first cuts the
+    # shuffled volume by the supplier selectivity (~1/5) — at 100 TB
+    # that is the difference between shuffling 60B and 12B rows. The
+    # broadcast hint itself is still required: Catalyst loses the size
+    # estimate across the nation⋈region pre-join and would fall back
+    # to a SortMergeJoin for the tiny dim. The customer-nation =
+    # supplier-nation conjunct then rides the orderkey join as a
+    # second equi-pair (same shuffle, no extra exchange).
+    li_asia = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    co = c.join(o, c.c_custkey == o.o_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
-        .join(
-            # Explicit hint: the supplier dim stays broadcastable after
-            # the ASIA pre-filter, but Catalyst loses the size estimate
-            # across the join and would fall back to a SortMergeJoin —
-            # shuffling the whole fact stream for a tiny build side
-            # (measured 0.9 s vs 0.55 s at sf0.1; the same trap costs a
-            # full fact shuffle at 100 TB).
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey)
-            & (F.col("c_nationkey") == s.s_nationkey),
+        li_asia.join(
+            co,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy("n_name")
         .agg(

