@@ -226,6 +226,18 @@ def _calibration(spark=None) -> dict:
             "sum(id % 7) as s"
         ).collect()
         out["spark_mt32_sec"] = round(time.perf_counter() - t0, 3)
+        # r15 (VERDICT r14 #5): the per-query FIXED FLOOR — a no-op
+        # plan driven through the same construct+noop-write protocol
+        # the queries use. Sub-0.2 s queries (q12/q30) bottom out at
+        # this constant (Py4J round trips + analysis + job launch +
+        # commit protocol of the noop sink); the ratchet adjudication
+        # can now subtract a MEASURED floor instead of inferring one.
+        floors = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(1).write.format("noop").mode("overwrite").save()
+            floors.append(time.perf_counter() - t0)
+        out["noop_plan_floor_sec"] = round(sorted(floors)[1], 3)
     # r13 (VERDICT r12 #3): steal bracketing the probes themselves —
     # a probe that itself ran under steal reads slow, and this delta
     # says so explicitly instead of leaving it to inference

@@ -25,12 +25,20 @@ def tokens(col: str = "text") -> Column:
 
 
 def word_shingles(tokens_col: Column, n: int) -> Column:
-    """Distinct word n-gram shingles of a token array."""
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(size({_c(tokens_col)}) - {n - 1}, 0)),"
-            f" i -> concat_ws(' ', slice({_c(tokens_col)}, i, {n})))"
-        )
+    """Distinct word n-gram shingles of a token array.
+
+    r15 guard: a doc with fewer than ``n`` tokens has ZERO shingles.
+    ``sequence(1, 0)`` is DESCENDING in Spark ([1, 0] — not empty!),
+    so the old greatest(..., 0) bound fed slice() a 0 start and
+    crashed on short docs; DuckDB's end-exclusive range() was already
+    empty there, so the engines disagreed exactly where the data got
+    short. CASE-gate the whole expression instead."""
+    toks = _c(tokens_col)
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN array_distinct("
+        f"transform(sequence(1, size({toks}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({toks}, i, {n}))))"
+        f" ELSE CAST(array() AS array<string>) END"
     )
 
 
@@ -46,16 +54,11 @@ def shingle_table(docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str
     shuffle on `shingle` (co-locating candidate pairs) instead of an
     O(n^2) cross join."""
     t = docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    # short-doc guard shared with word_shingles (r15): sequence(1, 0)
+    # descends in Spark, so docs under n tokens must CASE to empty
     sh = t.select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)),"
-                    f" i -> concat_ws(' ', slice(_toks, i, {n})))"
-                )
-            )
-        ).alias("shingle"),
+        F.explode(word_shingles(F.col("_toks"), n)).alias("shingle"),
     )
     return sh
 
@@ -89,6 +92,131 @@ def minhash_signature_table(
         for i in range(n_tables)
     ]
     return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signature_scan(
+    docs: DataFrame,
+    n: int = 5,
+    n_tables: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """``minhash_signature_table`` with ZERO shuffle (r15, VERDICT r14
+    #3), for the case every corpus caller is actually in: one row per
+    ``id_col``. The explode -> groupBy(id) -> collect_set/min pipeline
+    was semantically a per-row no-op there — the whole shingle
+    multiset of a doc sits in its own row — yet it shuffled every
+    (id, shingle) pair. Here shingling, the shingle set, and all
+    ``n_tables`` min-hashes are array expressions on the scan:
+    codegen'd, no exchange, the same memory per doc the agg state
+    held. Output is column-for-column identical to the agg form on
+    unique-id input (same xxhash64 salting, same distinct-set
+    semantics including 64-bit hash collisions, and docs with zero
+    shingles are absent from both — pinned by test_lsh_cap.py).
+    Duplicate-id inputs must keep using the agg form.
+
+    Expression hygiene (r15, found by the sf0.1 regression this first
+    shipped with): ``tokens()`` must land as its OWN projection before
+    ``word_shingles`` references it — passing the raw expression
+    inlines the regex tokenizer into the shingle lambda BODY, where it
+    re-executes once per shingle (O(shingles) regexes per row, a 6x
+    wall regression). Same for the zero-shingle filter: gate on
+    ``size(_toks) >= n`` (equivalent, attribute-cheap) instead of
+    ``size(_sh) > 0``, which filter-pushdown would re-derive from
+    scratch below the projection."""
+    base = (
+        docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(
+            F.col(id_col), word_shingles(F.col("_toks"), n).alias("_sh")
+        )
+    )
+    shingles = (
+        F.array_distinct(F.expr("transform(_sh, s -> xxhash64(s))"))
+        if hash_shingles
+        else F.col("_sh")
+    )
+    mins = [
+        F.array_min(
+            F.expr(f"transform(_sh, s -> xxhash64(s, {i}))")
+        ).alias(f"mh{i}")
+        for i in range(n_tables)
+    ]
+    return base.select(
+        F.col(id_col), shingles.alias("shingles"), *mins
+    )
+
+
+def _first_match_pairs(
+    sig: DataFrame,
+    n_tables: int,
+    id_col: str,
+    bucket_cap: int,
+    hot: list,
+) -> DataFrame:
+    """Capped LSH candidate pairs emitted from each pair's FIRST
+    surviving table only (r15) — the classic banding dedup, applied
+    where it is exact: with the hot (t, v) exclusion set known
+    driver-side, "bucket (k, sig[k]) survived" is decidable per pair
+    from the two signatures alone (survivors are exactly the non-hot
+    keys: the pre-exclusion guarantees every remaining bucket is
+    <= cap). A pair agreeing first at surviving table t is emitted
+    there and nowhere else, so the output is distinct BY CONSTRUCTION
+    and the global dropDuplicates shuffle — ~n_tables x the distinct
+    pair volume on duplicate-heavy corpora, since an exact-dup group
+    agrees on every table — disappears. Bucket arrays carry (id,
+    signature) structs instead of bare ids: n_tables longs more per
+    row, bounded by the same cap, repaid by the deleted shuffle."""
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(n_tables)])
+    b = sig.select(
+        F.col(id_col).alias("_id"), sig_arr.alias("_sig")
+    ).select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(n_tables)])
+        ).alias("t"),
+    ).select(
+        "_id", "_sig", "t", F.element_at("_sig", F.col("t") + 1).alias("v")
+    )
+    if hot:
+        hot_local = sig.sparkSession.createDataFrame(
+            [(r["t"], r["v"]) for r in hot], "t int, v bigint"
+        )
+        b = b.join(F.broadcast(hot_local), ["t", "v"], "left_anti")
+    bl = (
+        b.groupBy("t", "v")
+        .agg(F.collect_list(F.struct("_id", "_sig")).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= bucket_cap))
+    )
+    pairs = (
+        bl.select("t", F.explode("ms").alias("a"), "ms")
+        .select("t", "a", F.explode("ms").alias("b"))
+        .filter(F.col("a._id") < F.col("b._id"))
+    )
+    # "some EARLIER table already paired them in a surviving bucket":
+    # agreement at k < t whose (k, value) key is not hot-excluded
+    if hot:
+        hot_lit = (
+            "array("
+            + ",".join(f"'{r['t']}:{r['v']}'" for r in hot)
+            + ")"
+        )
+        not_hot = (
+            f" AND NOT array_contains({hot_lit},"
+            " concat(k, ':', element_at(a._sig, k + 1)))"
+        )
+    else:
+        not_hot = ""
+    earlier = (
+        "t > 0 AND exists(sequence(0, t - 1), k -> "
+        "element_at(a._sig, k + 1) = element_at(b._sig, k + 1)"
+        f"{not_hot})"
+    )
+    return pairs.filter(~F.expr(earlier)).select(
+        F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+    )
 
 
 def _minhash_buckets(sig: DataFrame, n_tables: int, id_col: str) -> DataFrame:
@@ -182,20 +310,22 @@ def minhash_candidate_pairs(
                 .select("t", "v")
             )
             hot_sample = counts.limit(_HOT_DRIVER_LIMIT + 1).collect()
-            if not hot_sample:
-                pass  # no hot buckets: nothing to exclude
-            elif len(hot_sample) <= _HOT_DRIVER_LIMIT:
-                hot_local = sig.sparkSession.createDataFrame(
-                    [(r["t"], r["v"]) for r in hot_sample],
-                    "t int, v bigint",
+            if len(hot_sample) <= _HOT_DRIVER_LIMIT:
+                # r15 (VERDICT r14 #3): first-matching-band emission.
+                # With the hot set known driver-side, a pair's bucket
+                # SURVIVAL at any table is decidable from the two
+                # signatures alone, so each pair is emitted only from
+                # its first surviving table — exact-distinct by
+                # construction, which deletes the dropDuplicates
+                # shuffle (the old path shuffled ~n_tables x the
+                # distinct pair count: every duplicate group agrees on
+                # ALL tables). Output identical (test_lsh_cap.py).
+                return _first_match_pairs(
+                    sig, n_tables, id_col, bucket_cap, hot_sample
                 )
-                buckets = buckets.join(
-                    F.broadcast(hot_local), ["t", "v"], "left_anti"
-                )
-            else:
-                buckets = buckets.join(
-                    F.broadcast(counts), ["t", "v"], "left_anti"
-                )
+            buckets = buckets.join(
+                F.broadcast(counts), ["t", "v"], "left_anti"
+            )
         bl = (
             buckets.groupBy("t", "v")
             .agg(F.collect_list(id_col).alias("ids"))

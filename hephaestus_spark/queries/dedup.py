@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from hephaestus_spark.operators.textops import (
     minhash_candidate_pairs,
     minhash_probe_pairs,
+    minhash_signature_scan,
     minhash_signature_table,
     shingle_table,
     simhash_signatures,
@@ -125,13 +126,16 @@ def q33_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     test corpora (far fewer than 10k docs share any min-hash there),
     so the oracle — which models no cap — is unchanged."""
     corpus = _near_corpus(spark, sf_dir)
-    # One scan -> one shuffle: exact shingle sets AND the 8-table
-    # min-hash signature come out of the same aggregation. Persisted:
-    # consumed by candidate generation and twice by the verify joins.
-    # Shingles stored as 64-bit hashes: same Jaccard (collision odds
-    # ~1e-13/doc, deterministic on fixed data), 3x smaller state.
-    sig = minhash_signature_table(
-        shingle_table(corpus, n=5), n_tables=8, hash_shingles=True
+    # r15: ZERO-shuffle signatures — doc_ids are unique per corpus
+    # row, so shingle sets and all 8 min-hashes are scan-side array
+    # expressions (minhash_signature_scan); the old explode->groupBy
+    # shuffled every (doc, shingle) pair for a per-row no-op agg.
+    # Persisted: consumed by candidate generation and twice by the
+    # verify joins. Shingles stored as 64-bit hashes: same Jaccard
+    # (collision odds ~1e-13/doc, deterministic on fixed data), 3x
+    # smaller state.
+    sig = minhash_signature_scan(
+        corpus, n=5, n_tables=8, hash_shingles=True
     ).persist()
     cand = minhash_candidate_pairs(
         sig, n_tables=8, bucket_cap=10_000, pre_exclude_hot=True

@@ -39,15 +39,34 @@ TABLES = [
 ]
 
 
+# Per-session DataFrame cache (r15, VERDICT r14 #5): re-loading the
+# same table re-reads parquet footers and re-round-trips Py4J every
+# time — a measurable slice of the ~0.1 s per-query fixed floor when a
+# query touches 4-6 tables. DataFrames are immutable plans, so reuse
+# within one session is sound; the key carries the applicationId so a
+# new session never sees another's plans. Static test inputs only: the
+# parquet file listing is resolved at first load (appends to a test
+# dir mid-session would be missed — the txlog datasource, not this
+# loader, is the mutable-table path).
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table; normalizes events.ts to TIMESTAMP_NTZ(us)."""
     apply_runtime_confs(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
         # ns-epoch long -> us-epoch long (integer DIV!) -> naive timestamp
         df = df.withColumn(
             "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
         )
+    if len(_DF_CACHE) > 256:  # bound: sessions x dirs x tables in tests
+        _DF_CACHE.clear()
+    _DF_CACHE[key] = df
     return df
 
 

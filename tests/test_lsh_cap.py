@@ -129,3 +129,60 @@ def test_pre_exclude_skips_anti_join_when_no_hot_buckets(spark):
     df = QUERIES["q33_near_dedup_jaccard"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" not in plan, plan[:2000]
+
+
+def test_minhash_signature_scan_equivalent(spark):
+    """r15: the zero-shuffle scan-side signature builder must be
+    column-for-column identical to the explode->agg form on
+    unique-id input — including hashed-shingle distinctness, all
+    min-hash values, and absence of zero-shingle docs."""
+    from hephaestus_spark.operators.textops import minhash_signature_scan
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tomorrow"),
+        (3, "completely different words appear in this document body"),
+        (4, ""),  # zero shingles: absent from BOTH forms
+        (5, "short text"),  # under the shingle width: also zero shingles
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for hash_shingles in (False, True):
+        agg = minhash_signature_table(
+            shingle_table(docs, n=3), n_tables=4, hash_shingles=hash_shingles
+        ).toPandas()
+        scan = minhash_signature_scan(
+            docs, n=3, n_tables=4, hash_shingles=hash_shingles
+        ).toPandas()
+        assert sorted(agg.doc_id) == sorted(scan.doc_id) == [1, 2, 3]
+        a = agg.set_index("doc_id").sort_index()
+        s = scan.set_index("doc_id").sort_index()
+        for i in range(4):
+            assert list(a[f"mh{i}"]) == list(s[f"mh{i}"]), (hash_shingles, i)
+        for d in a.index:
+            assert sorted(a.loc[d, "shingles"]) == sorted(
+                s.loc[d, "shingles"]
+            ), (hash_shingles, d)
+
+
+def test_first_match_pairs_equivalent_under_synthetic_hot_set(spark):
+    """r15: first-matching-band emission with a NON-EMPTY hot set must
+    equal the broadcast anti-join path's output — a pair whose
+    earliest agreement is hot-excluded must still surface from its
+    first SURVIVING table."""
+    corpus = _boilerplate_corpus(spark, n_hot=60)
+    sig = minhash_signature_table(
+        shingle_table(corpus, n=3), n_tables=4
+    ).persist()
+    capped = minhash_candidate_pairs(
+        sig, n_tables=4, bucket_cap=10, pre_exclude_hot=True
+    ).toPandas()
+    baseline = minhash_candidate_pairs(
+        sig, n_tables=4, bucket_cap=10, pre_exclude_hot=False
+    ).toPandas()
+    assert set(zip(capped.id_a, capped.id_b)) == set(
+        zip(baseline.id_a, baseline.id_b)
+    )
+    # and the hot path emitted each pair exactly once (distinct by
+    # construction — no dedup stage to hide double emission)
+    assert len(capped) == len(set(zip(capped.id_a, capped.id_b)))
+    sig.unpersist()
