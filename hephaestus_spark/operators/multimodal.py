@@ -309,7 +309,8 @@ def byte_histogram_features(media: DataFrame, bins: int = 16) -> DataFrame:
                 h = np.bincount(b >> shift, minlength=bins).astype("int64")
                 out["byte_len"][i] = b.size
                 p = h[h > 0] / max(b.size, 1)
-                out["byte_entropy"][i] = float(-(p * np.log2(p)).sum())
+                # + 0.0 normalizes the empty payload's -0.0 to +0.0
+                out["byte_entropy"][i] = float(-(p * np.log2(p)).sum() + 0.0)
                 out["hist"][i] = h.tolist()
             yield pd.DataFrame(out)
 

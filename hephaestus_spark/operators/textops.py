@@ -71,10 +71,15 @@ def minhash_signature_table(
 ) -> DataFrame:
     """Per-doc shingle set + ``n_tables`` min-hashes in ONE aggregation.
 
-    minhash_i = min(xxhash64(shingle, i)): each table's hash family is
-    xxhash64 salted with the table index — JVM built-ins only, no UDF,
-    no ML pipeline. A single shuffle on ``id_col`` produces both the
-    exact shingle set (for the verify stage) and the LSH signature (for
+    minhash_i = min(xxhash64(xxhash64(shingle), i)): each shingle
+    STRING is hashed exactly once, and each table's family re-hashes
+    the resulting 64-bit value salted with the table index (r15 —
+    hashing the fixed-width long is ~the cost of one 8-byte block,
+    where the old per-table string hash re-walked the whole shingle
+    n_tables times; min over a permutation of a permutation is still
+    a uniform min-hash family). JVM built-ins only, no UDF, no ML
+    pipeline. A single shuffle on ``id_col`` produces both the exact
+    shingle set (for the verify stage) and the LSH signature (for
     candidate generation), so the corpus is scanned once.
 
     ``hash_shingles=True`` stores the shingle set as 64-bit xxhash64
@@ -88,7 +93,7 @@ def minhash_signature_table(
     the test data)."""
     shingle_col = F.xxhash64("shingle") if hash_shingles else F.col("shingle")
     aggs = [F.collect_set(shingle_col).alias("shingles")] + [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+        F.min(F.xxhash64(F.xxhash64("shingle"), F.lit(i))).alias(f"mh{i}")
         for i in range(n_tables)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -131,15 +136,22 @@ def minhash_signature_scan(
         .select(
             F.col(id_col), word_shingles(F.col("_toks"), n).alias("_sh")
         )
+        # each shingle STRING hashed exactly once (r15): the table
+        # hashes below re-hash the fixed-width long, not the string —
+        # same family as minhash_signature_table. Own projection for
+        # the same hygiene reason as _toks/_sh.
+        .select(
+            F.col(id_col),
+            F.col("_sh"),
+            F.expr("transform(_sh, s -> xxhash64(s))").alias("_hs"),
+        )
     )
     shingles = (
-        F.array_distinct(F.expr("transform(_sh, s -> xxhash64(s))"))
-        if hash_shingles
-        else F.col("_sh")
+        F.array_distinct("_hs") if hash_shingles else F.col("_sh")
     )
     mins = [
         F.array_min(
-            F.expr(f"transform(_sh, s -> xxhash64(s, {i}))")
+            F.expr(f"transform(_hs, h -> xxhash64(h, {i}))")
         ).alias(f"mh{i}")
         for i in range(n_tables)
     ]
@@ -190,10 +202,26 @@ def _first_match_pairs(
         .agg(F.collect_list(F.struct("_id", "_sig")).alias("ms"))
         .filter((F.size("ms") >= 2) & (F.size("ms") <= bucket_cap))
     )
+    # triangular explode (r15): posexplode the bucket once, then pair
+    # each member only with the members AFTER it — m(m-1)/2 generated
+    # rows instead of m^2 filtered down. collect_list order is
+    # arbitrary, so order the ids explicitly at emission.
     pairs = (
-        bl.select("t", F.explode("ms").alias("a"), "ms")
-        .select("t", "a", F.explode("ms").alias("b"))
-        .filter(F.col("a._id") < F.col("b._id"))
+        bl.select("t", "ms", F.posexplode("ms").alias("p", "x"))
+        .select(
+            "t",
+            "x",
+            F.explode(F.expr("slice(ms, p + 2, size(ms))")).alias("y"),
+        )
+        .select(
+            "t",
+            F.when(F.col("x._id") < F.col("y._id"), F.col("x"))
+            .otherwise(F.col("y"))
+            .alias("a"),
+            F.when(F.col("x._id") < F.col("y._id"), F.col("y"))
+            .otherwise(F.col("x"))
+            .alias("b"),
+        )
     )
     # "some EARLIER table already paired them in a surviving bucket":
     # agreement at k < t whose (k, value) key is not hot-excluded
@@ -331,10 +359,20 @@ def minhash_candidate_pairs(
             .agg(F.collect_list(id_col).alias("ids"))
             .filter((F.size("ids") >= 2) & (F.size("ids") <= bucket_cap))
         )
+        # triangular explode (r15): pair each member only with the
+        # members after it — m(m-1)/2 generated rows instead of m^2
         return (
-            bl.select(F.explode("ids").alias("id_a"), "ids")
-            .select("id_a", F.explode("ids").alias("id_b"))
-            .filter(F.col("id_a") < F.col("id_b"))
+            bl.select("ids", F.posexplode("ids").alias("p", "x"))
+            .select(
+                "x",
+                F.explode(F.expr("slice(ids, p + 2, size(ids))")).alias(
+                    "y"
+                ),
+            )
+            .select(
+                F.least("x", "y").alias("id_a"),
+                F.greatest("x", "y").alias("id_b"),
+            )
             .dropDuplicates(["id_a", "id_b"])
         )
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -365,6 +403,7 @@ def simhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_tokens: int = _SIMHASH_MAX_TOKENS,
+    hash_expr: Column | None = None,
 ) -> DataFrame:
     """(id, n_tok, simhash) — 64-bit SimHash per document.
 
@@ -392,10 +431,16 @@ def simhash_signatures(
         )
     lb, lpc = _SIMHASH_LANE_BITS, _SIMHASH_LANES_PER_COL
     n_cols = (64 + lpc - 1) // lpc
+    # ``hash_expr`` (r15) swaps the per-token 64-bit hash: the default
+    # xxhash64 is the fast path; x_simhash_portable passes an
+    # md5-derived hash both engines can compute, which is what lets
+    # the vote/packing/banding logic be oracle-checked cross-engine.
     toks = docs.select(
         F.col(id_col),
         F.explode(F.slice(tokens(text_col), 1, max_tokens)).alias("token"),
-    ).withColumn("h", F.xxhash64("token"))
+    ).withColumn(
+        "h", hash_expr if hash_expr is not None else F.xxhash64("token")
+    )
     lanes = [
         F.sum(
             F.expr(

@@ -787,6 +787,12 @@ def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify needs NO extra join against the signature table."""
     corpus = _near_corpus(spark, sf_dir)
     sig = simhash_signatures(corpus).select("doc_id", "simhash")
+    return _simhash_band_pairs(sig)
+
+
+def _simhash_band_pairs(sig: DataFrame) -> DataFrame:
+    """Banded Hamming join over (doc_id, simhash) — shared by the
+    xxhash64 headline and the md5-portable oracle variant."""
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -826,6 +832,131 @@ def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
     )
+
+
+# r15: the PORTABLE simhash hash — a 64-bit value both engines derive
+# identically from md5's first 16 hex chars (two 32-bit conv() chunks
+# on the Spark side, a hex-digit list_reduce on the DuckDB side).
+# xxhash64 stays the fast path for the headline queries; this family
+# exists so the simhash vote/packing/banding logic itself is
+# hash-verified cross-engine instead of rows-only.
+_MD5_H64_SPARK = (
+    "shiftleft(CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT), 32)"
+    " | CAST(conv(substring(md5(token), 9, 8), 16, 10) AS BIGINT)"
+)
+
+
+def _simhash_portable_duck(corpus_sql: str) -> str:
+    """CTE chain ``corpus -> toks -> h -> bits -> sig`` computing the
+    md5-family SimHash per doc; ``sig`` holds (doc_id, husig) with
+    husig the UNSIGNED 64-bit signature as HUGEINT (the tail converts
+    to signed BIGINT where it must match Spark's column)."""
+    return f"""
+    corpus AS ({corpus_sql}),
+    toks AS (
+      SELECT doc_id, UNNEST({_TOKENS_DUCK}) AS token FROM corpus
+    ),
+    h AS (
+      SELECT doc_id,
+        list_reduce(
+          list_transform(range(1, 17),
+            i -> CAST(strpos('0123456789abcdef',
+                   substring(md5(token), CAST(i AS INTEGER), 1)) - 1
+                 AS HUGEINT)),
+          (a, b) -> a * 16 + b
+        ) AS hu
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (hu >> CAST(b AS INTEGER)) & 1 = 1
+                      THEN 1 ELSE 0 END) AS cnt,
+             count(*) AS n_tok
+      FROM h CROSS JOIN (SELECT UNNEST(range(0, 64)) AS b)
+      GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN 2 * cnt > n_tok
+                      THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
+                      ELSE CAST(0 AS HUGEINT) END) AS husig
+      FROM bits GROUP BY doc_id
+    )
+    """
+
+
+_HUSIG_SIGNED = (
+    "CAST(husig - CASE WHEN husig >= CAST(9223372036854775808 AS HUGEINT)"
+    " THEN CAST(18446744073709551616 AS HUGEINT)"
+    " ELSE CAST(0 AS HUGEINT) END AS BIGINT)"
+)
+
+
+@query(
+    "x_simhash_portable",
+    oracle=f"""
+    WITH {_simhash_portable_duck("SELECT doc_id, text FROM documents")}
+    SELECT doc_id,
+           {_HUSIG_SIGNED} AS simhash,
+           CAST((husig >> 0) & 65535 AS INT) AS band0,
+           CAST((husig >> 16) & 65535 AS INT) AS band1,
+           CAST((husig >> 32) & 65535 AS INT) AS band2,
+           CAST((husig >> 48) & 65535 AS INT) AS band3
+    FROM sig
+    """,
+)
+def x_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_simhash with the md5-portable hash family — the SAME Spark
+    pipeline (lane-packed majority vote, 16-bit banding; see
+    operators/textops.py simhash_signatures), hash-verified against a
+    from-scratch DuckDB SimHash. x_simhash itself stays on xxhash64
+    (faster, but engine-specific, hence rows-only); this query is the
+    cross-engine witness that the vote/packing/banding logic is
+    correct, not just deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    out = simhash_signatures(d, hash_expr=F.expr(_MD5_H64_SPARK)).drop("n_tok")
+    return out.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.expr(f"(simhash >> {16 * band}) & 65535")
+            .cast("int")
+            .alias(f"band{band}")
+            for band in range(4)
+        ],
+    )
+
+
+@query(
+    "x_simhash_pairs_portable",
+    oracle=f"""
+    WITH {_simhash_portable_duck(_NEAR_CORPUS_DUCK)},
+    bandk AS (
+      SELECT doc_id, husig, b AS band,
+             CAST((husig >> CAST(16 * b AS INTEGER)) & 65535 AS INT) AS key
+      FROM sig CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.husig AS ha, b.husig AS hb
+      FROM bandk a JOIN bandk b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+)
+def x_simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_simhash_pairs with the md5-portable hash family: the banded
+    Hamming join (pigeonhole-exact at distance <= 3) verified
+    end-to-end against DuckDB — candidate banding, dedup, and the
+    bit_count(xor) residual all hash-checked. The xxhash64 original
+    keeps its brute-force-equivalence pin in test_simhash_pairs.py."""
+    corpus = _near_corpus(spark, sf_dir)
+    sig = simhash_signatures(corpus, hash_expr=F.expr(_MD5_H64_SPARK)).select(
+        "doc_id", "simhash"
+    )
+    return _simhash_band_pairs(sig)
 
 
 @query(

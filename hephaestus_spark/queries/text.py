@@ -1130,7 +1130,42 @@ def x_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_multimodal_histogram")  # rows-only: numpy feature path (invariants tested)
+@query(
+    # r15: ORACLED — the payload is encode(text) and the 16-bin
+    # histogram of (byte >> 4) is exactly the count of each first hex
+    # nibble of hex(encode(text)), so DuckDB recomputes histogram and
+    # entropy from hex digits with zero binary plumbing. 6dp rounding
+    # on entropy absorbs bin-order float drift (the kmeans sq_dist
+    # discipline).
+    "x_multimodal_histogram",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             (['image/png','audio/wav','video/mp4'])[CAST(doc_id % 3 + 1 AS INTEGER)]
+               AS media_type,
+             hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, media_type, byte_len,
+             list_transform(range(0, 16), v -> CAST(len(list_filter(
+               list_transform(range(1, CAST(len(hx) AS BIGINT) + 1, 2),
+                 i -> strpos('0123456789ABCDEF',
+                             substring(hx, CAST(i AS INTEGER), 1)) - 1),
+               d -> d = v)) AS BIGINT)) AS hist
+      FROM h
+    )
+    SELECT doc_id, media_type, byte_len,
+           round(COALESCE(-list_sum(list_transform(
+             list_filter(hist, x -> x > 0),
+             x -> (x / CAST(greatest(byte_len, 1) AS DOUBLE))
+                  * log2(x / CAST(greatest(byte_len, 1) AS DOUBLE)))), 0.0),
+             6) AS byte_entropy,
+           hist
+    FROM f
+    """,
+)
 def x_multimodal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec-free multimodal content features: 16-bin byte histogram +
     byte entropy per payload, vectorized numpy inside Arrow batches
@@ -1569,7 +1604,75 @@ def x_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.col("perplexity").desc(), F.col("doc_id").asc()).limit(20)
 
 
-@query("x_bpe_train")  # rows-only: iterative (each merge depends on the last)
+# r15: BPE is "iterative" the same way Lloyd's k-means is — a FIXED
+# number of deterministic rounds (argmax tie-broken count DESC, pair
+# ASC; greedy leftmost-nonoverlap merge application) — so the x_kmeans
+# unrolling trick applies: each merge round becomes three chained CTEs
+# (pair counts -> argmax -> re-segmented vocab). The one non-obvious
+# piece is the merge fold: DuckDB's list_reduce keeps the accumulator
+# the ELEMENT type, so the running symbol list is serialized through a
+# chr(31) unit separator (symbols are [a-z] and '</w>' composites —
+# the separator can never occur) and split back after the fold.
+# Training-state reuse: the round-16 vocab IS segment_with_merges()
+# for every corpus word, so the encode oracle joins doc words to it.
+# Parity caveat (same class as q33's bucket cap): train_bpe stops
+# early if the best pair count falls below 2 — unreachable on the
+# test corpora, and the oracle models no stop.
+_BPE_FOLD = (
+    "string_split(list_reduce(s, (acc, x) -> "
+    "CASE WHEN list_extract(string_split(acc, chr(31)), -1) = l AND x = r "
+    "THEN CASE WHEN len(acc) = len(list_extract(string_split(acc, chr(31)), -1)) "
+    "THEN l || r "
+    "ELSE substring(acc, 1, len(acc) - len(list_extract(string_split(acc, chr(31)), -1)) - 1)"
+    " || chr(31) || l || r END "
+    "ELSE acc || chr(31) || x END), chr(31))"
+)
+
+_BPE_WORDS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> w <> '')"
+)
+
+
+def _bpe_duck(n_merges: int = 16) -> str:
+    ctes = [
+        f"""
+    v0 AS MATERIALIZED (
+      SELECT word, count,
+             list_append(list_transform(range(1, len(word) + 1),
+               i -> substring(word, CAST(i AS INTEGER), 1)), '</w>') AS s
+      FROM (
+        SELECT word, CAST(count(*) AS BIGINT) AS count FROM (
+          SELECT UNNEST({_BPE_WORDS}) AS word FROM documents
+        ) GROUP BY word
+      )
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""
+    p{k} AS (
+      SELECT pr.l AS l, pr.r AS r, SUM(count) AS n FROM (
+        SELECT count, UNNEST(list_transform(range(1, len(s)),
+          i -> struct_pack(l := s[CAST(i AS INTEGER)],
+                           r := s[CAST(i AS INTEGER) + 1]))) AS pr
+        FROM v{k - 1}
+      ) GROUP BY pr.l, pr.r
+    ),
+    m{k} AS MATERIALIZED (SELECT l, r, n FROM p{k} ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+    v{k} AS MATERIALIZED (
+      SELECT word, count, {_BPE_FOLD} AS s
+      FROM v{k - 1} CROSS JOIN m{k}
+    )""")
+    return ",".join(ctes)
+
+
+_BPE_TRAIN_TAIL = " UNION ALL ".join(
+    f"SELECT CAST({k} AS INT) AS rank, l AS \"left\", r AS \"right\","
+    f" l || r AS merged, CAST(n AS BIGINT) AS pair_count FROM m{k}"
+    for k in range(1, 17)
+)
+
+
+@query("x_bpe_train", oracle=f"WITH {_bpe_duck(16)} {_BPE_TRAIN_TAIL}")
 def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training over the corpus (operators/bpe.py — the
     Sennrich subword algorithm at the right altitude): ONE distributed
@@ -1580,9 +1683,11 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same split subword-nmt/HF tokenizers make). A per-round
     distributed fallback exists for vocabularies beyond driver memory
     and is equality-tested against this path. Ties break (count DESC,
-    pair ASC) so the merge sequence is bit-reproducible. Not
-    SQL-expressible (inherently iterative), hence rows-only;
-    tests/test_bpe.py requires the SAME merge sequence from a naive
+    pair ASC) so the merge sequence is bit-reproducible — which is
+    exactly what makes it ORACLE-able (r15): the 16 rounds unroll
+    into chained DuckDB CTEs (see _bpe_duck above), the same
+    fixed-iteration trick that oracles x_kmeans. tests/test_bpe.py
+    additionally requires the SAME merge sequence from a naive
     from-the-paper reference over independently-computed (DuckDB) word
     counts, and pins segmentation round-trip properties."""
     from hephaestus_spark.operators.bpe import train_bpe
@@ -1598,7 +1703,27 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x_bpe_encode")  # rows-only: token counts depend on learned merges
+_BPE_ENCODE_TAIL = f""",
+    docw AS (
+      SELECT doc_id, UNNEST({_BPE_WORDS}) AS word FROM documents
+    ),
+    enc AS (
+      SELECT dw.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(SUM(len(v.s)) AS BIGINT) AS n_subword_tokens,
+             CAST(SUM(len(dw.word)) AS BIGINT) AS n_chars_seen
+      FROM docw dw JOIN v16 v USING (word)
+      GROUP BY dw.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(e.n_words, 0) AS n_words,
+           COALESCE(e.n_subword_tokens, 0) AS n_subword_tokens,
+           COALESCE(e.n_chars_seen, 0) AS n_chars_seen
+    FROM documents d LEFT JOIN enc e USING (doc_id)
+"""
+
+
+@query("x_bpe_encode", oracle=f"WITH {_bpe_duck(16)} {_BPE_ENCODE_TAIL}")
 def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer family's inference half: train 16 merges (one
     corpus scan + driver rounds, x_bpe_train), then ENCODE the corpus
@@ -1606,8 +1731,10 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batches with a per-batch word cache, zero shuffles. The
     per-doc subword count is THE pre-training budget number (context
     packing, mixture weights, per-source token budgets all key on it).
-    Rows-only (counts depend on the learned merges, not
-    SQL-expressible); tests/test_bpe.py pins distributed encode ==
+    Oracled (r15): the unrolled training chain's round-16 vocabulary
+    IS segment_with_merges() for every corpus word, so the oracle just
+    joins each doc's words against it — no second merge replay.
+    tests/test_bpe.py additionally pins distributed encode ==
     driver-side segmentation word-for-word and subword <= char counts."""
     from hephaestus_spark.operators.bpe import encode_with_merges, train_bpe
 
