@@ -454,6 +454,13 @@ def simhash_signatures(
         for j in range(n_cols)
     ]
     votes = toks.groupBy(id_col).agg(F.count("*").alias("n_tok"), *lanes)
+    return _simhash_assemble(votes, id_col)
+
+
+def _simhash_assemble(votes: DataFrame, id_col: str) -> DataFrame:
+    """(id, n_tok, lane0..laneN) -> (id, n_tok, simhash): unpack the
+    21-bit lane counters and majority-vote each of the 64 bits."""
+    lb, lpc = _SIMHASH_LANE_BITS, _SIMHASH_LANES_PER_COL
     sig = F.lit(0).cast("bigint")
     for i in range(64):
         j, k = divmod(i, lpc)
@@ -465,6 +472,21 @@ def simhash_signatures(
         ).otherwise(F.lit(0).cast("bigint"))
         sig = sig.bitwiseOR(bit)
     return votes.select(id_col, "n_tok", sig.alias("simhash"))
+
+
+# r15 negative result, measured then removed: a scan-side zero-shuffle
+# SimHash (22 ``aggregate()`` lane walks over a per-row token-hash
+# array, mirroring minhash_signature_scan) ran ~1.7x SLOWER warm than
+# the explode->groupBy form at sf0.1 and sf1. Two reasons, both
+# structural: (a) Spark evaluates higher-order-function lambdas
+# INTERPRETED, per element, outside whole-stage codegen, while the
+# lane sums in the agg form are codegen'd hash-aggregate updates; and
+# (b) the agg form's shuffle was never token-sized to begin with —
+# explode keeps a doc's tokens in one partition, so the map-side
+# partial aggregate collapses to ONE row per doc before the exchange
+# (docs-sized, unlike the minhash case where the agg carried wide
+# collect_set shingle state). The explode->groupBy form IS the right
+# form for this operator at every scale.
 
 
 def stopword_hits(tokens_expr: str, words: list[str]) -> str:

@@ -840,10 +840,11 @@ def _simhash_band_pairs(sig: DataFrame) -> DataFrame:
 # xxhash64 stays the fast path for the headline queries; this family
 # exists so the simhash vote/packing/banding logic itself is
 # hash-verified cross-engine instead of rows-only.
-_MD5_H64_SPARK = (
-    "shiftleft(CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT), 32)"
-    " | CAST(conv(substring(md5(token), 9, 8), 16, 10) AS BIGINT)"
-)
+def _md5_h64(col: str) -> str:
+    return (
+        f"shiftleft(CAST(conv(substring(md5({col}), 1, 8), 16, 10) AS BIGINT), 32)"
+        f" | CAST(conv(substring(md5({col}), 9, 8), 16, 10) AS BIGINT)"
+    )
 
 
 def _simhash_portable_duck(corpus_sql: str) -> str:
@@ -914,7 +915,7 @@ def x_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine witness that the vote/packing/banding logic is
     correct, not just deterministic."""
     d = load_table(spark, sf_dir, "documents")
-    out = simhash_signatures(d, hash_expr=F.expr(_MD5_H64_SPARK)).drop("n_tok")
+    out = simhash_signatures(d, hash_expr=F.expr(_md5_h64("token"))).drop("n_tok")
     return out.select(
         "doc_id",
         "simhash",
@@ -953,7 +954,7 @@ def x_simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count(xor) residual all hash-checked. The xxhash64 original
     keeps its brute-force-equivalence pin in test_simhash_pairs.py."""
     corpus = _near_corpus(spark, sf_dir)
-    sig = simhash_signatures(corpus, hash_expr=F.expr(_MD5_H64_SPARK)).select(
+    sig = simhash_signatures(corpus, hash_expr=F.expr(_md5_h64("token"))).select(
         "doc_id", "simhash"
     )
     return _simhash_band_pairs(sig)

@@ -88,3 +88,28 @@ def test_max_tokens_validation():
         simhash_signatures(None, max_tokens=_SIMHASH_MAX_TOKENS + 1)
     with pytest.raises(ValueError):
         simhash_signatures(None, max_tokens=0)
+
+
+
+def test_portable_hash_family_agrees_with_driver_reference(spark):
+    """r15: the md5-derived portable hash (queries/dedup.py _md5_h64)
+    must equal Python's own md5-first-16-hex-chars interpretation —
+    the cross-engine contract the portable oracles rely on."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from hephaestus_spark.queries.dedup import _md5_h64
+
+    words = ["hello", "world", "a", "zebra", "mixedCase"]
+    sdf = spark.createDataFrame([(w,) for w in words], "token string")
+    got = {
+        r.token: r.h64
+        for r in sdf.select(
+            "token", F.expr(_md5_h64("token")).alias("h64")
+        ).collect()
+    }
+    for w in words:
+        u = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+        expect = u - (1 << 64) if u >= 1 << 63 else u
+        assert got[w] == expect, w
