@@ -25,6 +25,22 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # r15 optimization (guide §2.2/§2.5): AQE coalesces with
+    # parallelismFirst=true — target partition count = available cores
+    # — but bounded BELOW by minPartitionSize (default 1m). On
+    # compute-dense small shuffles (per-group array building, window
+    # frames) that floor collapses the reduce side to 1-8 tasks while
+    # the rest of the machine idles: measured at sf0.1, q20's 7 s
+    # aggregation stage ran on 8 of 32 cores (9.1 MB shuffle / 1 MB
+    # floor). 64k keeps parallelism-first in charge for small stages;
+    # large stages are untouched (their total/cores quotient is far
+    # above any floor), so the setting is scale-neutral: it only
+    # matters when a stage's shuffle is smaller than cores x 1 MB,
+    # exactly where extra parallelism is free. Env-overridable for
+    # cluster tuning.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_AQE_MIN_PARTITION", "64k"
+    ),
     # Arrow for any pandas interchange (vector ops in Q34 etc.).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Python Data Source filter pushdown (r8): lets format("txlog")

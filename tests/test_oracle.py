@@ -23,6 +23,22 @@ def test_oracle_match(name, spark, oracle, sf_dir):
     assert report["match"], f"{name}: {report}"
 
 
+def test_q14_quantity_is_integral(sf_dir):
+    """Pin the data property q14's prefix-frame rewrite rests on (r15
+    optimization): RANGE bounds are inclusive, so prefix(<= q-6) only
+    equals "everything below the ±5 frame" when l_quantity is a whole
+    number (TPC-H quantities are integers 1..50). If a future data
+    generation ever produced fractional quantities, this fails before
+    the oracle comparison can silently drift."""
+    import duckdb
+
+    frac = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/lineitem.parquet'"
+        " WHERE l_quantity <> floor(l_quantity) OR l_quantity IS NULL"
+    ).fetchone()[0]
+    assert frac == 0
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only(name, spark, sf_dir):
     """No-oracle queries must at least run and return a stable schema."""
