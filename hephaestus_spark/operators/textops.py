@@ -431,6 +431,17 @@ def simhash_signatures(
         )
     lb, lpc = _SIMHASH_LANE_BITS, _SIMHASH_LANES_PER_COL
     n_cols = (64 + lpc - 1) // lpc
+    # r15 (guide §2.5): tokenize+explode+vote is the expensive per-row
+    # stage — when the input scan cannot split (single-row-group local
+    # files: measured 2.4 s of executor time on 1 of 32 cores at
+    # sf0.1), spread it by the doc key first; no-op when the scan
+    # already yields >= cores splits. Bonus: the groupBy below keys on
+    # the same column, so the pre-spread exchange REPLACES the agg
+    # exchange rather than adding one (hashpartitioning(id) satisfies
+    # the aggregation's clustering requirement).
+    from hephaestus_spark.sources.tables import spread_scan
+
+    docs = spread_scan(docs, id_col)
     # ``hash_expr`` (r15) swaps the per-token 64-bit hash: the default
     # xxhash64 is the fast path; x_simhash_portable passes an
     # md5-derived hash both engines can compute, which is what lets

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from hephaestus_spark.functions.money import sum_money
 from hephaestus_spark.registry import query
-from hephaestus_spark.sources import load_table
+from hephaestus_spark.sources import load_table, spread_scan
 
 
 # --------------------------------------------------------------------------
@@ -182,13 +182,36 @@ def q19_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q20_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list is order-nondeterministic — every array is wrapped in
-    array_sort before use/serialization (SURVEY.md §7 risk 1)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    sort_array before use/serialization (SURVEY.md §7 risk 1).
+
+    r15 (guide §1.2 per-task work): sort_array, not array_sort — the
+    two sort identically on these non-null columns (they differ only
+    in null placement), but array_sort generates an interpreted lambda
+    comparator per element pair while sort_array is a codegen'd
+    binary-comparator sort. Measured 1.44 -> 1.21 s median at sf0.1 on
+    the same plan shape (A/B, 5 runs).
+
+    r15 second step (guide §2.4 "share one exchange"): projecting to
+    the 4 needed columns and hash-spreading on the GROUP key up front
+    means the aggregation's clustering requirement is already met — the
+    plan keeps ONE exchange (the spread) instead of scan -> partial agg
+    -> exchange of per-map array buffers -> merge agg, and the
+    collect_list work runs at full width instead of at the scan's
+    3-split parallelism. collect_list partials don't reduce data, so
+    the exchange carries the same bytes either way; the win is where
+    the array building happens. Interleaved A/B at sf0.1: min
+    1.48 -> 0.64 s. No-op at real scale (spread_scan fires only when
+    the scan can't split to the session's width; there the plain
+    partial/final shape is already right)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"
+    )
+    li = spread_scan(li, "l_orderkey")
     return (
         li.groupBy("l_orderkey")
         .agg(
-            F.array_sort(F.collect_list("l_linenumber")).alias("_lns"),
-            F.array_sort(
+            F.sort_array(F.collect_list("l_linenumber")).alias("_lns"),
+            F.sort_array(
                 F.flatten(F.collect_list(F.array("l_returnflag", "l_linestatus")))
             ).alias("_flags"),
         )
@@ -249,8 +272,14 @@ def q21_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json into MapType then explode to (key, value) rows.
     (props is single-key JSON, so the duckdb oracle's $.k lookup is the
-    general map value.)"""
+    general map value.)
+
+    r15 (guide §2.5): the JSON parse is the expensive per-row stage —
+    0.84 s on ONE task at sf0.1 (single-row-group input file).
+    spread_scan widens it across the session's cores when (and only
+    when) the scan cannot split on its own."""
     e = load_table(spark, sf_dir, "events")
+    e = spread_scan(e.select("event_id", "props"), "event_id")
     m = F.from_json("props", "map<string,bigint>")
     return e.select("event_id", F.explode(m).alias("map_key", "map_value"))
 

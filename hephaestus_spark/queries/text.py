@@ -64,6 +64,12 @@ def q31_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab/salt_n and stays exact."""
     from hephaestus_spark.operators.topk import topk_per_group
 
+    # r15 negative result (guide §2.5 measured, not assumed): spreading
+    # the scan by doc_id LOST the interleaved A/B here (0.59 -> 0.97 s
+    # median) — the single-task map stage already collapses explode
+    # output to tiny (lang, token) partials before its exchange, so the
+    # extra text shuffle + stage sync cost more than the serial
+    # tokenize it parallelized. Left as a plain scan deliberately.
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("lang", F.explode(F.expr(_TOKENS)).alias("token"))
     counted = tok.groupBy("lang", "token").agg(F.count("*").alias("n"))
@@ -198,6 +204,10 @@ _STOP_LIST_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
 def x_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality gate (length / stopword ratio / punct
     ratio) — the C4/Gopher-style filters, as one codegen projection."""
+    # r15 negative result: spread_scan(d, "doc_id") A/B'd a wash here
+    # (median 0.44 -> 0.40 s but MIN 0.33 -> 0.37 — inside noise, and
+    # the extra exchange buys nothing at scale where the scan splits).
+    # Stays a pure scan-side projection: one pass, zero shuffle.
     d = load_table(spark, sf_dir, "documents")
     feat = d.select(
         "doc_id",

@@ -1,4 +1,4 @@
-from hephaestus_spark.sources.tables import TABLES, load_table, register_views
+from hephaestus_spark.sources.tables import TABLES, load_table, register_views, spread_scan
 from hephaestus_spark.sources.io import (
     compact,
     read_any,
@@ -9,6 +9,7 @@ from hephaestus_spark.sources.io import (
 __all__ = [
     "TABLES",
     "load_table",
+    "spread_scan",
     "register_views",
     "read_any",
     "write_partitioned",

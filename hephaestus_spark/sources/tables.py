@@ -70,6 +70,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_scan(df: DataFrame, key: str) -> DataFrame:
+    """Raise scan parallelism for compute-dense per-row stages when the
+    input cannot split (r15 optimization, guide §2.5 "input skew: one
+    huge unsplittable file ... otherwise repartition immediately after
+    the read").
+
+    The local test parquet files are single-row-group, so every
+    scan-adjacent stage runs as ONE task no matter the core count —
+    measured at sf0.1: x_simhash's tokenize+vote stage 2.4 s of
+    executor time on 1 of 32 cores, q21's JSON parse 0.84 s on 1.
+    When (and only when) the planned scan yields fewer splits than the
+    session's parallelism, hash-repartition on a unique key so the
+    expensive per-row work (tokenize/JSON/dot-product) runs wide. The
+    shuffle moves the scan's (pruned, filter-pushed) output once —
+    cheap relative to the serialized compute it unblocks.
+
+    Scale-adaptive by construction: at real scale a table yields far
+    more splits than cores, the condition is false, and this is a
+    no-op — the repartition never fires where it would be a pure extra
+    shuffle. Hash partitioning on a unique key (not round-robin)
+    spreads evenly, needs no sort-before-repartition, and keeps the
+    row-to-partition map deterministic under task retry."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        parts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if parts * 2 <= target:
+        return df.repartition(target, F.col(key))
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     """Register temp views (same names DuckDB uses) for SQL-based builders."""
     for t in tables or TABLES:

@@ -7042,12 +7042,25 @@ class TxTable:
                 referenced.update(ds)
         deleted = list(tmp_swept)
         cutoff = time.time() - grace_seconds
+
+        def _mtime(p: str) -> "float | None":
+            # A concurrent vacuum/expiry in another process may remove
+            # the path between listdir/walk and stat — treat it as
+            # already reclaimed, not an error (the Spark route already
+            # does; the xproc fuzz caught this fold racing itself).
+            try:
+                return os.path.getmtime(p)
+            except OSError:
+                return None
+
         for f in os.listdir(self.path):
             full = os.path.join(self.path, f)
+            mt = _mtime(full)
             if (
                 f.startswith("_stage-")
                 and os.path.isdir(full)
-                and os.path.getmtime(full) <= cutoff
+                and mt is not None
+                and mt <= cutoff
             ):
                 if not dry_run:
                     shutil.rmtree(full, ignore_errors=True)
@@ -7062,13 +7075,15 @@ class TxTable:
             for f in fnames:
                 full = os.path.join(dirpath, f)
                 rel = os.path.relpath(full, self.path)
-                if (
-                    f.endswith(".parquet")
-                    and rel not in referenced
-                    and os.path.getmtime(full) <= cutoff
-                ):
+                if f.endswith(".parquet") and rel not in referenced:
+                    mt = _mtime(full)
+                    if mt is None or mt > cutoff:
+                        continue
                     if not dry_run:
-                        os.remove(full)
+                        try:
+                            os.remove(full)
+                        except OSError:
+                            pass  # raced delete: idempotent either way
                         try:  # r13: the file's bloom sidecar goes too
                             os.remove(self._bloom_sidecar(f))
                         except OSError:
@@ -7094,10 +7109,8 @@ class TxTable:
                     continue
                 base = f[: -len(suffix)]
                 full = os.path.join(bdir, f)
-                if (
-                    base not in ref_base
-                    and os.path.getmtime(full) <= cutoff
-                ):
+                mt = _mtime(full)
+                if base not in ref_base and mt is not None and mt <= cutoff:
                     if not dry_run:
                         try:
                             os.remove(full)
@@ -7159,10 +7172,14 @@ class TxTable:
         deleted: list[str] = []
         for f in os.listdir(self.path):
             full = os.path.join(self.path, f)
+            try:
+                mt = os.path.getmtime(full)
+            except OSError:
+                continue  # raced with another cleaner: already gone
             if (
                 f.startswith("_stage-")
                 and os.path.isdir(full)
-                and os.path.getmtime(full) <= cutoff
+                and mt <= cutoff
             ):
                 if not dry_run:
                     shutil.rmtree(full, ignore_errors=True)
