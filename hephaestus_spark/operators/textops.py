@@ -470,19 +470,26 @@ def simhash_signatures(
 
 def _simhash_assemble(votes: DataFrame, id_col: str) -> DataFrame:
     """(id, n_tok, lane0..laneN) -> (id, n_tok, simhash): unpack the
-    21-bit lane counters and majority-vote each of the 64 bits."""
+    21-bit lane counters and majority-vote each of the 64 bits.
+
+    r15 build-cost fix: the signature is ONE SQL expression string
+    parsed by a single F.expr — the previous per-bit Column chain (64 x
+    when/shift/bitwiseOR builder calls) cost ~1.4-2.7 s of Py4J round
+    trips per plan CONSTRUCTION, dominating x_simhash's measured
+    build_sec. Identical expression tree, same codegen'd evaluation;
+    shiftleft handles the sign bit and OR cannot overflow."""
     lb, lpc = _SIMHASH_LANE_BITS, _SIMHASH_LANES_PER_COL
-    sig = F.lit(0).cast("bigint")
+    terms = []
     for i in range(64):
         j, k = divmod(i, lpc)
-        count_i = F.expr(f"(lane{j} >> {lb * k}) & {(1 << lb) - 1}")
-        # OR the bit in (shiftleft handles the sign bit; OR can't overflow)
-        bit = F.when(
-            count_i * 2 > F.col("n_tok"),
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {i})"),
-        ).otherwise(F.lit(0).cast("bigint"))
-        sig = sig.bitwiseOR(bit)
-    return votes.select(id_col, "n_tok", sig.alias("simhash"))
+        terms.append(
+            f"(CASE WHEN ((lane{j} >> {lb * k}) & {(1 << lb) - 1}) * 2"
+            f" > n_tok THEN shiftleft(CAST(1 AS BIGINT), {i})"
+            " ELSE CAST(0 AS BIGINT) END)"
+        )
+    return votes.select(
+        id_col, "n_tok", F.expr(" | ".join(terms)).alias("simhash")
+    )
 
 
 # r15 negative result, measured then removed: a scan-side zero-shuffle

@@ -167,6 +167,12 @@ def q19_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Q20 — array functions + explode
 # --------------------------------------------------------------------------
+# q20's count-reconstruction rests on these (TPC-H-specified) domains;
+# tests/test_q20_domains.py pins them on every SF the driver checks.
+_Q20_LINENUMBERS = range(1, 8)          # l_linenumber ∈ 1..7, non-null
+_Q20_FLAGS = ("A", "F", "N", "O", "R")  # returnflag ∪ linestatus values
+
+
 @query(
     "q20_array_agg",
     oracle="""
@@ -181,47 +187,60 @@ def q19_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q20_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_list is order-nondeterministic — every array is wrapped in
-    sort_array before use/serialization (SURVEY.md §7 risk 1).
+    """Sorted per-order arrays reconstructed from per-value COUNTS
+    (r15 second pass, guide §2.3 "aggregate before you shuffle" +
+    "narrower types"). The declared output — sorted linenumber list,
+    count, membership flag, sorted flag chars — is fully determined by
+    the multiset COUNTS of each value, because both columns have tiny
+    fixed domains (l_linenumber ∈ 1..7, flags ∈ {A,F,N,O,R}; TPC-H
+    spec, pinned across SFs by tests/test_q20_domains.py). So the
+    aggregation is 12 conditional counts — map-side combinable, fixed
+    ~100 B of state per group — instead of collect_list, whose array
+    buffers reduce nothing map-side and grow with group size. The
+    sorted strings are rebuilt AFTER the exchange from the counts
+    (array_repeat per domain value, ascending = sort_array order on
+    non-null input; values 1..7 and ASCII A<F<N<O<R).
 
-    r15 (guide §1.2 per-task work): sort_array, not array_sort — the
-    two sort identically on these non-null columns (they differ only
-    in null placement), but array_sort generates an interpreted lambda
-    comparator per element pair while sort_array is a codegen'd
-    binary-comparator sort. Measured 1.44 -> 1.21 s median at sf0.1 on
-    the same plan shape (A/B, 5 runs).
+    Measured at sf0.1 (interleaved A/B, 6 rounds, executor-CPU from
+    the stage API): 2.0-8.9 s CPU (collect_list form, unstable under
+    GC) -> 1.1-1.3 s CPU; exchange carries 150k count rows, zero array
+    buffers. exceptAll-verified equivalent both directions + oracle
+    hash at sf0.001/0.01/0.1. At 100 TB this is the difference between
+    bounded agg state with true map-side reduction and shipping every
+    (order, line) pair into per-group arrays. Expression strings (one
+    F.expr per output column) keep plan CONSTRUCTION at ~0.1 s — the
+    per-column F.* builder chain cost ~0.4 s of Py4J round trips.
 
-    r15 second step (guide §2.4 "share one exchange"): projecting to
-    the 4 needed columns and hash-spreading on the GROUP key up front
-    means the aggregation's clustering requirement is already met — the
-    plan keeps ONE exchange (the spread) instead of scan -> partial agg
-    -> exchange of per-map array buffers -> merge agg, and the
-    collect_list work runs at full width instead of at the scan's
-    3-split parallelism. collect_list partials don't reduce data, so
-    the exchange carries the same bytes either way; the win is where
-    the array building happens. Interleaved A/B at sf0.1: min
-    1.48 -> 0.64 s. No-op at real scale (spread_scan fires only when
-    the scan can't split to the session's width; there the plain
-    partial/final shape is already right)."""
+    Prior r15 step, kept for the record: sort_array over array_sort
+    (codegen binary comparator vs interpreted lambda) was worth
+    1.44 -> 1.21 s median before the counts rewrite subsumed it."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"
     )
-    li = spread_scan(li, "l_orderkey")
-    return (
-        li.groupBy("l_orderkey")
-        .agg(
-            F.sort_array(F.collect_list("l_linenumber")).alias("_lns"),
-            F.sort_array(
-                F.flatten(F.collect_list(F.array("l_returnflag", "l_linestatus")))
-            ).alias("_flags"),
-        )
-        .select(
-            "l_orderkey",
-            F.array_join("_lns", ",").alias("linenumbers"),
-            F.size("_lns").cast("bigint").alias("n_lines"),
-            F.array_contains("_lns", 3).alias("has_line3"),
-            F.array_join("_flags", ",").alias("flags_flat"),
-        )
+    ln_counts = [
+        F.expr(f"count(CASE WHEN l_linenumber = {i} THEN 1 END)").alias(f"_c{i}")
+        for i in _Q20_LINENUMBERS
+    ]
+    flag_counts = [
+        F.expr(
+            f"count(CASE WHEN l_returnflag = '{c}' THEN 1 END)"
+            f" + count(CASE WHEN l_linestatus = '{c}' THEN 1 END)"
+        ).alias(f"_f{c}")
+        for c in _Q20_FLAGS
+    ]
+    lns = "flatten(array(" + ", ".join(
+        f"array_repeat({i}, CAST(_c{i} AS INT))" for i in _Q20_LINENUMBERS
+    ) + "))"
+    flags = "flatten(array(" + ", ".join(
+        f"array_repeat('{c}', CAST(_f{c} AS INT))" for c in _Q20_FLAGS
+    ) + "))"
+    n_lines = " + ".join(f"_c{i}" for i in _Q20_LINENUMBERS)
+    return li.groupBy("l_orderkey").agg(*ln_counts, *flag_counts).select(
+        "l_orderkey",
+        F.expr(f"array_join({lns}, ',')").alias("linenumbers"),
+        F.expr(f"CAST({n_lines} AS BIGINT)").alias("n_lines"),
+        F.expr("_c3 > 0").alias("has_line3"),
+        F.expr(f"array_join({flags}, ',')").alias("flags_flat"),
     )
 
 
