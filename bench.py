@@ -250,8 +250,20 @@ def _calibration(spark=None) -> dict:
 def _time_query(
     spark, name: str, sf_dir: str, runs: int
 ) -> tuple[float, float, float, dict[str, int] | None]:
-    """(median noop-exec sec, min sec, median build sec, shuffle
-    delta) over ``runs`` fresh constructions of one query.
+    """(median noop-exec sec, min sec, first-run sec, median build
+    sec, shuffle delta) over ``runs`` fresh constructions of one query.
+
+    ``first`` (r15 transparency ADDITION, methodology unchanged): a few
+    queries persist an intermediate INSIDE their plan (q33's signature
+    table, consumed by three downstream stages — algorithmically
+    motivated, present since the persist was introduced). Spark's
+    CacheManager dedupes persists by canonicalized plan, so within one
+    bench invocation runs 2..N of such a query reuse run 1's cached
+    intermediate; run 1 always computes everything from parquet. The
+    median therefore reflects the warm-intermediate steady state, as it
+    has in every prior round's record — ``queries_first_run`` now
+    reports the cold number alongside so the spread is auditable
+    instead of implicit.
 
     `queries` times the noop execution only — comparable with every
     prior round's records, and the number that reflects plan quality
@@ -295,6 +307,7 @@ def _time_query(
     return (
         round(sorted(samples)[len(samples) // 2], 3),
         round(min(samples), 3),
+        round(samples[0], 3),
         sorted(build_samples)[len(build_samples) // 2],
         shuffle,
         steal,
@@ -337,13 +350,15 @@ def main() -> None:
     )
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
+    firsts: dict[str, float] = {}
     builds: dict[str, float] = {}
     shuffles: dict[str, dict[str, int]] = {}
     steal_per_query: dict[str, int] = {}
     run_stat0, run_tree0 = _cpu_stat(), _proc_tree_jiffies()
     for name in names:
-        med, mn, b, sh, stl = _time_query(spark, name, sf_dir, runs)
+        med, mn, fst, b, sh, stl = _time_query(spark, name, sf_dir, runs)
         timings[name], mins[name] = med, mn
+        firsts[name] = fst
         if b >= 0.05:  # plain plan assembly is ~ms; report real work
             builds[name] = round(b, 3)
         if sh is not None:
@@ -376,7 +391,7 @@ def main() -> None:
             continue
         if host_ratio is not None and host_ratio >= 2:
             continue  # the whole host is slow — a re-run proves nothing
-        med2, mn2, _b2, _sh2, _stl2 = _time_query(spark, name, sf_dir, runs)
+        med2, mn2, _f2, _b2, _sh2, _stl2 = _time_query(spark, name, sf_dir, runs)
         remeasured[name] = {"first": timings[name], "remeasure": med2}
         timings[name] = med2
         mins[name] = min(mins[name], mn2)
@@ -388,6 +403,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_min": mins,
+        "queries_first_run": firsts,
         "sf": sf,
         "calibration": calib,
     }

@@ -160,6 +160,42 @@ def minhash_signature_scan(
     )
 
 
+def jaccard_verify(
+    joined: DataFrame,
+    id_cols: list[str],
+    sh_a: str = "sh_a",
+    sh_b: str = "sh_b",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact-Jaccard verify over candidate pairs carrying both shingle
+    sets: (ids..., jaccard) filtered to ``jaccard >= threshold``.
+
+    r15 (guide §1.2 per-task work, found in the executed plan): the
+    naive ``select(jaccard).filter(jaccard >= t)`` gets its filter
+    pushed INTO the join condition, after which the projection
+    recomputes it — ``array_intersect`` (the expensive part: a hash set
+    per pair) was evaluated up to 5x per surviving pair (3x in the
+    condition, 2x in the project). Computing the three counts behind a
+    PERSIST barrier pins the intersect to exactly one evaluation per
+    pair: the cached rows are (ids, n_common, n_a, n_b) — a few dozen
+    bytes per candidate, same order as the candidate list itself — and
+    the threshold filter runs on cached integers. Measured at sf1
+    (57k docs, 492k candidates, fresh cache both arms): exec
+    1.10-2.83 s -> 0.87-1.65 s. The division is a single IEEE divide
+    on exact integers — bit-identical to the unbarriered form."""
+    nc = F.size(F.array_intersect(sh_a, sh_b)).cast("bigint")
+    counts = joined.select(
+        *id_cols,
+        nc.alias("_nc"),
+        F.size(sh_a).cast("bigint").alias("_na"),
+        F.size(sh_b).cast("bigint").alias("_nb"),
+    ).persist()
+    jac = F.col("_nc") * 1.0 / (F.col("_na") + F.col("_nb") - F.col("_nc"))
+    return counts.select(*id_cols, jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def _first_match_pairs(
     sig: DataFrame,
     n_tables: int,

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hephaestus_spark.operators.textops import (
+    jaccard_verify,
     minhash_candidate_pairs,
     minhash_probe_pairs,
     minhash_signature_scan,
@@ -142,15 +143,11 @@ def q33_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
-    jac = n_common * 1.0 / (
-        F.size("sh_a").cast("bigint") + F.size("sh_b").cast("bigint") - n_common
-    )
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.8)
+    # r15: jaccard_verify pins array_intersect to ONE evaluation per
+    # pair (the filter-into-join plan recomputed it up to 5x) — see
+    # operators/textops.py for the measured plan pathology.
+    return jaccard_verify(
+        cand.join(sa, "id_a").join(sb, "id_b"), ["id_a", "id_b"]
     )
 
 
@@ -692,15 +689,13 @@ def x_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = corpus_sig.select(
         F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_c")
     )
-    n_common = F.size(F.array_intersect("sh_b", "sh_c")).cast("bigint")
-    jac = n_common * 1.0 / (
-        F.size("sh_b").cast("bigint") + F.size("sh_c").cast("bigint") - n_common
-    )
-    return (
-        cand.join(sc, "corpus_id")
-        .join(F.broadcast(sb), "batch_id")
-        .select("batch_id", "corpus_id", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.8)
+    # r15: one array_intersect per pair via the persist barrier
+    # (operators/textops.py::jaccard_verify).
+    return jaccard_verify(
+        cand.join(sc, "corpus_id").join(F.broadcast(sb), "batch_id"),
+        ["batch_id", "corpus_id"],
+        sh_a="sh_b",
+        sh_b="sh_c",
     )
 
 
@@ -753,15 +748,12 @@ def x_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sb = batch_sig.select(
             F.col("doc_id").alias("batch_id"), F.col("shingles").alias("sh_b")
         )
-        n_common = F.size(F.array_intersect("sh_b", "sh_c")).cast("bigint")
-        jac = n_common * 1.0 / (
-            F.size("sh_b").cast("bigint") + F.size("sh_c").cast("bigint") - n_common
-        )
-        return (
-            cand.join(sc, "corpus_id")
-            .join(F.broadcast(sb), "batch_id")
-            .select("batch_id", "corpus_id", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= 0.8)
+        # r15: same single-intersect barrier as the one-shot probe.
+        return jaccard_verify(
+            cand.join(sc, "corpus_id").join(F.broadcast(sb), "batch_id"),
+            ["batch_id", "corpus_id"],
+            sh_a="sh_b",
+            sh_b="sh_c",
         )
 
     return replay_foreach_batch(spark, batch, "arrival_day", probe)
@@ -1183,13 +1175,8 @@ def x_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
     sa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("sh_b"))
-    n_common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
-    jac = n_common * 1.0 / (
-        F.size("sh_a").cast("bigint") + F.size("sh_b").cast("bigint") - n_common
-    )
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.8)
+    # r15: one array_intersect per pair via the persist barrier
+    # (operators/textops.py::jaccard_verify).
+    return jaccard_verify(
+        cand.join(sa, "id_a").join(sb, "id_b"), ["id_a", "id_b"]
     )
