@@ -63,11 +63,58 @@ def shingle_table(docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str
     return sh
 
 
+def _window_hash_sql(th: str, n: int) -> str:
+    """SQL snippet: distinct xxhash64 over each length-``n`` window of
+    the token-hash array ``th`` (r16, guide §1.2 per-task work). The
+    64-bit window hash IDENTIFIES the n-token shingle without ever
+    materializing the shingle string: tokens carry no spaces (they come
+    from a split on ' '), so the joined string and the token sequence
+    determine each other, and hashing the n fixed-width token hashes is
+    a drop-in identity for hashing the string — same distinct-set
+    sizes, same intersections, up to 64-bit collisions (the regime
+    hash_shingles=True already accepted). Measured at sf1: building
+    17M shingle STRINGS (slice + concat_ws + string xxhash64) was ~60%
+    of the signature stage; this form runs it 2x faster end to end
+    (1.03 -> 0.56 s noop wall, 20-way)."""
+    args = ", ".join(f"{th}[i - 1 + {k}]" for k in range(n))
+    return (
+        f"array_distinct(transform(sequence(1, size({th}) - {n - 1}),"
+        f" i -> xxhash64({args})))"
+    )
+
+
+def shingle_hash_table(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) rows with ``shingle`` a 64-bit token-window hash —
+    ``shingle_table`` for the hashed-shingle family (r16). Each token
+    is hashed exactly once and each n-token window hashes n fixed-width
+    longs instead of building the shingle string (see _window_hash_sql).
+    Per-row distinctness matches word_shingles' array_distinct, so
+    groupBy(id).collect_set over duplicate-id inputs unions per-row
+    distinct sets exactly like the string form. Exploded rows carry a
+    LONG instead of a ~30-char string — the (id, shingle) exchange of
+    every table-form consumer narrows ~4x."""
+    t = (
+        docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(
+            F.col(id_col),
+            F.expr("transform(_toks, t -> xxhash64(t))").alias("_th"),
+        )
+    )
+    return t.select(
+        F.col(id_col),
+        F.explode(F.expr(_window_hash_sql("_th", n))).alias("shingle"),
+    )
+
+
 def minhash_signature_table(
     sh: DataFrame,
     n_tables: int = 16,
     id_col: str = "doc_id",
     hash_shingles: bool = False,
+    prehashed: bool = False,
 ) -> DataFrame:
     """Per-doc shingle set + ``n_tables`` min-hashes in ONE aggregation.
 
@@ -90,7 +137,20 @@ def minhash_signature_table(
     across a 1e9-shingle corpus, expected cross-doc collisions follow
     the birthday bound — acceptable for dedup, and deterministic for a
     fixed corpus, which is what keeps the oracle comparison exact on
-    the test data)."""
+    the test data).
+
+    ``prehashed=True`` (r16): the input's ``shingle`` column already
+    holds 64-bit window hashes (``shingle_hash_table``) — collect them
+    as the set and derive each table's min directly from them, skipping
+    the per-row string hash entirely. Same family shape (min of a
+    salted re-hash of the shingle identity); the identity is the
+    token-window hash instead of the string hash."""
+    if prehashed:
+        aggs = [F.collect_set("shingle").alias("shingles")] + [
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh{i}")
+            for i in range(n_tables)
+        ]
+        return sh.groupBy(id_col).agg(*aggs)
     shingle_col = F.xxhash64("shingle") if hash_shingles else F.col("shingle")
     aggs = [F.collect_set(shingle_col).alias("shingles")] + [
         F.min(F.xxhash64(F.xxhash64("shingle"), F.lit(i))).alias(f"mh{i}")
@@ -129,26 +189,38 @@ def minhash_signature_scan(
     wall regression). Same for the zero-shingle filter: gate on
     ``size(_toks) >= n`` (equivalent, attribute-cheap) instead of
     ``size(_sh) > 0``, which filter-pushdown would re-derive from
-    scratch below the projection."""
-    base = (
-        docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
-        .filter(F.size("_toks") >= n)
-        .select(
-            F.col(id_col), word_shingles(F.col("_toks"), n).alias("_sh")
+    scratch below the projection.
+
+    r16: with ``hash_shingles=True`` the shingle identity is the
+    TOKEN-WINDOW hash (see _window_hash_sql) — each token hashed once,
+    each n-token window hashed as n fixed-width longs, no shingle
+    string ever built. Measured 2x on the signature stage at sf1;
+    family-consistent with ``shingle_hash_table`` + ``prehashed=True``
+    (pinned by test_lsh_cap.py)."""
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
+    if hash_shingles:
+        base = toks.select(
+            F.col(id_col),
+            F.expr("transform(_toks, t -> xxhash64(t))").alias("_th"),
+        ).select(
+            F.col(id_col), F.expr(_window_hash_sql("_th", n)).alias("_hs")
         )
-        # each shingle STRING hashed exactly once (r15): the table
-        # hashes below re-hash the fixed-width long, not the string —
-        # same family as minhash_signature_table. Own projection for
-        # the same hygiene reason as _toks/_sh.
-        .select(
+        shingles = F.col("_hs")
+    else:
+        base = toks.select(
+            F.col(id_col), word_shingles(F.col("_toks"), n).alias("_sh")
+        ).select(
+            # each shingle STRING hashed exactly once (r15): the table
+            # hashes below re-hash the fixed-width long, not the string
+            # — same family as minhash_signature_table. Own projection
+            # for the same hygiene reason as _toks/_sh.
             F.col(id_col),
             F.col("_sh"),
             F.expr("transform(_sh, s -> xxhash64(s))").alias("_hs"),
         )
-    )
-    shingles = (
-        F.array_distinct("_hs") if hash_shingles else F.col("_sh")
-    )
+        shingles = F.col("_sh")
     mins = [
         F.array_min(
             F.expr(f"transform(_hs, h -> xxhash64(h, {i}))")
@@ -166,6 +238,7 @@ def jaccard_verify(
     sh_a: str = "sh_a",
     sh_b: str = "sh_b",
     threshold: float = 0.8,
+    handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verify over candidate pairs carrying both shingle
     sets: (ids..., jaccard) filtered to ``jaccard >= threshold``.
@@ -182,18 +255,80 @@ def jaccard_verify(
     the threshold filter runs on cached integers. Measured at sf1
     (57k docs, 492k candidates, fresh cache both arms): exec
     1.10-2.83 s -> 0.87-1.65 s. The division is a single IEEE divide
-    on exact integers — bit-identical to the unbarriered form."""
+    on exact integers — bit-identical to the unbarriered form.
+
+    r16 persist hygiene (VERDICT r15 #2): the persisted counts table
+    is appended to ``handles`` when the caller passes a list, so
+    callers that OWN the consuming action (the streaming per-batch
+    probe, sinks) can unpersist after it completes instead of letting
+    per-batch cache entries accumulate until LRU eviction. Callers
+    that return a lazy DataFrame to an external driver cannot know
+    when consumption ends; there the session owner's cache hygiene
+    (bench.py clears between runs; oracle sweeps are one-shot
+    processes) bounds the residency.
+
+    r16 size-ratio prefilter (guide §1.2 — don't compute what you
+    throw away): |A∩B| <= min(|A|,|B|), so jaccard <= min/(|A|+|B|-min)
+    — a pair whose SIZE bound is already under the threshold cannot
+    pass, and is dropped before its array_intersect is ever evaluated.
+    This is exactly the length filter of the AllPairs/PPJoin family,
+    and it is what defuses LSH's r=1 false-positive leak at scale: a
+    boilerplate shingle whose salted hash lands extremely low becomes
+    the min for THOUSANDS of docs, and that one bucket emits ~m^2/2
+    candidate pairs of mostly unrelated (differently-sized) docs —
+    measured at sf1, a 1629-doc bucket put a 4.3 s straggler (15x the
+    median task) in the verify stage; the prefilter reduces those
+    pairs to a size comparison. EXACT: when nc = min the two quotients
+    are the same double; when nc < min the real gap between bound and
+    jaccard is >> 1 ulp, so the double comparison never drops a
+    passing pair (both are single IEEE divides of exact integers)."""
+    na = F.size(sh_a).cast("bigint")
+    nb = F.size(sh_b).cast("bigint")
+    mn = F.least(na, nb)
+    pre = joined.filter(mn * 1.0 / (na + nb - mn) >= threshold)
     nc = F.size(F.array_intersect(sh_a, sh_b)).cast("bigint")
-    counts = joined.select(
+    counts = pre.select(
         *id_cols,
         nc.alias("_nc"),
         F.size(sh_a).cast("bigint").alias("_na"),
         F.size(sh_b).cast("bigint").alias("_nb"),
     ).persist()
+    if handles is not None:
+        handles.append(counts)
     jac = F.col("_nc") * 1.0 / (F.col("_na") + F.col("_nb") - F.col("_nc"))
     return counts.select(*id_cols, jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def _band32(i: int) -> Column:
+    """32-bit band value of min-hash table ``i`` (r16, guide §2.3
+    narrower types): the candidate exchange is q33's ONLY shuffle, and
+    its band rows carried the full 8x64-bit signature. Banding on
+    ``hash(mh_i)`` (Murmur3, 32-bit, deterministic) halves the carried
+    signature and the bucket key. A 32-bit collision between two
+    DISTINCT mh values only MERGES buckets — the pair becomes a
+    candidate it wasn't before, and the exact-Jaccard verify stage
+    discards it — so every consumer's output is unchanged; the one
+    semantic channel is the bucket cap (a merged bucket could cross it
+    where the 64-bit buckets did not), which needs ~thousands of
+    colliding distinct values in one (t, v32) — see the cap notes in
+    minhash_candidate_pairs. All capped paths and the hot-bucket
+    logging use the SAME 32-bit banding, so cross-path equivalence is
+    exact, not statistical (tests/test_lsh_cap.py)."""
+    return F.hash(F.col(f"mh{i}"))
+
+
+def _size_ratio_ok(na: Column, nb: Column, ratio: float) -> Column:
+    """jaccard(A, B) <= min(|A|,|B|) / (|A|+|B|-min) — the AllPairs
+    length-filter bound. A pair failing it cannot reach ``ratio`` after
+    the exact verify, so dropping it never changes a thresholded
+    output. Exact at the boundary: when the intersection equals the
+    smaller set, verify computes this very quotient; otherwise the real
+    gap between bound and jaccard is orders of magnitude above 1 ulp
+    (both are single IEEE divides of exact integers)."""
+    mn = F.least(na, nb)
+    return mn * 1.0 / (na + nb - mn) >= ratio
 
 
 def _first_match_pairs(
@@ -202,6 +337,7 @@ def _first_match_pairs(
     id_col: str,
     bucket_cap: int,
     hot: list,
+    size_ratio_min: float | None = None,
 ) -> DataFrame:
     """Capped LSH candidate pairs emitted from each pair's FIRST
     surviving table only (r15) — the classic banding dedup, applied
@@ -214,28 +350,62 @@ def _first_match_pairs(
     and the global dropDuplicates shuffle — ~n_tables x the distinct
     pair volume on duplicate-heavy corpora, since an exact-dup group
     agrees on every table — disappears. Bucket arrays carry (id,
-    signature) structs instead of bare ids: n_tables longs more per
-    row, bounded by the same cap, repaid by the deleted shuffle."""
-    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(n_tables)])
+    signature) structs instead of bare ids: bounded by the same cap,
+    repaid by the deleted shuffle.
+
+    r16 narrowing (guide §2.3): the carried signature is the 32-bit
+    band array (see _band32) — the exchange moves 8x4 B per band row
+    instead of 8x8 B — and the earlier-table agreement check is a flat
+    codegen'd OR chain over the (n_tables - 1) possible earlier tables
+    instead of an exists() lambda over a per-row sequence() (HOF
+    lambdas evaluate interpreted, per element, outside whole-stage
+    codegen). Hot exclusion folds into the chain as a per-table
+    NOT IN literal list — the driver already holds the hot set.
+
+    ``size_ratio_min`` (r16, the AllPairs length filter pushed to the
+    earliest possible point): bucket members carry their shingle-set
+    SIZE (+4 B per band row), and a pair whose size-ratio bound is
+    under the caller's verify threshold is dropped AT EMISSION —
+    before it is ever materialized, probed against the signature
+    broadcasts, or intersected. This is what bounds LSH's r=1
+    false-positive leak: a boilerplate shingle whose salted hash lands
+    extremely low makes ONE bucket of thousands of unrelated docs
+    (measured at sf1: a 1629-doc bucket, 1.3M of the 1.74M generated
+    pairs, 64% of which fail the size bound). Cannot change any
+    thresholded output — see _size_ratio_ok."""
+    sig_arr = F.array(*[_band32(i) for i in range(n_tables)])
+    extra = (
+        [F.size("shingles").cast("int").alias("_n")]
+        if size_ratio_min is not None
+        else []
+    )
     b = sig.select(
-        F.col(id_col).alias("_id"), sig_arr.alias("_sig")
+        F.col(id_col).alias("_id"), sig_arr.alias("_sig"), *extra
     ).select(
         "_id",
         "_sig",
+        *(["_n"] if extra else []),
         F.explode(
             F.array(*[F.lit(i) for i in range(n_tables)])
         ).alias("t"),
     ).select(
-        "_id", "_sig", "t", F.element_at("_sig", F.col("t") + 1).alias("v")
+        "_id",
+        "_sig",
+        *(["_n"] if extra else []),
+        "t",
+        F.element_at("_sig", F.col("t") + 1).alias("v"),
     )
     if hot:
         hot_local = sig.sparkSession.createDataFrame(
-            [(r["t"], r["v"]) for r in hot], "t int, v bigint"
+            [(r["t"], r["v"]) for r in hot], "t int, v int"
         )
         b = b.join(F.broadcast(hot_local), ["t", "v"], "left_anti")
+    member = (
+        F.struct("_id", "_sig", "_n") if extra else F.struct("_id", "_sig")
+    )
     bl = (
         b.groupBy("t", "v")
-        .agg(F.collect_list(F.struct("_id", "_sig")).alias("ms"))
+        .agg(F.collect_list(member).alias("ms"))
         .filter((F.size("ms") >= 2) & (F.size("ms") <= bucket_cap))
     )
     # triangular explode (r15): posexplode the bucket once, then pair
@@ -259,42 +429,62 @@ def _first_match_pairs(
             .alias("b"),
         )
     )
+    if size_ratio_min is not None:
+        pairs = pairs.filter(
+            _size_ratio_ok(F.col("a._n"), F.col("b._n"), size_ratio_min)
+        )
     # "some EARLIER table already paired them in a surviving bucket":
-    # agreement at k < t whose (k, value) key is not hot-excluded
-    if hot:
-        hot_lit = (
-            "array("
-            + ",".join(f"'{r['t']}:{r['v']}'" for r in hot)
-            + ")"
+    # agreement at k < t whose (k, value) key is not hot-excluded.
+    # Flat OR chain, one statically-indexed term per possible earlier
+    # table — fully codegen'd (r16; was exists() over sequence()).
+    hot_by_t: dict[int, list[int]] = {}
+    for r in hot or ():
+        hot_by_t.setdefault(int(r["t"]), []).append(int(r["v"]))
+    terms = []
+    for k in range(n_tables - 1):
+        cond = (
+            f"(t > {k} AND element_at(a._sig, {k + 1})"
+            f" = element_at(b._sig, {k + 1})"
         )
-        not_hot = (
-            f" AND NOT array_contains({hot_lit},"
-            " concat(k, ':', element_at(a._sig, k + 1)))"
-        )
-    else:
-        not_hot = ""
-    earlier = (
-        "t > 0 AND exists(sequence(0, t - 1), k -> "
-        "element_at(a._sig, k + 1) = element_at(b._sig, k + 1)"
-        f"{not_hot})"
-    )
+        if hot_by_t.get(k):
+            vals = ", ".join(str(v) for v in hot_by_t[k])
+            cond += f" AND element_at(a._sig, {k + 1}) NOT IN ({vals})"
+        terms.append(cond + ")")
+    earlier = " OR ".join(terms)
     return pairs.filter(~F.expr(earlier)).select(
         F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
     )
 
 
-def _minhash_buckets(sig: DataFrame, n_tables: int, id_col: str) -> DataFrame:
+def _minhash_buckets(
+    sig: DataFrame,
+    n_tables: int,
+    id_col: str,
+    narrow: bool = False,
+    with_size: bool = False,
+) -> DataFrame:
+    """(id, t, v[, _n]) band rows; ``narrow=True`` bands on the 32-bit
+    _band32 values (r16) — used by every capped candidate path and the
+    hot-bucket logging so the cap and the exclusion sets key
+    identically everywhere. ``with_size=True`` carries the shingle-set
+    size for the emission-time length filter."""
+    val = _band32 if narrow else (lambda i: F.col(f"mh{i}"))
+    extra = (
+        [F.size("shingles").cast("int").alias("_n")] if with_size else []
+    )
+    cols = [id_col] + (["_n"] if with_size else [])
     return sig.select(
         F.col(id_col),
+        *extra,
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(i).alias("t"), F.col(f"mh{i}").alias("v"))
+                    F.struct(F.lit(i).alias("t"), val(i).alias("v"))
                     for i in range(n_tables)
                 ]
             )
         ).alias("_b"),
-    ).select(id_col, F.col("_b.t").alias("t"), F.col("_b.v").alias("v"))
+    ).select(*cols, F.col("_b.t").alias("t"), F.col("_b.v").alias("v"))
 
 
 def minhash_hot_buckets(
@@ -304,9 +494,11 @@ def minhash_hot_buckets(
     buckets ``minhash_candidate_pairs`` drops when capped. One small
     agg; count/log it so the cut is never silent (a hot bucket at
     corpus scale usually means boilerplate/empty docs, and each pair
-    inside it costs quadratic verify work)."""
+    inside it costs quadratic verify work). Keys on the same 32-bit
+    banding the candidate paths use (r16), so the report names exactly
+    the buckets the cap drops."""
     return (
-        _minhash_buckets(sig, n_tables, id_col)
+        _minhash_buckets(sig, n_tables, id_col, narrow=True)
         .groupBy("t", "v")
         .agg(F.count("*").alias("bucket_rows"))
         .filter(F.col("bucket_rows") > cap)
@@ -324,6 +516,7 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     bucket_cap: int | None = None,
     pre_exclude_hot: bool = False,
+    size_ratio_min: float | None = None,
 ) -> DataFrame:
     """Distinct pairs sharing at least one min-hash table value.
 
@@ -352,8 +545,34 @@ def minhash_candidate_pairs(
     the same cap to LOG what was dropped — never cap silently.
 
     Without a cap the bucket arrays would be unbounded, so the no-cap
-    path keeps the streaming (t, v) self-join instead."""
-    buckets = _minhash_buckets(sig, n_tables, id_col)
+    path keeps the streaming (t, v) self-join instead.
+
+    r16 (guide §2.3 narrower types): every path bands on the 32-bit
+    _band32 values — the band exchange (the only shuffle left in q33)
+    carries an int key and, on the first-match path, an 8x int32
+    signature instead of 8x int64. A 32-bit collision merges buckets,
+    which can only ADD candidate pairs (callers verify exactly, so
+    output is unchanged); the single semantic channel is the cap — a
+    merged bucket crossing it would drop pairs a 64-bit bucket kept,
+    which takes thousands of distinct colliding min-hash values in one
+    (t, v32) key (vanishingly unlikely, and deterministic for a fixed
+    corpus — the oracle posture is unchanged from the hash_shingles
+    collision argument above). All paths (capped, pre-excluded,
+    first-match, no-cap) use the same banding, so the cross-path
+    equivalence tests stay exact.
+
+    ``size_ratio_min`` (r16): when the caller will threshold an exact
+    Jaccard verify at this ratio, pairs whose shingle-set sizes already
+    violate the AllPairs length bound (see _size_ratio_ok) are dropped
+    at emission on EVERY path — they cannot appear in the verified
+    output, and a single low-hash boilerplate shingle otherwise turns
+    its bucket into m^2/2 mostly size-mismatched pairs. Requires the
+    ``shingles`` column. Applied identically on all paths so the
+    cross-path equivalence stays exact."""
+    buckets = _minhash_buckets(
+        sig, n_tables, id_col, narrow=True,
+        with_size=size_ratio_min is not None,
+    )
     if bucket_cap is not None:
         if pre_exclude_hot:
             # The hot set is structurally small: <= rows*n_tables/cap
@@ -385,40 +604,52 @@ def minhash_candidate_pairs(
                 # distinct pair count: every duplicate group agrees on
                 # ALL tables). Output identical (test_lsh_cap.py).
                 return _first_match_pairs(
-                    sig, n_tables, id_col, bucket_cap, hot_sample
+                    sig, n_tables, id_col, bucket_cap, hot_sample,
+                    size_ratio_min=size_ratio_min,
                 )
             buckets = buckets.join(
                 F.broadcast(counts), ["t", "v"], "left_anti"
             )
+        member = (
+            F.struct(F.col(id_col).alias("_id"), F.col("_n"))
+            if size_ratio_min is not None
+            else F.col(id_col)
+        )
         bl = (
             buckets.groupBy("t", "v")
-            .agg(F.collect_list(id_col).alias("ids"))
+            .agg(F.collect_list(member).alias("ids"))
             .filter((F.size("ids") >= 2) & (F.size("ids") <= bucket_cap))
         )
         # triangular explode (r15): pair each member only with the
         # members after it — m(m-1)/2 generated rows instead of m^2
+        tri = bl.select("ids", F.posexplode("ids").alias("p", "x")).select(
+            "x",
+            F.explode(F.expr("slice(ids, p + 2, size(ids))")).alias("y"),
+        )
+        if size_ratio_min is not None:
+            tri = tri.filter(
+                _size_ratio_ok(F.col("x._n"), F.col("y._n"), size_ratio_min)
+            ).select(F.col("x._id").alias("x"), F.col("y._id").alias("y"))
         return (
-            bl.select("ids", F.posexplode("ids").alias("p", "x"))
-            .select(
-                "x",
-                F.explode(F.expr("slice(ids, p + 2, size(ids))")).alias(
-                    "y"
-                ),
-            )
-            .select(
+            tri.select(
                 F.least("x", "y").alias("id_a"),
                 F.greatest("x", "y").alias("id_b"),
             )
             .dropDuplicates(["id_a", "id_b"])
         )
     a, b = buckets.alias("a"), buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    joined = a.join(
+        b,
+        (F.col("a.t") == F.col("b.t"))
+        & (F.col("a.v") == F.col("b.v"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    if size_ratio_min is not None:
+        joined = joined.filter(
+            _size_ratio_ok(F.col("a._n"), F.col("b._n"), size_ratio_min)
         )
+    return (
+        joined
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )

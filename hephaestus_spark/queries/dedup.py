@@ -29,6 +29,7 @@ from hephaestus_spark.operators.textops import (
     minhash_probe_pairs,
     minhash_signature_scan,
     minhash_signature_table,
+    shingle_hash_table,
     shingle_table,
     simhash_signatures,
 )
@@ -138,8 +139,14 @@ def q33_near_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signature_scan(
         corpus, n=5, n_tables=8, hash_shingles=True
     ).persist()
+    # r16: size_ratio_min pushes the AllPairs length filter to pair
+    # emission — a low-hash boilerplate shingle makes one bucket of
+    # thousands of mostly size-mismatched docs (sf1: a 1629-doc bucket,
+    # 1.3M of 1.74M generated pairs), and those pairs cannot pass the
+    # 0.8 verify threshold, so they never leave the bucket stage.
     cand = minhash_candidate_pairs(
-        sig, n_tables=8, bucket_cap=10_000, pre_exclude_hot=True
+        sig, n_tables=8, bucket_cap=10_000, pre_exclude_hot=True,
+        size_ratio_min=0.8,
     )
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -519,10 +526,11 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept1 = ranked.filter(F.col("rn") == 1).select("doc_id", "text")
 
     sig = minhash_signature_table(
-        shingle_table(kept1, n=5), n_tables=8, hash_shingles=True
+        shingle_hash_table(kept1, n=5), n_tables=8, prehashed=True
     ).persist()
     cand = minhash_candidate_pairs(
-        sig, n_tables=8, bucket_cap=10_000, pre_exclude_hot=True
+        sig, n_tables=8, bucket_cap=10_000, pre_exclude_hot=True,
+        size_ratio_min=0.8,  # r16: same emission-time length filter as q33
     )
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -677,10 +685,10 @@ def x_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(_SUFFIX)).alias("text"),
     )
     corpus_sig = minhash_signature_table(
-        shingle_table(d, n=5), n_tables=8, hash_shingles=True
+        shingle_hash_table(d, n=5), n_tables=8, prehashed=True
     )
     batch_sig = minhash_signature_table(
-        shingle_table(batch, n=5), n_tables=8, hash_shingles=True
+        shingle_hash_table(batch, n=5), n_tables=8, prehashed=True
     ).persist()
     cand = minhash_probe_pairs(batch_sig, corpus_sig, n_tables=8)
     sb = batch_sig.select(
@@ -734,27 +742,41 @@ def x_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 3).cast("int").alias("arrival_day"),
     )
     corpus_sig = minhash_signature_table(
-        shingle_table(d, n=5), n_tables=8, hash_shingles=True
+        shingle_hash_table(d, n=5), n_tables=8, prehashed=True
     ).persist()
     sc = corpus_sig.select(
         F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_c")
     )
 
-    def probe(batch_df: DataFrame) -> DataFrame:
+    def probe(batch_df: DataFrame):
         batch_sig = minhash_signature_table(
-            shingle_table(batch_df, n=5), n_tables=8, hash_shingles=True
+            shingle_hash_table(batch_df, n=5), n_tables=8, prehashed=True
         ).persist()
+        handles = [batch_sig]
         cand = minhash_probe_pairs(batch_sig, corpus_sig, n_tables=8)
         sb = batch_sig.select(
             F.col("doc_id").alias("batch_id"), F.col("shingles").alias("sh_b")
         )
         # r15: same single-intersect barrier as the one-shot probe.
-        return jaccard_verify(
+        # r16 (VERDICT r15 #2): every per-batch persist — the batch
+        # signatures and the verify counts — is unpersisted after the
+        # batch's write, so cached state stays FLAT across an unbounded
+        # stream instead of accumulating until LRU eviction
+        # (tests/test_streaming_pipeline.py pins zero residual cached
+        # RDDs after a multi-batch replay).
+        out = jaccard_verify(
             cand.join(sc, "corpus_id").join(F.broadcast(sb), "batch_id"),
             ["batch_id", "corpus_id"],
             sh_a="sh_b",
             sh_b="sh_c",
+            handles=handles,
         )
+
+        def cleanup() -> None:
+            for h in handles:
+                h.unpersist()
+
+        return out, cleanup
 
     return replay_foreach_batch(spark, batch, "arrival_day", probe)
 

@@ -228,6 +228,24 @@ def q20_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"_f{c}")
         for c in _Q20_FLAGS
     ]
+    # r16 (VERDICT r15 #5): the counts rewrite is only exact on the
+    # TPC-H domains — an out-of-domain value would silently VANISH from
+    # the rebuilt arrays. The 13th count makes the assumption
+    # self-checking at any scale: one extra map-side-combinable counter
+    # (~free next to the other 12), and the projection raise_error()s
+    # the whole query if it is ever nonzero instead of emitting wrong
+    # arrays (tests/test_q20_domains.py feeds an out-of-domain row and
+    # asserts the loud failure).
+    lns_in = ", ".join(str(i) for i in _Q20_LINENUMBERS)
+    flags_in = ", ".join(f"'{c}'" for c in _Q20_FLAGS)
+    ood = F.expr(
+        "count(CASE WHEN l_linenumber IS NULL"
+        f" OR l_linenumber NOT IN ({lns_in})"
+        " OR l_returnflag IS NULL"
+        f" OR l_returnflag NOT IN ({flags_in})"
+        " OR l_linestatus IS NULL"
+        f" OR l_linestatus NOT IN ({flags_in}) THEN 1 END)"
+    ).alias("_ood")
     lns = "flatten(array(" + ", ".join(
         f"array_repeat({i}, CAST(_c{i} AS INT))" for i in _Q20_LINENUMBERS
     ) + "))"
@@ -235,10 +253,17 @@ def q20_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"array_repeat('{c}', CAST(_f{c} AS INT))" for c in _Q20_FLAGS
     ) + "))"
     n_lines = " + ".join(f"_c{i}" for i in _Q20_LINENUMBERS)
-    return li.groupBy("l_orderkey").agg(*ln_counts, *flag_counts).select(
+    guard = (
+        "CASE WHEN _ood > 0 THEN CAST(raise_error(concat("
+        "'q20_array_agg: out-of-domain l_linenumber/flag values in order ',"
+        " CAST(l_orderkey AS STRING),"
+        " ' — the counts reconstruction assumes the TPC-H domains'"
+        ")) AS BIGINT) ELSE CAST({n} AS BIGINT) END"
+    ).format(n=n_lines)
+    return li.groupBy("l_orderkey").agg(*ln_counts, *flag_counts, ood).select(
         "l_orderkey",
         F.expr(f"array_join({lns}, ',')").alias("linenumbers"),
-        F.expr(f"CAST({n_lines} AS BIGINT)").alias("n_lines"),
+        F.expr(guard).alias("n_lines"),
         F.expr("_c3 > 0").alias("has_line3"),
         F.expr(f"array_join({flags}, ',')").alias("flags_flat"),
     )

@@ -117,7 +117,15 @@ def replay_foreach_batch(
     static/slowly-changing reference data (e.g. probing a day's ingest
     against the corpus dedup index): exactly-once per micro-batch via
     the checkpointed batch id, full batch-DataFrame expressiveness, no
-    stream-side state."""
+    stream-side state.
+
+    ``batch_transform`` may return either a DataFrame or a
+    ``(DataFrame, cleanup)`` pair (r16, VERDICT r15 #2): ``cleanup``
+    runs AFTER the batch's write completes, which is where per-batch
+    persisted intermediates (the probe's batch signatures and verify
+    counts) get unpersisted — mirroring sinks.py's persist/unpersist-
+    in-finally convention, so a long-running stream's cached batch
+    state stays flat instead of accumulating until LRU eviction."""
     work = tempfile.mkdtemp(prefix="hs_replay_fb_")
     stream_dir = os.path.join(work, "stream")
     out_dir = os.path.join(work, "out")
@@ -150,7 +158,13 @@ def replay_foreach_batch(
         )
 
         def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-            batch_transform(batch_df).write.mode("append").parquet(out_dir)
+            res = batch_transform(batch_df)
+            df, cleanup = res if isinstance(res, tuple) else (res, None)
+            try:
+                df.write.mode("append").parquet(out_dir)
+            finally:
+                if cleanup is not None:
+                    cleanup()
 
         q = stream.writeStream.foreachBatch(_sink).start()
         q.processAllAvailable()

@@ -146,10 +146,21 @@ def test_minhash_signature_scan_equivalent(spark):
         (5, "short text"),  # under the shingle width: also zero shingles
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from hephaestus_spark.operators.textops import shingle_hash_table
+
     for hash_shingles in (False, True):
-        agg = minhash_signature_table(
-            shingle_table(docs, n=3), n_tables=4, hash_shingles=hash_shingles
-        ).toPandas()
+        # r16: the hashed family's table form is shingle_hash_table +
+        # prehashed (token-window hashes); the string family keeps
+        # shingle_table + hash_shingles. Scan and table forms of the
+        # SAME family must agree column-for-column.
+        if hash_shingles:
+            agg = minhash_signature_table(
+                shingle_hash_table(docs, n=3), n_tables=4, prehashed=True
+            ).toPandas()
+        else:
+            agg = minhash_signature_table(
+                shingle_table(docs, n=3), n_tables=4, hash_shingles=False
+            ).toPandas()
         scan = minhash_signature_scan(
             docs, n=3, n_tables=4, hash_shingles=hash_shingles
         ).toPandas()
@@ -185,4 +196,38 @@ def test_first_match_pairs_equivalent_under_synthetic_hot_set(spark):
     # and the hot path emitted each pair exactly once (distinct by
     # construction — no dedup stage to hide double emission)
     assert len(capped) == len(set(zip(capped.id_a, capped.id_b)))
+    sig.unpersist()
+
+
+def test_narrow_banding_recall_pin(spark):
+    """r16: candidate banding keys on 32-bit hash(mh_i). A 32-bit
+    collision can only MERGE buckets (extra candidates, discarded by
+    the exact verify), never split them — so every pair sharing a
+    64-bit min-hash value at some table MUST appear among candidates,
+    on every path. Pins the recall direction of the narrowing."""
+    rows = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(12):
+        rows.append((i, base + f" tail{i % 3}"))  # 3 groups of near-dups
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signature_table(shingle_table(docs, n=3), n_tables=4).persist()
+    sig_pd = sig.toPandas().set_index("doc_id")
+    expected = set()
+    ids = sorted(sig_pd.index)
+    for x in ids:
+        for y in ids:
+            if x < y and any(
+                sig_pd.loc[x, f"mh{i}"] == sig_pd.loc[y, f"mh{i}"]
+                for i in range(4)
+            ):
+                expected.add((x, y))
+    assert expected  # the corpus really has same-band pairs
+    for kwargs in (
+        {},
+        {"bucket_cap": 10_000},
+        {"bucket_cap": 10_000, "pre_exclude_hot": True},
+    ):
+        got = minhash_candidate_pairs(sig, n_tables=4, **kwargs).toPandas()
+        got_pairs = set(zip(got.id_a, got.id_b))
+        assert expected <= got_pairs, (kwargs, expected - got_pairs)
     sig.unpersist()

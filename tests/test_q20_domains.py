@@ -62,3 +62,43 @@ def test_q20_counts_form_matches_collect_list(spark):
     counts = QUERIES["q20_array_agg"](spark, sf_dir)
     assert counts.exceptAll(direct).count() == 0
     assert direct.exceptAll(counts).count() == 0
+
+
+def test_q20_out_of_domain_raises(spark, tmp_path):
+    """r16 (VERDICT r15 #5): the counts reconstruction must FAIL LOUDLY
+    on out-of-domain values instead of silently dropping them from the
+    rebuilt arrays — the 13th counter + raise_error guard."""
+    import pyspark.errors
+
+    d = str(tmp_path)
+    rows = [
+        (1, 1, "A", "F"),
+        (1, 9, "A", "F"),  # l_linenumber 9: outside 1..7
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string,"
+        " l_linestatus string",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    from hephaestus_spark.registry import QUERIES
+
+    df = QUERIES["q20_array_agg"](spark, d)
+    with pytest.raises(Exception) as ei:
+        df.collect()
+    assert "out-of-domain" in str(ei.value)
+
+    # and a bad flag value trips it too
+    rows = [(2, 1, "Z", "F")]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_returnflag string,"
+        " l_linestatus string",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    from hephaestus_spark.sources import tables as _t
+
+    _t._DF_CACHE.clear()  # the loader memoizes per (app, dir, table)
+    df = QUERIES["q20_array_agg"](spark, d)
+    with pytest.raises(Exception) as ei:
+        df.collect()
+    assert "out-of-domain" in str(ei.value)
+    _t._DF_CACHE.clear()

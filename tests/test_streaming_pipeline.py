@@ -155,3 +155,55 @@ def test_maintenance_mode_processing_time_ticks(spark, workdir):
         assert q.isActive  # the ticker is still up until WE stop it
     finally:
         q.stop()
+
+
+def test_replay_foreach_batch_unpersists_per_batch_state(spark):
+    """r16 (VERDICT r15 #2): a batch_transform returning (df, cleanup)
+    must have cleanup run after EVERY batch's write, and per-batch
+    persisted intermediates must not accumulate — cached-RDD count is
+    flat across a 20-batch replay."""
+    from pyspark.sql import functions as F
+
+    from hephaestus_spark.streaming.replay import replay_foreach_batch
+
+    rows = [(i, i % 20) for i in range(200)]
+    batches = spark.createDataFrame(rows, "v long, day int")
+
+    def before_count():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base = before_count()
+    ran = []
+
+    def transform(batch_df):
+        staged = batch_df.select((F.col("v") * 2).alias("v2")).persist()
+        out = staged.groupBy().agg(F.sum("v2").alias("s"))
+
+        def cleanup():
+            staged.unpersist()
+            ran.append(1)
+
+        return out, cleanup
+
+    out = replay_foreach_batch(spark, batches, "day", transform)
+    assert out.count() == 20
+    assert len(ran) == 20  # cleanup ran once per micro-batch
+    assert before_count() <= base  # nothing left cached by the replay
+
+
+def test_stream_incremental_dedup_cache_flat(spark):
+    """The production path itself: x_stream_incremental_dedup's
+    per-batch persists (batch signatures + verify counts) are freed
+    after each batch — only the stream-lifetime corpus index may
+    remain cached when the query completes."""
+    from hephaestus_spark.registry import QUERIES
+    import hephaestus_spark.queries  # noqa: F401
+
+    sc_ = spark.sparkContext._jsc.sc()
+    base = len(sc_.getRDDStorageInfo())
+    df = QUERIES["x_stream_incremental_dedup"](spark, "/root/testdata/sf0.001")
+    df.count()
+    # corpus_sig persists once per stream; every per-batch persist must
+    # already be gone by the time the query returns.
+    assert len(sc_.getRDDStorageInfo()) <= base + 1
+    spark.catalog.clearCache()
