@@ -612,6 +612,7 @@ def _sf1_section(spark, timings: dict[str, float], sf: float) -> dict | None:
     for name in SF1_SUBSET:
         if name not in QUERIES:
             continue
+        spark.catalog.clearCache()  # r16: same cold discipline as sf0.1
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf1_dir)
         df.write.format("noop").mode("overwrite").save()
