@@ -1018,20 +1018,36 @@ def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hephaestus_spark.operators.textops import tokens
 
     d = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.3 narrower types): the window key is INTERNAL — the
+    # declared output is per-doc counts/fractions — so the key is the
+    # xxhash64 of the 10 token hashes instead of the md5 hex STRING of
+    # the joined window (32 chars + the window-string build per row).
+    # Identity is 1:1 with the string form modulo 64-bit collisions
+    # (tokens carry no spaces; xxhash64 skips NULL args, so a short
+    # doc's single truncated window hashes its actual tokens, exactly
+    # the windows the string form produced). The (doc, wkey) exchange
+    # narrows ~4x and no window string is ever materialized.
+    # try_element_at: ANSI mode (the Spark 4 default) throws on an
+    # out-of-range [] index, and a short doc's single window reads past
+    # its array; try_element_at yields NULL there and xxhash64 skips
+    # NULL args, giving the truncated window exactly its actual tokens.
+    win_args = ", ".join(f"try_element_at(_th, i + {k})" for k in range(10))
     sh = (
         d.select("doc_id", tokens("text").alias("_toks"))
+        .select(
+            "doc_id", F.expr("transform(_toks, t -> xxhash64(t))").alias("_th")
+        )
         .select(
             "doc_id",
             F.explode(
                 F.array_distinct(
                     F.expr(
-                        "transform(sequence(1, greatest(size(_toks) - 9, 1)),"
-                        " i -> concat_ws(' ', slice(_toks, i, 10)))"
+                        "transform(sequence(1, greatest(size(_th) - 9, 1)),"
+                        f" i -> xxhash64({win_args}))"
                     )
                 )
-            ).alias("win"),
+            ).alias("wkey"),
         )
-        .select("doc_id", F.md5("win").alias("wkey"))
     )
     dup = sh.groupBy("wkey").agg(
         F.count_distinct("doc_id").alias("nd")
@@ -1109,13 +1125,24 @@ def x_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def shingles(df, id_out, id_in):
+        # r16: internal join key = xxhash64 over the 5 token hashes
+        # (see x_substring_dedup — same identity argument, same ~4x
+        # narrower exchange than the md5 hex string).
+        # try_element_at for the same ANSI short-doc reason as
+        # x_substring_dedup above
+        win_args = ", ".join(
+            f"try_element_at(_th, i + {k})" for k in range(5)
+        )
         return df.select(
             F.col(id_in).alias(id_out),
+            F.expr("transform(toks, t -> xxhash64(t))").alias("_th"),
+        ).select(
+            id_out,
             F.explode(
                 F.array_distinct(
                     F.expr(
-                        "transform(sequence(1, greatest(size(toks) - 4, 1)),"
-                        " i -> md5(concat_ws(' ', slice(toks, i, 5))))"
+                        "transform(sequence(1, greatest(size(_th) - 4, 1)),"
+                        f" i -> xxhash64({win_args}))"
                     )
                 )
             ).alias("wkey"),

@@ -73,3 +73,44 @@ def test_deterministic_across_sessions(spark, sf_dir):
     r1 = sorted(map(tuple, _result(spark, sf_dir).collect()))
     r2 = sorted(map(tuple, _result(spark, sf_dir).collect()))
     assert r1 == r2
+
+
+def test_substring_windows_hash_identity_on_short_docs(spark, tmp_path):
+    """r16: x_substring_dedup keys windows by xxhash64 over the token
+    hashes instead of md5 over the window string. The identity must
+    hold where the window truncates — docs shorter than the width take
+    ONE window of their actual tokens (xxhash64 skips the NULL slots),
+    so two short docs match iff their token lists match, exactly as
+    the string form behaved."""
+    from pyspark.sql import functions as F
+    from hephaestus_spark.registry import QUERIES
+    import hephaestus_spark.queries  # noqa
+    from hephaestus_spark.sources import tables as _t
+
+    rows = [
+        (1, "alpha beta gamma"),             # 3 tokens: one truncated window
+        (2, "alpha beta gamma"),             # identical short doc -> dup pair
+        (3, "alpha beta gamma delta"),       # longer prefix: must NOT match 1/2
+        (4, "one two three four five six seven eight nine ten eleven"),
+        (5, "one two three four five six seven eight nine ten eleven"),
+        (6, ""),                             # empty doc
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    _t._DF_CACHE.clear()
+    out = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in QUERIES["x_substring_dedup"](spark, d).collect()
+    }
+    _t._DF_CACHE.clear()
+    # short identical docs are each other's duplicates; the longer doc
+    # whose window differs (4 tokens vs 3) is not
+    assert out[1] == (1, 1) and out[2] == (1, 1)
+    assert out[3] == (1, 0)
+    # full-width duplicates detected across the 11-token pair
+    assert out[4][1] == out[4][0] >= 1 and out[5] == out[4]
+    # empty docs produce one degenerate window, shared only among
+    # empty docs (here: unique -> not duplicated)
+    assert out[6] == (1, 0)
